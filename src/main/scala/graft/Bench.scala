@@ -1,23 +1,56 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Queries are executed through the `noop` sink so every output column is
+  * actually computed (a bare `count()` would let Catalyst prune the
+  * projection and under-report the work).
+  */
 object Bench {
+  /** Headline subset: the shapes whose cost dominates at scale —
+    * full-scan aggregation, fact-fact joins, sort, window, dedup. */
+  val headline: Seq[String] = Seq(
+    "q19_agg_group",      // TPC-H Q1 pricing summary (full lineitem scan)
+    "q30_top_revenue",    // Q3 shipping priority (3-way join + top-k)
+    "q31_local_volume",   // Q5 star join (6 tables)
+    "q32_returned_items", // Q10 join + group + top-k
+    "q11_join_merge",     // wide fact-fact sort-merge join
+    "q13_sort_desc",      // global sort
+    "q14_sort_multikey",  // multi-key global sort
+    "q28_window_rank",    // window function
+    "q09_join_multikey",  // self-join on composite key
+    "q15_distinct",       // distinct
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = headline.filter(SparkEntry.queries.contains)
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,493 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Exact._
+import graft.Tables
+
+/** The reference's full relational surface (SURVEY.md §2) re-expressed as
+  * declarative DataFrame algebra, plus the standard SQL operators the
+  * reference lacks (real aggregates, outer/semi/anti joins, set ops, window
+  * functions, scalar functions) so a reference user gets a strict superset.
+  *
+  * Design notes for 100 TB scale:
+  *  - every query is a pure LogicalPlan: Catalyst pushes filters/pruning
+  *    into the parquet scan, picks join strategies, and AQE re-plans at
+  *    runtime — nothing is collected to the driver;
+  *  - small dimension tables (region 5 rows, nation 25 rows, supplier
+  *    100·sf rows) are explicitly `broadcast()` so fact-table joins never
+  *    shuffle the big side;
+  *  - aggregates use decimal partial aggregation (graft.Exact) which is
+  *    shuffle-order-insensitive → map-side combine is safe and exact.
+  *
+  * Reference capability citations are per-query in comments
+  * (paths relative to /root/reference/).
+  */
+object Relational extends QueryModule {
+
+  // ---- relational core: parity with SURVEY.md §2 -------------------------
+
+  /** Bare scan (Scan.java:19-109; testcases/query1.sql `SELECT *`). */
+  private def q01Scan: Q = (s, d) => Tables.region(s, d)
+
+  /** Equality + inequality selection with conjunctive AND
+    * (Select.java:130-220; parser comma-AND, parser.cup:183-194). */
+  private def q02FilterEqNe: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "A" && col("l_linestatus") =!= "F")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  /** Range predicates <, <=, >, >= (Select.java:149-218). */
+  private def q03FilterRange: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 10 && col("l_quantity") <= 40 &&
+        col("l_extendedprice") >= 1000 && col("l_discount") < 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+  /** Column-vs-column selection on the same table
+    * (SQLQuery.java:62-67 classifies these as selections). */
+  private def q04FilterColCol: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") < col("l_tax"))
+      .select("l_orderkey", "l_linenumber", "l_discount", "l_tax")
+
+  /** Pure projection / column subset (Project.java:203-209). Catalyst
+    * prunes the parquet scan to exactly these columns. */
+  private def q05Project: Q = (s, d) =>
+    Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity")
+
+  /** 2-table inner equi-join (NestedJoin/BlockNestedJoin/SortMergeJoin;
+    * testcases/query3.sql shape). */
+  private def q06Join2: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+  /** 3-table join chain (testcases/query4.sql shape). */
+  private def q07Join3: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select("c_custkey", "o_orderkey", "l_linenumber", "l_quantity")
+
+  /** 4-table join chain with filters (testcases/query6/7.sql shape).
+    * region/nation are broadcast: at 100 TB the only shuffle left is
+    * customer⋈orders on custkey. */
+  private def q08Join4: Q = (s, d) =>
+    broadcast(Tables.region(s, d))
+      .join(broadcast(Tables.nation(s, d)),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_totalprice") > 100000 && col("r_name") === "ASIA")
+      .select("r_name", "n_name", "c_custkey", "o_orderkey", "o_totalprice")
+
+  /** Multi-condition (multi-key) equi-join — all conditions ANDed key
+    * equalities (Join.java:12-41, Tuple.checkJoin Tuple.java:49-60). */
+  private def q09JoinMultiKey: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val agg = li.groupBy(col("l_orderkey").as("o_key"), col("l_partkey").as("p_key"))
+      .agg(dsum(col("l_quantity")).as("qty_sum"))
+    li.join(agg,
+        col("l_orderkey") === col("o_key") && col("l_partkey") === col("p_key"))
+      .select("l_orderkey", "l_partkey", "l_linenumber", "qty_sum")
+  }
+
+  /** Join-method choice, broadcast flavor (METHODCHOICE analogue,
+    * RandomOptimizer.java:224-238 — here an explicit physical hint). */
+  private def q10JoinBroadcast: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_custkey", "c_name")
+
+  /** Join-method choice, sort-merge flavor (SortMergeJoin.java:14-249). */
+  private def q11JoinMerge: Q = (s, d) =>
+    Tables.orders(s, d).hint("merge")
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "o_totalprice", "l_linenumber", "l_extendedprice")
+
+  /** Join-method choice, hash flavor (the reference declares HASHJOIN but
+    * never plans it — JoinType.java:14-18; we make it real). */
+  private def q12JoinShuffleHash: Q = (s, d) =>
+    Tables.customer(s, d).hint("shuffle_hash")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .select("c_custkey", "o_orderkey", "o_orderstatus")
+
+  /** ORDER BY descending (Sort.java:14-261, global DESC flag). The
+    * trailing unique key makes the order total so results are
+    * deterministic under any parallelism. */
+  private def q13SortDesc: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** ORDER BY multi-key ascending (one global ASC flag for all keys,
+    * Sort.java:28-41). */
+  private def q14SortMultiKey: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .orderBy(col("l_returnflag").asc, col("l_linestatus").asc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+      .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+
+  /** DISTINCT, single column (Project distinct=true, Project.java:122-296;
+    * testcases/query9.sql). */
+  private def q15Distinct: Q = (s, d) =>
+    Tables.customer(s, d).select("c_nationkey").distinct()
+
+  /** DISTINCT, multi column (dedup on all projected columns). */
+  private def q16DistinctMulti: Q = (s, d) =>
+    Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct()
+
+  /** Reference GROUPBY semantics: distinct on the grouping columns, then
+    * project a subset (RandomInitialPlan.java:172-203; demo/groupby.sql).
+    * NOT SQL GROUP BY — the oracle twin uses a DISTINCT subquery. */
+  private def q17GroupByDistinct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .dropDuplicates("o_orderstatus", "o_orderpriority")
+      .select("o_orderstatus")
+
+  /** Global aggregates MAX/MIN/SUM/COUNT/AVG — declared-but-unimplemented
+    * in the reference (Project.java:66-70); we implement them for real,
+    * honoring the declared output types COUNT→INT, AVG→REAL
+    * (Attribute.java:113-121). */
+  private def q18AggGlobal: Q = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      icount(col("l_orderkey")).as("cnt"),
+      dsum(col("l_quantity")).as("sum_qty"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      ravg(col("l_quantity")).as("avg_qty"))
+
+  /** Grouped aggregation, TPC-H Q1 pricing-summary shape
+    * (testcases/query8.sql `MAX(...) GROUPBY` generalized). */
+  private def q19AggGroup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** MAX + GROUPBY — the literal testcases/query8.sql capability. */
+  private def q20AggMaxGroupBy: Q = (s, d) =>
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(max(col("c_acctbal")).as("max_bal"),
+        icount(col("c_custkey")).as("cnt"),
+        ravg(col("c_acctbal")).as("avg_bal"))
+
+  // ---- beyond-reference standard SQL (SURVEY.md §2.7 gaps made real) -----
+
+  /** Left outer join (absent in reference — §2.4). */
+  private def q21JoinLeftOuter: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+
+  /** Left semi join ≡ WHERE EXISTS. */
+  private def q22JoinSemi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** Left anti join ≡ WHERE NOT EXISTS. */
+  private def q23JoinAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_nationkey")
+
+  /** Set operations (absent in reference — Schema.checkCompat is vestigial,
+    * Schema.java:114-126). */
+  private def q24SetOps: Q = (s, d) => {
+    val custKeys = Tables.customer(s, d)
+      .filter(col("c_nationkey") < 5).select(col("c_custkey").as("k"))
+    val orderCust = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    custKeys.intersect(orderCust)
+  }
+
+  private def q25Except: Q = (s, d) => {
+    val custKeys = Tables.customer(s, d).select(col("c_custkey").as("k"))
+    val orderCust = Tables.orders(s, d).select(col("o_custkey").as("k"))
+    custKeys.except(orderCust)
+  }
+
+  /** Union (distinct) of two filtered key sets. */
+  private def q26Union: Q = (s, d) => {
+    val a = Tables.customer(s, d)
+      .filter(col("c_nationkey") === 1).select(col("c_custkey").as("k"))
+    val b = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000).select(col("c_custkey").as("k"))
+    a.union(b).distinct()
+  }
+
+  /** Scalar functions (string/date/math — absent in reference, §2.7). */
+  private def q27ScalarFuncs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_tag"),
+        year(col("o_orderdate")).as("order_year"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        abs(col("o_totalprice") - 250000.0).as("price_dev"))
+
+  /** Window functions (absent in reference, §2.7): top-3 customers by
+    * account balance per nation, deterministic tie-break on key. */
+  private def q28WindowRank: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("c_nationkey", "rnk", "c_custkey", "c_acctbal")
+  }
+
+  // ---- headline analytics (bench set; TPC-H-ish shapes) ------------------
+
+  /** Q3-style shipping priority: join fact-to-fact, aggregate, total-order
+    * top-10. */
+  private def q30TopRevenue: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** Q5-style local supplier volume: 6-table star join; dims broadcast,
+    * facts shuffle only on their join keys. */
+  private def q31LocalVolume: Q = (s, d) =>
+    broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("rev"))
+
+  /** Q10-style returned-item losses per customer (top-20, total order). */
+  private def q32ReturnedItems: Q = (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("rev"))
+      .orderBy(col("rev").desc, col("c_custkey").asc)
+      .limit(20)
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q01_scan" -> q01Scan,
+    "q02_filter_eq_ne" -> q02FilterEqNe,
+    "q03_filter_range" -> q03FilterRange,
+    "q04_filter_col_col" -> q04FilterColCol,
+    "q05_project" -> q05Project,
+    "q06_join2" -> q06Join2,
+    "q07_join3" -> q07Join3,
+    "q08_join4" -> q08Join4,
+    "q09_join_multikey" -> q09JoinMultiKey,
+    "q10_join_broadcast" -> q10JoinBroadcast,
+    "q11_join_merge" -> q11JoinMerge,
+    "q12_join_shuffle_hash" -> q12JoinShuffleHash,
+    "q13_sort_desc" -> q13SortDesc,
+    "q14_sort_multikey" -> q14SortMultiKey,
+    "q15_distinct" -> q15Distinct,
+    "q16_distinct_multi" -> q16DistinctMulti,
+    "q17_groupby_distinct" -> q17GroupByDistinct,
+    "q18_agg_global" -> q18AggGlobal,
+    "q19_agg_group" -> q19AggGroup,
+    "q20_agg_max_groupby" -> q20AggMaxGroupBy,
+    "q21_join_left_outer" -> q21JoinLeftOuter,
+    "q22_join_semi" -> q22JoinSemi,
+    "q23_join_anti" -> q23JoinAnti,
+    "q24_intersect" -> q24SetOps,
+    "q25_except" -> q25Except,
+    "q26_union" -> q26Union,
+    "q27_scalar_funcs" -> q27ScalarFuncs,
+    "q28_window_rank" -> q28WindowRank,
+    "q30_top_revenue" -> q30TopRevenue,
+    "q31_local_volume" -> q31LocalVolume,
+    "q32_returned_items" -> q32ReturnedItems,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan" -> "SELECT r_regionkey, r_name FROM region",
+    "q02_filter_eq_ne" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+        |FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus <> 'F'""".stripMargin,
+    "q03_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 10 AND l_quantity <= 40
+        |  AND l_extendedprice >= 1000 AND l_discount < 0.05""".stripMargin,
+    "q04_filter_col_col" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax
+        |FROM lineitem WHERE l_discount < l_tax""".stripMargin,
+    "q05_project" -> "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+    "q06_join2" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q07_join3" ->
+      """SELECT c_custkey, o_orderkey, l_linenumber, l_quantity
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+    "q08_join4" ->
+      """SELECT r_name, n_name, c_custkey, o_orderkey, o_totalprice
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |WHERE o_totalprice > 100000 AND r_name = 'ASIA'""".stripMargin,
+    "q09_join_multikey" ->
+      s"""SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, d.qty_sum
+         |FROM lineitem l
+         |JOIN (SELECT l_orderkey AS o_key, l_partkey AS p_key,
+         |             ${sqlDsum("l_quantity")} AS qty_sum
+         |      FROM lineitem GROUP BY 1, 2) d
+         |  ON l.l_orderkey = d.o_key AND l.l_partkey = d.p_key""".stripMargin,
+    "q10_join_broadcast" ->
+      """SELECT n_name, c_custkey, c_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "q11_join_merge" ->
+      """SELECT o_orderkey, o_totalprice, l_linenumber, l_extendedprice
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+    "q12_join_shuffle_hash" ->
+      """SELECT c_custkey, o_orderkey, o_orderstatus
+        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q13_sort_desc" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey DESC""".stripMargin,
+    "q14_sort_multikey" ->
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin,
+    "q15_distinct" -> "SELECT DISTINCT c_nationkey FROM customer",
+    "q16_distinct_multi" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q17_groupby_distinct" ->
+      """SELECT o_orderstatus FROM
+        |(SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) t""".stripMargin,
+    "q18_agg_global" ->
+      s"""SELECT CAST(COUNT(l_orderkey) AS INT) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  MIN(l_quantity) AS min_qty,
+         |  MAX(l_quantity) AS max_qty,
+         |  ${sqlRavg("l_quantity")} AS avg_qty
+         |FROM lineitem""".stripMargin,
+    "q19_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q20_agg_max_groupby" ->
+      s"""SELECT c_nationkey, MAX(c_acctbal) AS max_bal,
+         |  CAST(COUNT(c_custkey) AS INT) AS cnt,
+         |  ${sqlRavg("c_acctbal")} AS avg_bal
+         |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q21_join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+    "q22_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q23_join_anti" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q24_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_nationkey < 5
+        |INTERSECT
+        |SELECT o_custkey AS k FROM orders""".stripMargin,
+    "q25_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders""".stripMargin,
+    "q26_union" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_nationkey = 1
+        |UNION
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000""".stripMargin,
+    "q27_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  UPPER(o_orderpriority) AS prio_upper,
+        |  SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+        |  CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+        |  o_orderstatus || '-' || o_orderpriority AS status_tag,
+        |  CAST(YEAR(o_orderdate) AS INT) AS order_year,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(CEIL(o_totalprice) AS BIGINT) AS price_ceil,
+        |  ABS(o_totalprice - 250000.0) AS price_dev
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+    "q28_window_rank" ->
+      """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3""".stripMargin,
+    "q30_top_revenue" ->
+      s"""SELECT l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+         |  CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS rev
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey, order_date
+         |ORDER BY rev DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q31_local_volume" ->
+      s"""SELECT n_name,
+         |  CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS rev
+         |FROM region
+         |JOIN nation ON r_regionkey = n_regionkey
+         |JOIN customer ON n_nationkey = c_nationkey
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+    "q32_returned_items" ->
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS rev
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name
+         |ORDER BY rev DESC, c_custkey ASC LIMIT 20""".stripMargin,
+  )
+}

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Reads the parquet dumps written by `graft.Verify` plus `oracle_sql.json`,
+runs each oracle SQL in DuckDB over the same scale-factor parquet tables,
+and compares: schema (column names + dtypes), row count, and an
+order-insensitive exact value comparison.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize for comparison: tuples of repr-stable values
+    return df
+
+
+def rows_key(df: pd.DataFrame):
+    out = []
+    for row in df.itertuples(index=False):
+        key = []
+        for v in row:
+            if isinstance(v, float):
+                key.append(("f", repr(v)))  # exact bit pattern via repr
+            elif v is None or (isinstance(v, float) and math.isnan(v)):
+                key.append(("null",))
+            else:
+                key.append((type(v).__name__, str(v)))
+        out.append(tuple(key))
+    return sorted(out)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_path = f"{out_dir}/{name}"
+        if not Path(spark_path).exists():
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = pd.read_parquet(spark_path)
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        got, want = canon(got), canon(want)
+        problems = []
+        if list(got.columns) != list(want.columns):
+            problems.append(f"cols spark={list(got.columns)} duck={list(want.columns)}")
+        if len(got) != len(want):
+            problems.append(f"rows spark={len(got)} duck={len(want)}")
+        if not problems:
+            gd = {c: str(got[c].dtype) for c in got.columns}
+            wd = {c: str(want[c].dtype) for c in want.columns}
+            if gd != wd:
+                problems.append(f"dtypes spark={gd} duck={wd}")
+        if not problems and rows_key(got) != rows_key(want):
+            gk, wk = rows_key(got), rows_key(want)
+            diff = [i for i, (a, b) in enumerate(zip(gk, wk)) if a != b][:3]
+            problems.append(f"values differ at sorted idx {diff}; "
+                            f"ex spark={gk[diff[0]] if diff else '?'} "
+                            f"duck={wk[diff[0]] if diff else '?'}")
+        if problems:
+            print(f"FAIL {name}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

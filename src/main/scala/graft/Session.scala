@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's SparkSession recipe so Verify, Bench and the
+  * tests run identical configs.
+  *
+  * - shuffle.partitions defaults to the local core count (32) instead of
+  *   200 — at cluster scale this is the knob sized to data volume, and AQE
+  *   coalescing handles the small-partition end;
+  * - AQE on: runtime re-planning (join strategy demotion/promotion, skew
+  *   splitting, partition coalescing) is the scale story for every query
+  *   in this repo;
+  * - nanosAsLong: the `events` table carries TIMESTAMP(NANOS) parquet,
+  *   which Spark's vectorized reader refuses; reading it as a raw long and
+  *   converting explicitly (Tables.events) keeps exact microsecond agreement
+  *   with engines that truncate ns→µs natively.
+  */
+object Session {
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

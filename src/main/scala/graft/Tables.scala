@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table catalog over a scale-factor directory.
   *
@@ -25,7 +26,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * with `spark.sql.legacy.parquet.nanosAsLong` (set in graft.Session) it
+    * arrives as a nanos-since-epoch long, converted here to a microsecond
+    * TimestampType by floor division — the same ns→µs truncation DuckDB
+    * applies natively, so both engines see identical instants. */
+  def events(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 

@@ -1,0 +1,425 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Exact._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Large-scale training-data-pipeline operators over the `documents`,
+  * `embeddings` and `events` tables: deduplication (exact, MinHash+LSH,
+  * SimHash), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (tokens / quality / language-ID / fingerprints), multimodal
+  * binary-column plumbing, and JSON/struct event analytics.
+  *
+  * Scale design rules applied throughout (the 100 TB contract):
+  *  - every candidate-pair generator is BUCKETED — pairs are only formed
+  *    inside an LSH band bucket or sign bucket, never via an all-pairs
+  *    cross join;
+  *  - no `collect()`, no driver-side state, no UDFs — everything is
+  *    Catalyst expressions (codegen'd) over exploded rows, so each stage
+  *    is a map or a keyed shuffle that partitions by doc/vec id;
+  *  - hashes are engine-portable (`graft.functions.Portable.h60`) so every
+  *    probabilistic operator still has an EXACT DuckDB oracle twin: same
+  *    hash → same buckets → same candidates → same output, bit for bit.
+  */
+object Pipeline extends QueryModule {
+
+  // MinHash configuration: 8 hashes in 4 bands of 2 rows. P(candidate) =
+  // 1-(1-j^2)^4 — ≈1 for the planted near-dups (j≥0.9), ≈0.4% for the
+  // j≈0.03 background, which the exact-Jaccard verify then discards.
+  private val NumHashes = 8
+  private val BandRows = 2
+  private val NumBands = NumHashes / BandRows
+  private val ShingleW = 3
+  private val JaccardThreshold = 0.5
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
+    "on", "for", "with")
+
+  // ---- deduplication -----------------------------------------------------
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id.
+    * One keyed shuffle on a 256-bit digest; map-side combine applies.
+    * Reference has only sort-based whole-row dedup
+    * (/root/reference/src/qp/operators/Project.java:122-296) — content-hash
+    * dedup is the scale-path generalization. */
+  private def p01ExactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Near-dedup via banded MinHash LSH, verified with exact n-gram
+    * Jaccard. Stages: shingle explode (map) → per-doc signature (1 keyed
+    * shuffle, min-combine) → band explode (map) → candidate self-join
+    * keyed on (band, bandKey) — ONLY docs sharing a band bucket are ever
+    * paired — → exact Jaccard on candidates via a shingle equi-join.
+    * Every hash is portable (md5-based), so the DuckDB oracle reproduces
+    * the identical candidate set and the identical output. */
+  private def p02MinhashNearDup: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), ShingleW)).as("shingle"))
+    val sig = sh.groupBy("doc_id").agg(
+      array((0 until NumHashes)
+        .map(i => min(h60Seeded(lit(i), col("shingle")))): _*).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => concat_ws(",", transform(
+            slice(col("sig"), b * BandRows + 1, lit(BandRows)),
+            x => x.cast(StringType))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("ninter").cast(DoubleType) /
+          (col("na") + col("nb") - col("ninter"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** SimHash document fingerprint (32-bit): per token-hash bit position,
+    * sum the ±1 votes of all distinct tokens, take the sign. Two map-side
+    * explodes (tokens × 32 bit positions) then two keyed reductions on
+    * doc_id — linear in corpus size, no pairwise work at all. */
+  private def p03SimhashFingerprint: Q = (s, d) => {
+    val votes = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("hv"))
+      .select(col("doc_id"), col("hv"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("2 * (shiftright(hv, j) & 1) - 1")).as("s"))
+    votes.groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), j)" +
+        " ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+  }
+
+  // ---- similarity search -------------------------------------------------
+
+  /** Brute-force cosine top-k: the correctness baseline for ANN. The probe
+    * set (5 vectors) is broadcast against one scan of the corpus — a
+    * broadcast nested loop that is linear in corpus size; per-probe top-k
+    * happens in the window after a shuffle keyed on probe_id. Similarity
+    * is rounded to 6 decimals BEFORE ranking so engine summation-order
+    * noise (≈1e-15) can never flip an ordering. */
+  private def p04AnnCosineTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm")).filter(col("probe_id") < 5)
+    val sims = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+  /** LSH-bucketed ANN (the scale path): bucket every vector by the sign
+    * pattern of its first 8 dimensions (bit-sampling LSH for cosine —
+    * axis-aligned random-hyperplane hashing), then search ONLY within the
+    * probe's bucket. Candidate generation is an equi-join on the bucket
+    * key: work per probe is |corpus|/2^8 instead of |corpus|. Deterministic
+    * bucketing keeps the DuckDB oracle exact. */
+  private def p05AnnLshBucketed: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", concat_ws("",
+        (1 to 8).map(i =>
+          when(element_at(col("v"), i) >= 0, lit("1")).otherwise(lit("0"))): _*))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
+    val sims = e.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+  // ---- text analysis -----------------------------------------------------
+
+  /** Per-document text metrics: token counts, type/token ratio, mean token
+    * length, stopword ratio, a linear quality score, a stopword-based
+    * language-ID heuristic, and an md5 content fingerprint. Pure map —
+    * no shuffle at any scale. All ratios are single divisions of exact
+    * integers, so they are bit-identical across engines. */
+  private def p06TextStats: Q = (s, d) => {
+    val t = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(t).cast(LongType).as("n_tokens"),
+      size(array_distinct(t)).cast(LongType).as("n_uniq"),
+      (size(array_distinct(t)) / size(t)).as("uniq_ratio"),
+      (aggregate(t, lit(0), (a, x) => a + length(x)) / size(t)).as("avg_tok_len"),
+      (size(filter(t, x => x.isin(Stopwords: _*))) / size(t)).as("stop_ratio"),
+      md5(col("text")).as("fingerprint"))
+      .withColumn("quality",
+        round((col("stop_ratio") + col("uniq_ratio")) / 2, 6))
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("unk")))
+  }
+
+  /** Corpus profile per (lang, source): doc counts, mean chars, total
+    * tokens. One keyed shuffle with map-side combine; means are exact
+    * integer sums divided once. */
+  private def p07LangProfile: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
+        sum(size(tokens(col("text")))).cast(LongType).as("total_tokens"))
+
+  // ---- multimodal columns ------------------------------------------------
+
+  /** Multimodal binary-column plumbing with a deterministic fake "decode":
+    * payload = utf-8 bytes of the text stand in for an opaque media blob
+    * (the real image/audio decoder is environment-dependent; the Spark
+    * plumbing — binary column, byte slicing, digesting, fixed-size frame
+    * math — is the part that must be real and scale). Pure map. */
+  private def p08MultimodalStub: Q = (s, d) => {
+    val payload = encode(col("text"), "UTF-8")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(payload).cast(LongType).as("byte_len"),
+      lower(hex(substring(payload, 1, 4))).as("magic"),
+      md5(payload).as("digest"),
+      ceil(length(payload) / lit(16.0)).as("n_frames"))
+  }
+
+  // ---- event analytics (JSON props, time windows, sessions) --------------
+
+  /** Typed extraction from a JSON props column + per-type aggregates.
+    * `get_json_object` is a codegen'd expression; the aggregate is one
+    * keyed shuffle on a low-cardinality key with map-side combine. */
+  private def p09EventsProps: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Tumbling 1-hour event-time windows (batch analogue of the streaming
+    * windowed aggregation): truncate-then-group is one keyed shuffle and
+    * AQE-coalescible; the hour is emitted as a string so both engines
+    * agree on type and format. */
+  private def p10EventsHourly: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  /** Sessionization: per user, a new session starts after a >10-minute
+    * gap. lag + running sum over a (user_id, ts) window — one shuffle
+    * keyed on user_id, each partition processed independently, which is
+    * exactly how it scales to 10^9 users. Timestamps are compared and
+    * emitted in exact epoch microseconds. */
+  private def p11EventsSessions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 600000000L, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sess")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+  }
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "p01_exact_dedup" -> p01ExactDedup,
+    "p02_minhash_neardup" -> p02MinhashNearDup,
+    "p03_simhash_fingerprint" -> p03SimhashFingerprint,
+    "p04_ann_cosine_topk" -> p04AnnCosineTopk,
+    "p05_ann_lsh_bucketed" -> p05AnnLshBucketed,
+    "p06_text_stats" -> p06TextStats,
+    "p07_lang_profile" -> p07LangProfile,
+    "p08_multimodal_stub" -> p08MultimodalStub,
+    "p09_events_props" -> p09EventsProps,
+    "p10_events_hourly" -> p10EventsHourly,
+    "p11_events_sessions" -> p11EventsSessions,
+  )
+
+  // DuckDB twins. Shared SQL fragments:
+  private val sqlToks = "string_split(text, ' ')"
+  private def sqlSh: String =
+    s"""SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
+       |FROM (SELECT doc_id, $sqlToks AS t FROM documents)""".stripMargin
+  private val sqlSigList = (0 until NumHashes)
+    .map(i => s"min(${sqlH60Seeded(i.toString, "shingle")})").mkString(", ")
+  private val sqlStops =
+    Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+    "p02_minhash_neardup" ->
+      s"""WITH sh AS ($sqlSh),
+         |sig AS (SELECT doc_id, [$sqlSigList] AS sig FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, b AS band, array_to_string(list_transform(
+         |    sig[b*$BandRows+1 : b*$BandRows+$BandRows],
+         |    x -> CAST(x AS VARCHAR)), ',') AS bkey
+         |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b) bs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.doc_a
+         |JOIN sizes nb ON nb.doc_id = i.doc_b
+         |WHERE CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter)
+         |  >= $JaccardThreshold""".stripMargin,
+    "p03_simhash_fingerprint" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${sqlH60("tok")} AS hv FROM (
+         |    SELECT doc_id, unnest(list_distinct($sqlToks)) AS tok
+         |    FROM documents)),
+         |votes AS (
+         |  SELECT doc_id, j, CAST(SUM(2 * ((hv >> j) & 1) - 1) AS BIGINT) AS s
+         |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id, CAST(SUM(CASE WHEN s >= 0
+         |  THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id""".stripMargin,
+    "p04_ann_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+        |  FROM n WHERE vec_id < 5),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM n, p WHERE vec_id <> probe_id),
+        |r AS (SELECT probe_id, vec_id, sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
+        |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 10""".stripMargin,
+    "p05_ann_lsh_bucketed" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |  array_to_string(list_transform(generate_series(1, 8),
+        |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket
+        |  FROM n WHERE vec_id < 20),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM n JOIN p USING (bucket) WHERE vec_id <> probe_id),
+        |r AS (SELECT probe_id, vec_id, sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
+        |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "p06_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
+         |  len(list_distinct(t)) / len(t) AS uniq_ratio,
+         |  CAST(list_sum(list_transform(t, x -> strlen(x))) AS BIGINT) / len(t)
+         |    AS avg_tok_len,
+         |  len(list_filter(t, x -> list_contains($sqlStops, x))) / len(t)
+         |    AS stop_ratio,
+         |  round((len(list_filter(t, x -> list_contains($sqlStops, x))) / len(t)
+         |    + len(list_distinct(t)) / len(t)) / 2, 6) AS quality,
+         |  CASE WHEN len(list_filter(t, x -> list_contains($sqlStops, x)))
+         |    / len(t) >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
+         |  md5(text) AS fingerprint
+         |FROM (SELECT doc_id, text, $sqlToks AS t FROM documents)""".stripMargin,
+    "p07_lang_profile" ->
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) / COUNT(*) AS avg_chars,
+         |  CAST(SUM(len($sqlToks)) AS BIGINT) AS total_tokens
+         |FROM documents GROUP BY lang, source""".stripMargin,
+    "p08_multimodal_stub" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS magic,
+        |  md5(text) AS digest,
+        |  CAST(CEIL(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "p09_events_props" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+         |  ${sqlDsum("value")} AS sum_value,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM events GROUP BY event_type""".stripMargin,
+    "p10_events_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "p11_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    LAG(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 600000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM g),
+        |s AS (
+        |  SELECT user_id, ts_us, CAST(SUM(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS sess
+        |  FROM f)
+        |SELECT user_id, sess, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+  )
+}

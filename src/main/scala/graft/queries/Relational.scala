@@ -16,9 +16,9 @@ import graft.Tables
   *  - every query is a pure LogicalPlan: Catalyst pushes filters/pruning
   *    into the parquet scan, picks join strategies, and AQE re-plans at
   *    runtime — nothing is collected to the driver;
-  *  - small dimension tables (region 5 rows, nation 25 rows, supplier
-  *    100·sf rows) are explicitly `broadcast()` so fact-table joins never
-  *    shuffle the big side;
+  *  - constant-size dimension tables (region 5 rows, nation 25 rows) are
+  *    explicitly `broadcast()`; anything that grows with sf is left to AQE
+  *    so the plan degrades to a shuffle join instead of OOMing at scale;
   *  - aggregates use decimal partial aggregation (graft.Exact) which is
   *    shuffle-order-insensitive → map-side combine is safe and exact.
   *
@@ -85,13 +85,15 @@ object Relational extends QueryModule {
       .select("r_name", "n_name", "c_custkey", "o_orderkey", "o_totalprice")
 
   /** Multi-condition (multi-key) equi-join — all conditions ANDed key
-    * equalities (Join.java:12-41, Tuple.checkJoin Tuple.java:49-60). */
+    * equalities (Join.java:12-41, Tuple.checkJoin Tuple.java:49-60).
+    * Expressed as a window aggregate over the composite key: semantically
+    * the self-join `lineitem ⋈ (lineitem GROUP BY key)`, but one scan and
+    * one shuffle instead of two of each — the plan that survives 100 TB. */
   private def q09JoinMultiKey: Q = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    val agg = li.groupBy(col("l_orderkey").as("o_key"), col("l_partkey").as("p_key"))
-      .agg(dsum(col("l_quantity")).as("qty_sum"))
-    li.join(agg,
-        col("l_orderkey") === col("o_key") && col("l_partkey") === col("p_key"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
+    Tables.lineitem(s, d)
+      .withColumn("qty_sum", sum(dec(col("l_quantity"))).over(w).cast(DoubleType))
       .select("l_orderkey", "l_partkey", "l_linenumber", "qty_sum")
   }
 
@@ -274,8 +276,11 @@ object Relational extends QueryModule {
       .orderBy(col("rev").desc, col("l_orderkey").asc)
       .limit(10)
 
-  /** Q5-style local supplier volume: 6-table star join; dims broadcast,
-    * facts shuffle only on their join keys. */
+  /** Q5-style local supplier volume: 6-table star join. Only the
+    * constant-size dims (region 5 rows, nation 25 rows) are hard-broadcast;
+    * supplier grows linearly with sf, so its join is left un-hinted — AQE
+    * broadcasts it while it fits and falls back to a shuffle join at scale
+    * instead of OOMing the executors. */
   private def q31LocalVolume: Q = (s, d) =>
     broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
       .join(broadcast(Tables.nation(s, d)),
@@ -283,7 +288,7 @@ object Relational extends QueryModule {
       .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.supplier(s, d)),
+      .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
@@ -366,12 +371,10 @@ object Relational extends QueryModule {
         |JOIN orders ON c_custkey = o_custkey
         |WHERE o_totalprice > 100000 AND r_name = 'ASIA'""".stripMargin,
     "q09_join_multikey" ->
-      s"""SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, d.qty_sum
-         |FROM lineitem l
-         |JOIN (SELECT l_orderkey AS o_key, l_partkey AS p_key,
-         |             ${sqlDsum("l_quantity")} AS qty_sum
-         |      FROM lineitem GROUP BY 1, 2) d
-         |  ON l.l_orderkey = d.o_key AND l.l_partkey = d.p_key""".stripMargin,
+      s"""SELECT l_orderkey, l_partkey, l_linenumber,
+         |  CAST(SUM(${sqlDec("l_quantity")}) OVER
+         |    (PARTITION BY l_orderkey, l_partkey) AS DOUBLE) AS qty_sum
+         |FROM lineitem""".stripMargin,
     "q10_join_broadcast" ->
       """SELECT n_name, c_custkey, c_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,

@@ -15,6 +15,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational,
     Pipeline,
+    Dialect,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

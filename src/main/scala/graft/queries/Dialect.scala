@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Exact._
+import graft.sql.MiniSqlPlanner
+
+/** The reference's ten SQL test cases (/root/reference/testcases/
+  * query1.sql–query10.sql plus the demo queries) re-targeted at the TPC-H
+  * schema and
+  * executed through the mini-SQL front end (graft.sql.MiniSql →
+  * MiniSqlPlanner → DataFrame). Each entry's `queries` function parses the
+  * dialect text at call time — these rows prove the parser+planner path
+  * end-to-end against the DuckDB oracle.
+  */
+object Dialect extends QueryModule {
+
+  /** name → (reference-dialect SQL, ANSI oracle twin). */
+  val cases: Map[String, (String, String)] = Map(
+    // query1.sql shape: SELECT * with a coerced literal filter
+    "s01_sql_scan_filter" -> (
+      """SELECT * FROM nation WHERE nation.n_regionkey = "2"""",
+      "SELECT * FROM nation WHERE n_regionkey = 2"),
+    // query2.sql shape: projection + conjunctive filters
+    "s02_sql_project_filter" -> (
+      """SELECT customer.c_custkey, customer.c_name FROM customer
+        |WHERE customer.c_nationkey = "5", customer.c_acctbal > "1000"""".stripMargin,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey = 5 AND c_acctbal > 1000""".stripMargin),
+    // same-table column-vs-column selection (SQLQuery.java:62-67)
+    "s03_sql_col_col" -> (
+      """SELECT lineitem.l_orderkey, lineitem.l_discount, lineitem.l_tax
+        |FROM lineitem WHERE lineitem.l_discount < lineitem.l_tax""".stripMargin,
+      """SELECT l_orderkey, l_discount, l_tax FROM lineitem
+        |WHERE l_discount < l_tax""".stripMargin),
+    // query3.sql shape: 2-table equi-join
+    "s04_sql_join2" -> (
+      """SELECT customer.c_name, orders.o_orderkey FROM customer, orders
+        |WHERE customer.c_custkey = orders.o_custkey""".stripMargin,
+      """SELECT c_name, o_orderkey FROM customer
+        |JOIN orders ON c_custkey = o_custkey""".stripMargin),
+    // query4/6.sql shape: 3-table chain + range filter
+    "s05_sql_join3_filter" -> (
+      """SELECT customer.c_custkey, orders.o_orderkey, lineitem.l_linenumber
+        |FROM customer, orders, lineitem
+        |WHERE customer.c_custkey = orders.o_custkey,
+        |  orders.o_orderkey = lineitem.l_orderkey,
+        |  orders.o_totalprice > "100000"""".stripMargin,
+      """SELECT c_custkey, o_orderkey, l_linenumber FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_totalprice > 100000""".stripMargin),
+    // query9.sql shape: DISTINCT projection
+    "s06_sql_distinct" -> (
+      "SELECT DISTINCT orders.o_orderstatus, orders.o_orderpriority FROM orders",
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"),
+    // query10.sql shape: join + filter + ORDERBY ... DESC
+    "s07_sql_orderby" -> (
+      """SELECT nation.n_name, customer.c_custkey, customer.c_acctbal
+        |FROM nation, customer
+        |WHERE nation.n_nationkey = customer.c_nationkey,
+        |  customer.c_acctbal > "9000"
+        |ORDERBY customer.c_acctbal, customer.c_custkey DESC""".stripMargin,
+      """SELECT n_name, c_custkey, c_acctbal FROM nation
+        |JOIN customer ON n_nationkey = c_nationkey
+        |WHERE c_acctbal > 9000
+        |ORDER BY c_acctbal DESC, c_custkey DESC""".stripMargin),
+    // query8.sql shape: aggregates + GROUPBY (the capability the reference
+    // declares but aborts on — Project.java:66-70)
+    "s08_sql_agg_groupby" -> (
+      """SELECT customer.c_nationkey, MAX(customer.c_acctbal),
+        |  COUNT(customer.c_custkey), AVG(customer.c_acctbal)
+        |FROM customer GROUPBY customer.c_nationkey""".stripMargin,
+      s"""SELECT c_nationkey, MAX(c_acctbal) AS max_c_acctbal,
+         |  CAST(COUNT(c_custkey) AS INT) AS count_c_custkey,
+         |  ${sqlRavg("c_acctbal")} AS avg_c_acctbal
+         |FROM customer GROUP BY c_nationkey""".stripMargin),
+    // demo/groupby.sql shape: GROUPBY without aggregates = duplicate
+    // elimination on the group cols (RandomInitialPlan.java:172-203)
+    "s09_sql_groupby_distinct" -> (
+      """SELECT orders.o_orderstatus FROM orders
+        |GROUPBY orders.o_orderstatus, orders.o_orderpriority""".stripMargin,
+      """SELECT o_orderstatus FROM
+        |(SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) t""".stripMargin),
+  )
+
+  val queries: Map[String, Q] =
+    cases.map { case (name, (dialectSql, _)) =>
+      name -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        MiniSqlPlanner.run(s, d, dialectSql))
+    }
+
+  val oracleSql: Map[String, String] =
+    cases.map { case (name, (_, oracle)) => name -> oracle }
+}

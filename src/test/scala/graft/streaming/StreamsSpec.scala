@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.Streams._
+
+/** Streaming semantics driven through MemoryStream: watermark-finalized
+  * windows, session splits, and custom keyed state. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val T0 = Timestamp.valueOf("2024-01-01 10:00:00")
+  private def at(minutes: Int): Timestamp =
+    new Timestamp(T0.getTime + minutes * 60000L)
+
+  private def ev(id: Long, m: Int, user: Long, typ: String, v: Double) =
+    Event(id, at(m), user, typ, v, """{"k": 1}""")
+
+  test("hourlyCounts finalizes a window once the watermark passes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = hourlyCounts(in.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 1.5), ev(2, 30, 7, "view", 2.0),
+        ev(3, 10, 8, "click", 0.5))
+      q.processAllAvailable()
+      // push the watermark (2h) beyond the 10:00-11:00 window end
+      in.addData(ev(4, 250, 9, "view", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("event_type", "n", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set(("click", 2L, 2.0), ("view", 1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts splits on the >10-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 7: events at 0 and 5 min (one session), then 30 min (new one)
+      in.addData(ev(1, 0, 7, "click", 1.0), ev(2, 5, 7, "view", 2.0),
+        ev(3, 30, 7, "click", 4.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 120, 9, "view", 0.0)) // advance watermark past both
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter($"user_id" === 7)
+        .select("n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals accumulates keyed state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 1.25), ev(2, 1, 7, "view", 2.50))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, 7, "click", 0.25))
+      q.processAllAvailable()
+      val latest = spark.table("totals")
+        .filter($"user_id" === 7)
+        .orderBy($"n_events".desc).head
+      assert(latest.getAs[Long]("n_events") == 3L)
+      assert(latest.getAs[Double]("sum_value") == 4.0)
+    } finally q.stop()
+  }
+}

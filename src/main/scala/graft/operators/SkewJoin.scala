@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed equi-joins — the manual fallback for the cases
+  * AQE's skew-join splitting can't reach (e.g. a skewed aggregation
+  * feeding a join, or a build side that must stay a shuffle join).
+  *
+  * A hot key that would land an entire 10-GB partition on one reducer is
+  * split across `numSalts` reducers: the probe side gets a deterministic
+  * salt derived from its row content, the build side is replicated once
+  * per salt value, and the join key becomes (key, salt). Replication
+  * multiplies the build side by `numSalts`, so this is for
+  * moderate-cardinality build sides; results are identical to the
+  * unsalted join because every probe row still meets every matching build
+  * row exactly once.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `probe` (large, skewed) with `build` on
+    * `probeKey == buildKey`, spreading each probe key over `numSalts`
+    * partitions. */
+  def saltedInner(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      numSalts: Int): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    // Deterministic per-row salt: hash of the whole row spreads even a
+    // single hot key uniformly (duplicate rows co-locate, which only
+    // costs balance, never correctness).
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(hash(probe.columns.map(col): _*), lit(numSalts)))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    saltedProbe
+      .join(replicatedBuild,
+        col(probeKey) === col(buildKey) &&
+          saltedProbe("__salt") === replicatedBuild("__salt"))
+      .drop("__salt")
+  }
+}

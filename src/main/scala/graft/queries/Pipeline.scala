@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -108,14 +109,19 @@ object Pipeline extends QueryModule {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  /** SimHash document fingerprint (32-bit): per token-hash bit position,
-    * sum the ±1 votes of all distinct tokens, take the sign. Two map-side
-    * explodes (tokens × 32 bit positions) then two keyed reductions on
-    * doc_id — linear in corpus size, no pairwise work at all. */
-  private def p03SimhashFingerprint: Q = (s, d) => {
+  /** SimHash document fingerprint (32-bit): per feature-hash bit
+    * position, sum the ±1 votes of all features, take the sign. Features
+    * are w-word shingles, not bare tokens — on a narrow vocabulary every
+    * doc contains nearly every token, so token-level fingerprints
+    * collapse (measured: 654 of 125k doc pairs at hamming 0), while
+    * shingle-level cleanly separates the planted near-dups (hamming ≤5)
+    * from background (≥6). Two map-side explodes (features × 32 bit
+    * positions) then two keyed reductions on doc_id — linear in corpus
+    * size, no pairwise work at all. */
+  private def simhashFp(s: SparkSession, d: String): DataFrame = {
     val votes = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("tok"))
+        explode(shingles(tokens(col("text")), ShingleW)).as("tok"))
       .select(col("doc_id"), h60(col("tok")).as("hv"))
       .select(col("doc_id"), col("hv"),
         explode(sequence(lit(0), lit(31))).as("j"))
@@ -124,6 +130,31 @@ object Pipeline extends QueryModule {
     votes.groupBy("doc_id")
       .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), j)" +
         " ELSE CAST(0 AS BIGINT) END")).as("simhash"))
+  }
+
+  private def p03SimhashFingerprint: Q = (s, d) => simhashFp(s, d)
+
+  /** SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes;
+    * only docs sharing a band byte are candidates (pigeonhole: any pair
+    * within hamming distance 3 shares at least one exact band), then keep
+    * pairs within hamming distance 5. Same bucketed-not-all-pairs shape
+    * as the MinHash path, over a 4x smaller sketch. */
+  private def p12SimhashPairs: Q = (s, d) => {
+    val fp = simhashFp(s, d).localCheckpoint(false)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("shiftright(simhash, band * 8) & 255"))
+    bands.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .join(bands.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(IntegerType))
+      .filter(col("hamming") <= 5)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   // ---- similarity search -------------------------------------------------
@@ -176,6 +207,30 @@ object Pipeline extends QueryModule {
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors are bucketed
+    * by the sign pattern of their first 4 dimensions (16 buckets) and only
+    * same-bucket pairs are compared — |corpus|²/16 instead of all pairs,
+    * and narrower buckets (more sign bits) shrink the work further at
+    * larger scale. */
+  private def p13CosineNearDup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("bucket", concat_ws("",
+        (1 to 4).map(i =>
+          when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*))
+    e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(e.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(dot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6))
+      .filter(col("sim") >= 0.40)
+      .select("vec_a", "vec_b", "sim")
   }
 
   // ---- text analysis -----------------------------------------------------
@@ -292,6 +347,8 @@ object Pipeline extends QueryModule {
     "p09_events_props" -> p09EventsProps,
     "p10_events_hourly" -> p10EventsHourly,
     "p11_events_sessions" -> p11EventsSessions,
+    "p12_simhash_pairs" -> p12SimhashPairs,
+    "p13_cosine_neardup" -> p13CosineNearDup,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -337,8 +394,8 @@ object Pipeline extends QueryModule {
     "p03_simhash_fingerprint" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ${sqlH60("tok")} AS hv FROM (
-         |    SELECT doc_id, unnest(list_distinct($sqlToks)) AS tok
-         |    FROM documents)),
+         |    SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS tok
+         |    FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
          |votes AS (
          |  SELECT doc_id, j, CAST(SUM(2 * ((hv >> j) & 1) - 1) AS BIGINT) AS s
          |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js
@@ -420,6 +477,44 @@ object Pipeline extends QueryModule {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
          |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2""".stripMargin,
+    "p12_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${sqlH60("tok")} AS hv FROM (
+         |    SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS tok
+         |    FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+         |votes AS (
+         |  SELECT doc_id, j, CAST(SUM(2 * ((hv >> j) & 1) - 1) AS BIGINT) AS s
+         |  FROM tok, (SELECT unnest(generate_series(0, 31)) AS j) js
+         |  GROUP BY doc_id, j),
+         |fp AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN s >= 0
+         |    THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 5""".stripMargin,
+    "p13_cosine_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |  array_to_string(list_transform(generate_series(1, 4),
+        |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum(list_transform(generate_series(1, len(a.v)),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS sim
+        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.40""".stripMargin,
     "p11_events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -161,10 +161,13 @@ object Pipeline extends QueryModule {
 
   /** Brute-force cosine top-k: the correctness baseline for ANN. The probe
     * set (5 vectors) is broadcast against one scan of the corpus — a
-    * broadcast nested loop that is linear in corpus size; per-probe top-k
-    * happens in the window after a shuffle keyed on probe_id. Similarity
-    * is rounded to 6 decimals BEFORE ranking so engine summation-order
-    * noise (≈1e-15) can never flip an ordering. */
+    * broadcast nested loop that is linear in corpus size. Top-k is
+    * two-phase: a salted local top-k bounds any reducer's input to k×salts
+    * rows per probe (a single per-probe window would funnel the whole
+    * corpus through one reducer per probe), then the global top-k ranks
+    * the survivors — provably the same rows, so the oracle is single-phase
+    * SQL. Similarity is rounded to 6 decimals BEFORE ranking so engine
+    * summation-order noise (≈1e-15) can never flip an ordering. */
   private def p04AnnCosineTopk: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -175,9 +178,13 @@ object Pipeline extends QueryModule {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
-    val w = Window.partitionBy("probe_id")
+    val local = Window.partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
       .orderBy(col("sim").desc, col("vec_id").asc)
-    sims.withColumn("rnk", row_number().over(w))
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= 10)
+      .withColumn("rnk", row_number().over(global))
       .filter(col("rnk") <= 10)
       .select("probe_id", "vec_id", "rnk", "sim")
   }

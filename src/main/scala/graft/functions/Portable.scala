@@ -25,11 +25,37 @@ object Portable {
   def h60Seeded(seed: Column, c: Column): Column =
     h60(concat(seed.cast(StringType), lit(":"), c))
 
+  /** MinHash family from ONE md5 per key: x_i = (h1 + i·h2) mod p, then
+    * h_i = (x_i² + x_i + i) mod p with p = 2^31−1. h1/h2 are the first 60
+    * and next 40 bits of the digest. The quadratic term matters: a plain
+    * Kirsch–Mitzenmacher combination h1 + i·h2 is a LINE in (h1,h2)-space,
+    * so one set element with small h1 AND h2 captures the minimum for
+    * every i (observed: a Jaccard-0.9 pair with 0/12 minhash agreement);
+    * squaring breaks the linear order and restores ≈j agreement. All
+    * intermediates stay positive and < 2^62 — no 64-bit overflow, and
+    * both engines' `%` agree on positive operands.
+    * DuckDB twin: `sqlHashFam(i, s)`. */
+  def hashFam(i: Int, c: Column): Column = {
+    val d = md5(c)
+    val h1 = conv(substring(d, 1, 15), 16, 10).cast(LongType)
+    val h2 = conv(substring(d, 16, 10), 16, 10).cast(LongType)
+    val x = (h1 + lit(i.toLong) * h2) % lit(HashP)
+    (x * x + x + lit(i.toLong)) % lit(HashP)
+  }
+
+  val HashP: Long = 2147483647L // 2^31 - 1
+
   def sqlH60(s: String): String =
     s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
 
   def sqlH60Seeded(seed: String, s: String): String =
     sqlH60(s"CAST($seed AS VARCHAR) || ':' || $s")
+
+  def sqlHashFam(i: Int, s: String): String = {
+    val x = s"((CAST('0x' || substr(md5($s), 1, 15) AS BIGINT) + " +
+      s"$i * CAST('0x' || substr(md5($s), 16, 10) AS BIGINT)) % $HashP)"
+    s"(($x * $x + $x + $i) % $HashP)"
+  }
 
   /** Whitespace tokens. DuckDB twin: `string_split(s, ' ')`. */
   def tokens(c: Column): Column = split(c, " ")

@@ -28,10 +28,12 @@ import graft.functions.Portable._
   */
 object Pipeline extends QueryModule {
 
-  // MinHash configuration: 8 hashes in 4 bands of 2 rows. P(candidate) =
-  // 1-(1-j^2)^4 — ≈1 for the planted near-dups (j≥0.9), ≈0.4% for the
-  // j≈0.03 background, which the exact-Jaccard verify then discards.
-  private val NumHashes = 8
+  // MinHash configuration: 12 hashes in 6 bands of 2 rows. P(candidate) =
+  // 1-(1-j^2)^6 — misses a j=0.9 near-dup with p≈5e-5, keeps the j≈0.03
+  // background at ≈0.5%, which the exact-Jaccard verify then discards.
+  // Hashes are a quadratic family derived from one md5 per shingle
+  // (Portable.hashFam), so extra hashes cost only integer arithmetic.
+  private val NumHashes = 12
   private val BandRows = 2
   private val NumBands = NumHashes / BandRows
   private val ShingleW = 3
@@ -73,7 +75,7 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"),
         explode(shingles(tokens(col("text")), ShingleW)).as("shingle"))
     val aggs = (0 until NumHashes).map(i =>
-      min(h60Seeded(lit(i), col("shingle"))).as(s"m$i")) :+
+      min(hashFam(i, col("shingle"))).as(s"m$i")) :+
       collect_list(col("shingle")).as("shset")
     // Materialized once (the single-query analogue of writing the signature
     // table between pipeline stages): the band explode and both sides of
@@ -361,7 +363,7 @@ object Pipeline extends QueryModule {
   // DuckDB twins. Shared SQL fragments:
   private val sqlToks = "string_split(text, ' ')"
   private val sqlSigList = (0 until NumHashes)
-    .map(i => s"min(${sqlH60Seeded(i.toString, "shingle")})").mkString(", ")
+    .map(i => s"min(${sqlHashFam(i, "shingle")})").mkString(", ")
   private val sqlStops =
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 

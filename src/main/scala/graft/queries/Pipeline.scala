@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Exact._
 import graft.Tables
 import graft.functions.Portable._
+import graft.functions.VectorDot.vdot
 
 /** Large-scale training-data-pipeline operators over the `documents`,
   * `embeddings` and `events` tables: deduplication (exact, MinHash+LSH,
@@ -55,18 +56,14 @@ object Pipeline extends QueryModule {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Near-dedup via banded MinHash LSH, verified with exact n-gram
-    * Jaccard. The signature is computed WITHOUT any shuffle: per-doc
-    * shingle set as an array column, each minhash as
-    * `array_min(transform(...))` — a pure codegen'd map over one scan.
-    * The only keyed shuffle is the candidate self-join on
-    * (band, bandKey): ONLY docs sharing an LSH band bucket are ever
-    * paired (never an all-pairs cross join), then exact Jaccard on the
-    * candidates via `array_intersect` of the carried shingle sets.
-    * Every hash is portable (md5-based), so the DuckDB oracle reproduces
-    * the identical candidate set and the identical output. */
+    * Jaccard. Candidate pairs are formed ONLY inside an LSH band bucket —
+    * a keyed self-join, never an all-pairs cross join — then exact
+    * Jaccard via `array_intersect` of the carried shingle sets. Every
+    * hash is portable (md5-based), so the DuckDB oracle reproduces the
+    * identical candidate set and the identical output. */
   private def p02MinhashNearDup: Q = (s, d) => {
     // Sketch stage: one scan, one shingle explode, one keyed shuffle. The
-    // exploded shingles feed the 8 min-hash partials AND a collect_list of
+    // exploded shingles feed the min-hash partials AND a collect_list of
     // the shingle set for the verify stage — computing shingles once
     // matters because Spark's higher-order array functions (the shingle
     // builder) are interpreted, not codegen'd; benched variants that
@@ -172,14 +169,14 @@ object Pipeline extends QueryModule {
     * summation-order noise (≈1e-15) can never flip an ordering. */
   private def p04AnnCosineTopk: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
       col("nrm").as("pnrm")).filter(col("probe_id") < 5)
     val sims = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
     val local = Window.partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
       .orderBy(col("sim").desc, col("vec_id").asc)
     val global = Window.partitionBy("probe_id")
@@ -199,8 +196,8 @@ object Pipeline extends QueryModule {
     * bucketing keeps the DuckDB oracle exact. */
   private def p05AnnLshBucketed: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .withColumn("bucket", concat_ws("",
         (1 to 8).map(i => // try_: short vectors pad with '0', like DuckDB's
           when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
@@ -210,7 +207,7 @@ object Pipeline extends QueryModule {
     val sims = e.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(dot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     sims.withColumn("rnk", row_number().over(w))
@@ -225,8 +222,8 @@ object Pipeline extends QueryModule {
     * larger scale. */
   private def p13CosineNearDup: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .withColumn("bucket", concat_ws("",
         (1 to 4).map(i =>
           when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
@@ -236,7 +233,7 @@ object Pipeline extends QueryModule {
       .join(e.select(col("bucket"), col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nb")), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(dot(col("va"), col("vb")) /
+      .withColumn("sim", round(vdot(col("va"), col("vb")) /
         (col("na") * col("nb")), 6))
       .filter(col("sim") >= 0.40)
       .select("vec_a", "vec_b", "sim")

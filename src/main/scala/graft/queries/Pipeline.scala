@@ -290,6 +290,23 @@ object Pipeline extends QueryModule {
       ceil(length(payload) / lit(16.0)).as("n_frames"))
   }
 
+  /** Frame sampling over the opaque payload: slice the binary into fixed
+    * 16-byte frames and feature-extract each (digest + length stand in
+    * for the environment-dependent decoder). The explode is a pure map —
+    * rows scale with payload bytes, never with doc pairs — which is the
+    * shape a video/audio frame pipeline needs at 100 TB. */
+  private def p14FrameSample: Q = (s, d) => {
+    val payload = encode(col("text"), "UTF-8")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(length(payload) / lit(16.0)).cast(IntegerType) - 1),
+          k => payload.substr(k * 16 + 1, lit(16)))))
+      .select(col("doc_id"), col("pos").cast(IntegerType).as("frame_idx"),
+        md5(col("col")).as("frame_md5"),
+        length(col("col")).cast(IntegerType).as("frame_len"))
+  }
+
   // ---- event analytics (JSON props, time windows, sessions) --------------
 
   /** Typed extraction from a JSON props column + per-type aggregates.
@@ -355,6 +372,7 @@ object Pipeline extends QueryModule {
     "p11_events_sessions" -> p11EventsSessions,
     "p12_simhash_pairs" -> p12SimhashPairs,
     "p13_cosine_neardup" -> p13CosineNearDup,
+    "p14_frame_sample" -> p14FrameSample,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -473,6 +491,15 @@ object Pipeline extends QueryModule {
         |  md5(text) AS digest,
         |  CAST(CEIL(octet_length(encode(text)) / 16.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // DuckDB 1.0 lacks blob substr; the docs are ASCII so slicing the
+    // varchar yields the same bytes (and the same md5) as the binary slice.
+    "p14_frame_sample" ->
+      """SELECT doc_id, CAST(u.k AS INT) AS frame_idx,
+        |  md5(substr(text, u.k*16+1, 16)) AS frame_md5,
+        |  CAST(strlen(substr(text, u.k*16+1, 16)) AS INT) AS frame_len
+        |FROM documents,
+        |  UNNEST(generate_series(0,
+        |    CAST(CEIL(strlen(text)/16.0) AS BIGINT)-1)) AS u(k)""".stripMargin,
     "p09_events_props" ->
       s"""SELECT event_type, COUNT(*) AS n,
          |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,

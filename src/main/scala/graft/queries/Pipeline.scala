@@ -356,6 +356,34 @@ object Pipeline extends QueryModule {
         max(unix_micros(col("ts"))).as("end_us"))
   }
 
+  /** As-of join: each click matched to the latest prior-or-equal purchase
+    * of the same user. Spark has no ASOF JOIN operator; the scalable
+    * composition is a tagged union + ignore-nulls running `last` over a
+    * (user, time)-ordered window — ONE shuffle on user_id and a linear
+    * state-free pass per partition, instead of the range-join's
+    * candidate-interval explosion. DuckDB's native ASOF LEFT JOIN is the
+    * oracle. */
+  private def p15AsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+        lit(null).cast(LongType).as("event_id"),
+        struct(col("ts_us").as("p_ts_us"), col("value").as("p_value")).as("p"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(1).as("tag"), col("event_id"),
+        lit(null).cast("struct<p_ts_us:bigint,p_value:double>").as("p"))
+    // purchase sorts before click at equal ts (tag 0 < 1) → "prior or equal"
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("lastp", last(col("p"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("lastp.p_ts_us").as("p_ts_us"), col("lastp.p_value").as("p_value"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -373,6 +401,7 @@ object Pipeline extends QueryModule {
     "p12_simhash_pairs" -> p12SimhashPairs,
     "p13_cosine_neardup" -> p13CosineNearDup,
     "p14_frame_sample" -> p14FrameSample,
+    "p15_asof_join" -> p15AsofJoin,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -548,6 +577,14 @@ object Pipeline extends QueryModule {
         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
         |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.40""".stripMargin,
+    "p15_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS p_ts_us, value AS p_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us, p.p_ts_us, p.p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us""".stripMargin,
     "p11_events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

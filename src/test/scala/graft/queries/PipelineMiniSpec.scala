@@ -116,6 +116,18 @@ class PipelineMiniSpec extends SparkSpec {
     assert(byType("purchase") == 4L)
   }
 
+  test("p15 as-of join matches the latest prior purchase, null before any") {
+    // mini events: user 7 clicks at t0 (no prior purchase), user 8
+    // purchases at t0, and user 7 clicks again at t0+25min... use the
+    // actual rows: events are click(t0), view(t0+5m), click(t0+25m) for
+    // user 7 and purchase(t0) for user 8 — so user 7's clicks have no
+    // purchase to match and user 8 has no clicks.
+    val rows = run("p15_asof_join").orderBy("event_id").collect()
+    assert(rows.length == 2) // user 7's two clicks
+    assert(rows.forall(_.isNullAt(3))) // no prior purchases anywhere
+    assert(rows.forall(_.getAs[Long]("user_id") == 7L))
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -384,6 +384,24 @@ object Pipeline extends QueryModule {
         col("lastp.p_ts_us").as("p_ts_us"), col("lastp.p_value").as("p_value"))
   }
 
+  /** Range join: for each purchase, count the same user's events inside
+    * the following 10 minutes. Planned as an equi-join on user_id with
+    * the time range as a post-filter — candidates are bounded per user
+    * key, so this shuffles each side once and never builds the
+    * interval-overlap cross product a naive range join would. */
+  private def p16RangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+    purchases
+      .join(ev.select(col("user_id"), col("ts_us")), "user_id")
+      .filter(col("ts_us") >= col("p_ts") &&
+        col("ts_us") <= col("p_ts") + lit(600000000L))
+      .groupBy("p_event_id")
+      .agg(count(lit(1)).as("n_follow"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -402,6 +420,7 @@ object Pipeline extends QueryModule {
     "p13_cosine_neardup" -> p13CosineNearDup,
     "p14_frame_sample" -> p14FrameSample,
     "p15_asof_join" -> p15AsofJoin,
+    "p16_range_join" -> p16RangeJoin,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -585,6 +604,14 @@ object Pipeline extends QueryModule {
         |SELECT c.event_id, c.user_id, c.ts_us, p.p_ts_us, p.p_value
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us""".stripMargin,
+    "p16_range_join" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.p_event_id, COUNT(*) AS n_follow
+        |FROM p JOIN ev ON p.user_id = ev.user_id
+        |  AND ev.ts_us >= p.p_ts AND ev.ts_us <= p.p_ts + 600000000
+        |GROUP BY 1""".stripMargin,
     "p11_events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -29,6 +29,7 @@ object Bench {
     "p04_ann_cosine_topk",// brute-force cosine top-k (ANN baseline)
     "p06_text_stats",     // per-doc text analysis (pure map)
     "p11_events_sessions",// sessionization window over events
+    "p15_asof_join",      // as-of join via tagged union + windowed last
   )
 
   def main(args: Array[String]): Unit = {

@@ -273,6 +273,27 @@ object Pipeline extends QueryModule {
         (sum(col("n_chars")) / count(lit(1))).as("avg_chars"),
         sum(size(tokens(col("text")))).cast(LongType).as("total_tokens"))
 
+  /** TF-IDF top terms per document. tf and df are exact integer counts
+    * (two keyed shuffles with map-side combine); the corpus size joins in
+    * as a broadcast scalar; scores are rounded to 4 decimals before the
+    * per-doc top-3 ranking so a last-ULP ln() difference between engines
+    * can never flip an order. */
+  private def p17TfidfTopTerms: Q = (s, d) => {
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "term", "score")
+  }
+
   // ---- multimodal columns ------------------------------------------------
 
   /** Multimodal binary-column plumbing with a deterministic fake "decode":
@@ -421,6 +442,7 @@ object Pipeline extends QueryModule {
     "p14_frame_sample" -> p14FrameSample,
     "p15_asof_join" -> p15AsofJoin,
     "p16_range_join" -> p16RangeJoin,
+    "p17_tfidf_topterms" -> p17TfidfTopTerms,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -604,6 +626,22 @@ object Pipeline extends QueryModule {
         |SELECT c.event_id, c.user_id, c.ts_us, p.p_ts_us, p.p_value
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us""".stripMargin,
+    "p17_tfidf_topterms" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4) AS score
+         |  FROM tf JOIN dfreq USING (term), n),
+         |ranked AS (
+         |  SELECT doc_id, term, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term ASC) AS INT) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3""".stripMargin,
     "p16_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |p AS (SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_ts

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line

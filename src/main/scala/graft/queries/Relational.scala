@@ -307,6 +307,18 @@ object Relational extends QueryModule {
       .orderBy(col("rev").desc, col("c_custkey").asc)
       .limit(20)
 
+  /** Q14-ish promo revenue share by brand: part ⋈ lineitem with the part
+    * side un-hinted (it grows with sf — AQE broadcasts while it fits,
+    * shuffle-joins beyond), grouped on a low-cardinality dimension. */
+  private def q33BrandRevenue: Q = (s, d) =>
+    Tables.part(s, d).filter(col("p_size") <= 20)
+      .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("rev"),
+        count(lit(1)).as("n_items"))
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -341,6 +353,7 @@ object Relational extends QueryModule {
     "q30_top_revenue" -> q30TopRevenue,
     "q31_local_volume" -> q31LocalVolume,
     "q32_returned_items" -> q32ReturnedItems,
+    "q33_brand_revenue" -> q33BrandRevenue,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -493,5 +506,12 @@ object Relational extends QueryModule {
          |WHERE l_returnflag = 'R'
          |GROUP BY c_custkey, c_name
          |ORDER BY rev DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q33_brand_revenue" ->
+      s"""SELECT p_brand,
+         |  CAST(SUM(${sqlRevenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS rev,
+         |  COUNT(*) AS n_items
+         |FROM part JOIN lineitem ON p_partkey = l_partkey
+         |WHERE p_size <= 20
+         |GROUP BY p_brand""".stripMargin,
   )
 }

@@ -38,6 +38,10 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def prettyName: String = "vector_dot"
 
+  // A null ELEMENT nulls the whole result, matching the interpreted
+  // aggregate(zip_with(...)) form and DuckDB's list arithmetic.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,6 +49,7 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var k = 0
     while (k < n) {
+      if (x.isNullAt(k) || y.isNullAt(k)) return null
       acc += x.getFloat(k).toDouble * y.getFloat(k).toDouble
       k += 1
     }
@@ -60,6 +65,7 @@ case class VectorDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $k = 0; $k < $n; $k++) {
+         |  if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($k) * (double) $b.getFloat($k);
          |}
          |${ev.value} = $acc;

@@ -37,7 +37,7 @@ object SkewJoin {
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedProbe
       .join(replicatedBuild,
-        col(probeKey) === col(buildKey) &&
+        saltedProbe(probeKey) === replicatedBuild(buildKey) &&
           saltedProbe("__salt") === replicatedBuild("__salt"))
       .drop("__salt")
   }

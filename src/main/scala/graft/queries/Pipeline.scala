@@ -76,7 +76,10 @@ object Pipeline extends QueryModule {
       collect_list(col("shingle")).as("shset")
     // Materialized once (the single-query analogue of writing the signature
     // table between pipeline stages): the band explode and both sides of
-    // the candidate-pair join read the checkpoint, not a re-scan.
+    // the candidate-pair join read the checkpoint, not a re-scan. The
+    // blocks live until the session stops — a per-doc-row footprint, the
+    // deliberate cost of not recomputing the sketch three times; a
+    // long-lived service would write/read a real signature table instead.
     val docs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"),
@@ -300,7 +303,11 @@ object Pipeline extends QueryModule {
     * payload = utf-8 bytes of the text stand in for an opaque media blob
     * (the real image/audio decoder is environment-dependent; the Spark
     * plumbing — binary column, byte slicing, digesting, fixed-size frame
-    * math — is the part that must be real and scale). Pure map. */
+    * math — is the part that must be real and scale). Pure map.
+    * NOTE (here and p14): Spark slices BYTES of the payload; DuckDB 1.0
+    * has no blob substr, so the oracle slices CHARACTERS of the text —
+    * equivalent only while the corpus is ASCII (it is; a multibyte
+    * corpus would need a byte-precise oracle). */
   private def p08MultimodalStub: Q = (s, d) => {
     val payload = encode(col("text"), "UTF-8")
     Tables.documents(s, d).select(
@@ -318,11 +325,15 @@ object Pipeline extends QueryModule {
     * shape a video/audio frame pipeline needs at 100 TB. */
   private def p14FrameSample: Q = (s, d) => {
     val payload = encode(col("text"), "UTF-8")
+    // Empty-payload guard: sequence(0, -1) would count DOWN in Spark
+    // (unlike DuckDB's empty generate_series) and emit phantom frames.
+    val frames = when(length(payload) > 0,
+      transform(
+        sequence(lit(0), ceil(length(payload) / lit(16.0)).cast(IntegerType) - 1),
+        k => payload.substr(k * 16 + 1, lit(16))))
+      .otherwise(array().cast("array<binary>"))
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), ceil(length(payload) / lit(16.0)).cast(IntegerType) - 1),
-          k => payload.substr(k * 16 + 1, lit(16)))))
+      .select(col("doc_id"), posexplode(frames))
       .select(col("doc_id"), col("pos").cast(IntegerType).as("frame_idx"),
         md5(col("col")).as("frame_md5"),
         length(col("col")).cast(IntegerType).as("frame_len"))
@@ -387,9 +398,11 @@ object Pipeline extends QueryModule {
   private def p15AsofJoin: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .withColumn("ts_us", unix_micros(col("ts")))
+    // purchases keep their event_id so the window order below is TOTAL —
+    // two purchases in the same microsecond would otherwise tie and make
+    // last(p) pick a shuffle-dependent winner.
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
-        lit(null).cast(LongType).as("event_id"),
+      .select(col("user_id"), col("ts_us"), lit(0).as("tag"), col("event_id"),
         struct(col("ts_us").as("p_ts_us"), col("value").as("p_value")).as("p"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts_us"), lit(1).as("tag"), col("event_id"),

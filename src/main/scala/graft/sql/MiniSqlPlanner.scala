@@ -45,6 +45,19 @@ object MiniSqlPlanner {
     val bases: Map[String, DataFrame] =
       q.tables.map(t => t -> Tables(spark, sfDir, t.toLowerCase)).toMap
 
+    // Every table referenced by a projection, condition, group or sort key
+    // must appear in FROM — a typo would otherwise silently drop its
+    // conditions (returning wrong rows with no diagnostic).
+    val referenced = (q.projs ++ q.groupBy ++ q.orderBy).map(_.table) ++
+      q.conds.flatMap(c => c.lhs.table +: (c.rhs match {
+        case AttrRhs(a) => Seq(a.table); case _ => Nil
+      }))
+    val unknown = referenced.distinct.filterNot(bases.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"table(s) ${unknown.mkString(", ")} referenced but not in FROM " +
+          s"(${q.tables.mkString(", ")})")
+
     def colType(a: Attr): DataType = {
       val df = bases.getOrElse(a.table,
         throw new IllegalArgumentException(s"unknown table ${a.table}"))
@@ -124,7 +137,11 @@ object MiniSqlPlanner {
           }
           out.as(aggAlias(a))
         }
-        val keys = q.projs.filter(_.agg.isEmpty).map(a => col(a.name))
+        val plain = q.projs.filter(_.agg.isEmpty)
+        if (q.groupBy.isEmpty && plain.nonEmpty)
+          throw new IllegalArgumentException(
+            s"non-aggregated column(s) ${plain.map(_.name).mkString(", ")} " +
+              "require a GROUPBY")
         val grouped =
           if (q.groupBy.nonEmpty)
             joined.groupBy(q.groupBy.map(a => col(a.name)): _*)

@@ -33,12 +33,16 @@ object Streams {
   final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
 
   /** File-based stream of the events table layout (the deploy-time
-    * `readStream` entry; tests use MemoryStream instead). */
+    * `readStream` entry; tests use MemoryStream instead). Mirrors
+    * graft.Tables.events: under the session's nanosAsLong config the
+    * TIMESTAMP(NANOS) parquet column arrives as a nanos long and is
+    * converted here to a microsecond timestamp. */
   def fileStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
-      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour windows per event type — the streaming twin of
     * p10_events_hourly. Watermark bounds state: windows older than

@@ -48,6 +48,15 @@ class VectorDotSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("a null element nulls the result, matching the interpreted form") {
+    val df = Seq((Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))))
+      .toDF("a", "b")
+    val rows = df.select(
+      vdot(col("a"), col("b")).as("fast"),
+      dot(asDouble(col("a")), asDouble(col("b"))).as("slow")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+  }
+
   test("rejects non-float-array inputs at analysis") {
     val bad = Seq((Seq(1.0, 2.0), Seq(1.0f))).toDF("a", "b")
     assertThrows[Exception](bad.select(vdot(col("a"), col("b"))).collect())

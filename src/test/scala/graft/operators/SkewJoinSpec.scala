@@ -19,6 +19,13 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("same-named key columns on both sides resolve unambiguously") {
+    val probe = Seq((1L, "p"), (2L, "q")).toDF("k", "pv")
+    val build = Seq((1L, "b")).toDF("k", "bv")
+    val got = SkewJoin.saltedInner(probe, build, "k", "k", 4)
+    assert(got.count() == 1)
+  }
+
   test("salt spreads the hot key over multiple partitions") {
     val probe = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
     val salts = probe.withColumn("__salt",

@@ -76,6 +76,19 @@ class MiniSqlPlannerSpec extends SparkSpec {
     assertSameRows(got, want)
   }
 
+  test("a condition on a table missing from FROM is an error, not a no-op") {
+    val e = intercept[IllegalArgumentException](run(
+      """SELECT customer.c_name FROM customer
+        |WHERE custmer.c_acctbal > "100"""".stripMargin))
+    assert(e.getMessage.contains("custmer"))
+  }
+
+  test("non-aggregated projection without GROUPBY is an error") {
+    val e = intercept[IllegalArgumentException](run(
+      "SELECT customer.c_name, MAX(customer.c_acctbal) FROM customer"))
+    assert(e.getMessage.contains("GROUPBY"))
+  }
+
   test("ORDERBY DESC applies one global flag to all keys") {
     val got = run(
       """SELECT orders.o_orderkey, orders.o_totalprice FROM orders

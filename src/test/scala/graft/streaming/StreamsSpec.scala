@@ -61,6 +61,22 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileStream reads the events parquet layout (nanos ts) end to end") {
+    val dir = graft.queries.PipelineMiniSpec.dir // events.parquet with long-nanos ts
+    val q = sessionCounts(fileStream(spark, s"$dir/events.parquet"))
+      .writeStream.format("memory").queryName("file_sessions")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      // Append mode only emits watermark-closed sessions; the mini batch
+      // ends at t0+25min so nothing finalizes — the assertion is that the
+      // deploy-path schema/conversion runs without error.
+      assert(spark.table("file_sessions").columns.contains("session_start"))
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates keyed state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -254,6 +254,11 @@ object Pipeline extends QueryModule {
     Tables.documents(s, d).select(
       col("doc_id"),
       size(t).cast(LongType).as("n_tokens"),
+      // BPE-ish sub-word count: letter runs, digit runs, other glyphs —
+      // the usual pre-tokenizer regex (identical under Java and RE2)
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast(LongType)
+        .as("n_regex_tokens"),
       size(array_distinct(t)).cast(LongType).as("n_uniq"),
       (size(array_distinct(t)) / size(t)).as("uniq_ratio"),
       (aggregate(t, lit(0), (a, x) => a + length(x)) / size(t)).as("avg_tok_len"),
@@ -550,6 +555,8 @@ object Pipeline extends QueryModule {
     "p06_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |    AS BIGINT) AS n_regex_tokens,
          |  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
          |  len(list_distinct(t)) / len(t) AS uniq_ratio,
          |  CAST(list_sum(list_transform(t, x -> strlen(x))) AS BIGINT) / len(t)

@@ -319,6 +319,44 @@ object Relational extends QueryModule {
           .cast(DoubleType).as("rev"),
         count(lit(1)).as("n_items"))
 
+  /** ROLLUP hierarchy subtotals (status → priority → grand total) — a
+    * grouping-sets shape the reference cannot express; one shuffle, null
+    * markers for subtotal rows in both engines. */
+  private def q34Rollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  /** Exact continuous percentiles per group (median + p90). Spark's
+    * `percentile` is the exact sort-based aggregate; DuckDB's
+    * quantile_cont matches its interpolation; outputs rounded so the
+    * one-interpolation arithmetic can never differ in the last ULP. */
+  private def q35Percentiles: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"))
+
+  /** Variance/stddev made engine-exact: moments are EXACT decimal sums
+    * (order-insensitive, map-side combinable), converted to double once,
+    * then the textbook (s2 − s1²/n)/n in identical double arithmetic —
+    * unlike the built-in var_pop whose partial-merge order perturbs the
+    * last ULPs across engines and partitionings. */
+  private def q36ExactStats: Q = (s, d) => {
+    val x = dec(col("o_totalprice"))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("s1"),
+        sum(x * x).cast(DoubleType).as("s2"))
+      .select(col("o_orderstatus"), col("n"),
+        round((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 4)
+          .as("var_pop"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")), 4)
+          .as("stddev_pop"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -354,6 +392,9 @@ object Relational extends QueryModule {
     "q31_local_volume" -> q31LocalVolume,
     "q32_returned_items" -> q32ReturnedItems,
     "q33_brand_revenue" -> q33BrandRevenue,
+    "q34_rollup" -> q34Rollup,
+    "q35_percentiles" -> q35Percentiles,
+    "q36_exact_stats" -> q36ExactStats,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,5 +554,25 @@ object Relational extends QueryModule {
          |FROM part JOIN lineitem ON p_partkey = l_partkey
          |WHERE p_size <= 20
          |GROUP BY p_brand""".stripMargin,
+    "q34_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q35_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q36_exact_stats" ->
+      s"""WITH m AS (
+         |  SELECT o_orderstatus, COUNT(*) AS n,
+         |    CAST(SUM(${sqlDec("o_totalprice")}) AS DOUBLE) AS s1,
+         |    CAST(SUM(${sqlDec("o_totalprice")} * ${sqlDec("o_totalprice")})
+         |      AS DOUBLE) AS s2
+         |  FROM orders GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, n,
+         |  round((s2 - s1 * s1 / n) / n, 4) AS var_pop,
+         |  round(sqrt((s2 - s1 * s1 / n) / n), 4) AS stddev_pop
+         |FROM m""".stripMargin,
   )
 }

@@ -357,6 +357,26 @@ object Relational extends QueryModule {
           .as("stddev_pop"))
   }
 
+  private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+
+  /** PIVOT: order counts by status × priority, priorities as columns.
+    * The value list is explicit, so the pivot is a single groupBy with
+    * conditional aggregates — one shuffle, no second pass to discover
+    * column values (which at 100 TB would be its own job). */
+  private def q37Pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+
+  /** UNPIVOT (melt): the inverse reshape, priorities back to rows. Pure
+    * map — each input row emits one row per unpivoted column. */
+  private def q38Unpivot: Q = (s, d) =>
+    q37Pivot(s, d).unpivot(
+      Array(col("o_orderstatus")),
+      Priorities.map(col).toArray, "o_orderpriority", "n")
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -395,6 +415,8 @@ object Relational extends QueryModule {
     "q34_rollup" -> q34Rollup,
     "q35_percentiles" -> q35Percentiles,
     "q36_exact_stats" -> q36ExactStats,
+    "q37_pivot" -> q37Pivot,
+    "q38_unpivot" -> q38Unpivot,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -574,5 +596,14 @@ object Relational extends QueryModule {
          |  round((s2 - s1 * s1 / n) / n, 4) AS var_pop,
          |  round(sqrt((s2 - s1 * s1 / n) / n), 4) AS stddev_pop
          |FROM m""".stripMargin,
+    "q37_pivot" ->
+      s"""SELECT o_orderstatus,
+         |${Priorities.map(p =>
+             s"""  COUNT(*) FILTER (o_orderpriority = '$p') AS "$p"""")
+             .mkString(",\n")}
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q38_unpivot" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
   )
 }

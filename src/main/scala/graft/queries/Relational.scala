@@ -348,13 +348,16 @@ object Relational extends QueryModule {
     Tables.orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        sum(x).cast(DoubleType).as("s1"),
+        dsum(col("o_totalprice")).as("s1"),
         sum(x * x).cast(DoubleType).as("s2"))
+      // clamp at 0: textbook cancellation can land a hair below zero for a
+      // near-constant group, where Spark's sqrt says NaN but DuckDB errors
+      .withColumn("v",
+        greatest((col("s2") - col("s1") * col("s1") / col("n")) / col("n"),
+          lit(0.0)))
       .select(col("o_orderstatus"), col("n"),
-        round((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 4)
-          .as("var_pop"),
-        round(sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")), 4)
-          .as("stddev_pop"))
+        round(col("v"), 4).as("var_pop"),
+        round(sqrt(col("v")), 4).as("stddev_pop"))
   }
 
   private val Priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
@@ -369,6 +372,8 @@ object Relational extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority", Priorities)
       .agg(count(lit(1)))
+      // an empty combo pivots to NULL; the oracle's filtered COUNT says 0
+      .na.fill(0L, Priorities)
 
   /** UNPIVOT (melt): the inverse reshape, priorities back to rows. Pure
     * map — each input row emits one row per unpivoted column. */
@@ -588,14 +593,16 @@ object Relational extends QueryModule {
     "q36_exact_stats" ->
       s"""WITH m AS (
          |  SELECT o_orderstatus, COUNT(*) AS n,
-         |    CAST(SUM(${sqlDec("o_totalprice")}) AS DOUBLE) AS s1,
+         |    ${sqlDsum("o_totalprice")} AS s1,
          |    CAST(SUM(${sqlDec("o_totalprice")} * ${sqlDec("o_totalprice")})
          |      AS DOUBLE) AS s2
-         |  FROM orders GROUP BY o_orderstatus)
+         |  FROM orders GROUP BY o_orderstatus),
+         |v AS (SELECT o_orderstatus, n,
+         |  greatest((s2 - s1 * s1 / n) / n, 0.0) AS v FROM m)
          |SELECT o_orderstatus, n,
-         |  round((s2 - s1 * s1 / n) / n, 4) AS var_pop,
-         |  round(sqrt((s2 - s1 * s1 / n) / n), 4) AS stddev_pop
-         |FROM m""".stripMargin,
+         |  round(v, 4) AS var_pop,
+         |  round(sqrt(v), 4) AS stddev_pop
+         |FROM v""".stripMargin,
     "q37_pivot" ->
       s"""SELECT o_orderstatus,
          |${Priorities.map(p =>

@@ -18,8 +18,10 @@ class PartitioningSpec extends SparkSpec {
       .filter(col("event_type") === "purchase")
       .select("event_id", "value")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.contains("event_type"), s"no partition filter in:\n$plan")
+    // the filter must be INSIDE the PartitionFilters bracket — a residual
+    // post-scan Filter node mentioning event_type must not satisfy this
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"no partition filter in:\n$plan")
     val expected = Tables.events(spark, sf)
       .filter(col("event_type") === "purchase").count()
     assert(q.count() == expected)

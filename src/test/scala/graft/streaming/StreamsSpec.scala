@@ -69,10 +69,11 @@ class StreamsSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try {
-      q.awaitTermination(60000)
       // Append mode only emits watermark-closed sessions; the mini batch
-      // ends at t0+25min so nothing finalizes — the assertion is that the
-      // deploy-path schema/conversion runs without error.
+      // ends at t0+25min so nothing finalizes — the check is that the
+      // deploy-path schema/conversion COMPLETES without error.
+      assert(q.awaitTermination(60000), "AvailableNow run did not terminate")
+      assert(q.exception.isEmpty)
       assert(spark.table("file_sessions").columns.contains("session_start"))
     } finally q.stop()
   }

@@ -66,6 +66,14 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the continuous twin of the batch
+    * content-hash dedup (p01): keep the first event per event_id, with
+    * the watermark bounding how long each key's dedup state is retained. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

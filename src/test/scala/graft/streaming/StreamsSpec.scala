@@ -78,6 +78,22 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents keeps the first occurrence per event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 1.0), ev(1, 0, 7, "click", 1.0),
+        ev(2, 1, 7, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(ev(1, 2, 7, "click", 1.0)) // duplicate across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates keyed state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

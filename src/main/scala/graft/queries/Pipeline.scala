@@ -302,6 +302,25 @@ object Pipeline extends QueryModule {
       .select("doc_id", "rnk", "term", "score")
   }
 
+  /** Corpus bigram frequencies, top-25 by count: explode 2-gram shingles,
+    * one counting shuffle with map-side combine, then the same two-phase
+    * top-k as the ANN path (salted local rank bounds any reducer before
+    * the global rank). Deterministic tie-break on the bigram itself. */
+  private def p18BigramTop: Q = (s, d) => {
+    val counted = Tables.documents(s, d)
+      .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+    val local = Window.partitionBy(pmod(hash(col("bigram")), lit(64)))
+      .orderBy(col("n").desc, col("bigram").asc)
+    val global = Window.partitionBy(lit(1))
+      .orderBy(col("n").desc, col("bigram").asc)
+    counted
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 25)
+      .withColumn("rnk", row_number().over(global).cast(IntegerType))
+      .filter(col("rnk") <= 25)
+      .select("rnk", "bigram", "n")
+  }
+
   // ---- multimodal columns ------------------------------------------------
 
   /** Multimodal binary-column plumbing with a deterministic fake "decode":
@@ -461,6 +480,7 @@ object Pipeline extends QueryModule {
     "p15_asof_join" -> p15AsofJoin,
     "p16_range_join" -> p16RangeJoin,
     "p17_tfidf_topterms" -> p17TfidfTopTerms,
+    "p18_bigram_top" -> p18BigramTop,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -662,6 +682,15 @@ object Pipeline extends QueryModule {
          |      ORDER BY score DESC, term ASC) AS INT) AS rnk
          |  FROM scored)
          |SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3""".stripMargin,
+    "p18_bigram_top" ->
+      s"""WITH bi AS (
+         |  SELECT unnest(${sqlShingles("t", 2)}) AS bigram
+         |  FROM (SELECT $sqlToks AS t FROM documents)),
+         |counted AS (SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram),
+         |ranked AS (SELECT bigram, n,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS INT) AS rnk
+         |  FROM counted)
+         |SELECT rnk, bigram, n FROM ranked WHERE rnk <= 25""".stripMargin,
     "p16_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |p AS (SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_ts

@@ -66,6 +66,30 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream join: each click joined to the same user's purchases
+    * in the following 10 minutes (the continuous twin of the batch range
+    * join p16). Watermarks on BOTH sides plus the time-range condition
+    * let Spark bound the join state: rows older than watermark + range
+    * are evicted from the state store instead of accumulating forever. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select("click_id", "user_id", "click_ts", "purchase_ts",
+        "purchase_value")
+  }
+
   /** Streaming exact dedup — the continuous twin of the batch
     * content-hash dedup (p01): keep the first event per event_id, with
     * the watermark bounding how long each key's dedup state is retained. */

@@ -78,6 +78,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs clicks with purchases in the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = clickPurchaseJoin(in.toDF())
+      .writeStream.format("memory").queryName("cpjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(1, 0, 7, "click", 0.0),
+        ev(2, 5, 7, "purchase", 9.99), // within 10 min of click 1
+        ev(3, 30, 7, "purchase", 1.0), // outside the window
+        ev(4, 0, 8, "purchase", 5.0))  // different user
+      q.processAllAvailable()
+      in.addData(ev(5, 180, 9, "view", 0.0)) // advance both watermarks
+      q.processAllAvailable()
+      val rows = spark.table("cpjoin")
+        .select("click_id", "purchase_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSet == Set((1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("dedupEvents keeps the first occurrence per event_id") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

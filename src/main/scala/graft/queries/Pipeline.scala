@@ -363,6 +363,21 @@ object Pipeline extends QueryModule {
         length(col("col")).cast(IntegerType).as("frame_len"))
   }
 
+  /** Deterministic train/val/test split: each doc's bucket comes from the
+    * portable content-independent hash of its id — 80/10/10, stable across
+    * runs, engines, and cluster sizes (no RNG, no sampling drift), which
+    * is what reproducible dataset curation needs. Pure map + one small
+    * count shuffle. */
+  private def p19TrainValSplit: Q = (s, d) => {
+    val bucket = h60(col("doc_id").cast(StringType)) % 10
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   // ---- event analytics (JSON props, time windows, sessions) --------------
 
   /** Typed extraction from a JSON props column + per-type aggregates.
@@ -481,6 +496,7 @@ object Pipeline extends QueryModule {
     "p16_range_join" -> p16RangeJoin,
     "p17_tfidf_topterms" -> p17TfidfTopTerms,
     "p18_bigram_top" -> p18BigramTop,
+    "p19_train_val_split" -> p19TrainValSplit,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -691,6 +707,14 @@ object Pipeline extends QueryModule {
          |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS INT) AS rnk
          |  FROM counted)
          |SELECT rnk, bigram, n FROM ranked WHERE rnk <= 25""".stripMargin,
+    "p19_train_val_split" ->
+      s"""SELECT CASE WHEN ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 < 8
+         |    THEN 'train'
+         |  WHEN ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+         |  ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin,
     "p16_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |p AS (SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_ts

@@ -38,7 +38,12 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` / the mini-SQL
-    * front end can resolve bare table names. */
+    * front end can resolve bare table names. Uses the canonical per-table
+    * readers, so `events.ts` is the converted microsecond timestamp every
+    * other consumer sees — not the raw nanos long of the physical file. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else apply(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -302,10 +302,12 @@ object Pipeline extends QueryModule {
       .select("doc_id", "rnk", "term", "score")
   }
 
-  /** Corpus bigram frequencies, top-25 by count: explode 2-gram shingles,
-    * one counting shuffle with map-side combine, then the same two-phase
-    * top-k as the ANN path (salted local rank bounds any reducer before
-    * the global rank). Deterministic tie-break on the bigram itself. */
+  /** Top-25 bigrams by DOCUMENT frequency (shingles are per-doc distinct,
+    * so `n` counts documents containing the bigram, not raw occurrences —
+    * the usual collocation-mining statistic). One counting shuffle with
+    * map-side combine, then the same two-phase top-k as the ANN path
+    * (salted local rank bounds any reducer before the global rank);
+    * deterministic tie-break on the bigram itself. */
   private def p18BigramTop: Q = (s, d) => {
     val counted = Tables.documents(s, d)
       .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))

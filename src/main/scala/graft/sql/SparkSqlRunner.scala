@@ -11,8 +11,17 @@ import graft.Tables
   * mini-SQL dialect via MiniSqlPlanner and the full modern surface here.
   */
 object SparkSqlRunner {
+  // last directory registered per session — re-registering 10 views (10
+  // parquet footer reads) on every statement would be pure overhead
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
   def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
-    Tables.registerAll(spark, sfDir)
+    if (registered.get(spark) != sfDir) {
+      Tables.registerAll(spark, sfDir)
+      registered.put(spark, sfDir)
+    }
     spark.sql(sql)
   }
 }

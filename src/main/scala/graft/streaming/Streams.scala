@@ -90,9 +90,10 @@ object Streams {
         "purchase_value")
   }
 
-  /** Streaming exact dedup — the continuous twin of the batch
-    * content-hash dedup (p01): keep the first event per event_id, with
-    * the watermark bounding how long each key's dedup state is retained. */
+  /** Streaming key dedup: keep the first-ARRIVED row per event_id (an
+    * at-least-once ingest's duplicate delivery collapses to one row; with
+    * out-of-order arrival the survivor is by arrival, not event time).
+    * The watermark bounds how long each key's dedup state is retained. */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")

@@ -6,15 +6,17 @@ import graft.{SparkSpec, Tables}
 
 class SparkSqlRunnerSpec extends SparkSpec {
 
-  test("registered views answer full ANSI SQL") {
+  test("registered views answer full ANSI SQL with correct values") {
     val got = SparkSqlRunner.run(spark, sf,
       """SELECT n_name, count(*) AS n_cust
         |FROM nation JOIN customer ON n_nationkey = c_nationkey
         |GROUP BY n_name HAVING count(*) > 0""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val want = Tables.nation(spark, sf)
       .join(Tables.customer(spark, sf), col("n_nationkey") === col("c_nationkey"))
       .groupBy("n_name").count()
-    assert(got.count() == want.count())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("every catalog table is queryable by name") {
@@ -22,5 +24,11 @@ class SparkSqlRunnerSpec extends SparkSpec {
     Tables.names.foreach { t =>
       assert(spark.sql(s"SELECT * FROM $t LIMIT 1").columns.nonEmpty, t)
     }
+  }
+
+  test("the registered events view carries a usable timestamp, not raw nanos") {
+    val hours = SparkSqlRunner.run(spark, sf,
+      "SELECT date_trunc('hour', ts) AS h FROM events LIMIT 5")
+    assert(hours.schema("h").dataType.typeName == "timestamp")
   }
 }

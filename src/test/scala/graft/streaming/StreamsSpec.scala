@@ -91,7 +91,10 @@ class StreamsSpec extends SparkSpec {
         ev(3, 30, 7, "purchase", 1.0), // outside the window
         ev(4, 0, 8, "purchase", 5.0))  // different user
       q.processAllAvailable()
-      in.addData(ev(5, 180, 9, "view", 0.0)) // advance both watermarks
+      // advance BOTH sides' watermarks: the advancing events must survive
+      // each side's event_type filter (a 'view' would be filtered out
+      // before the EventTimeWatermark node and advance nothing)
+      in.addData(ev(5, 180, 9, "click", 0.0), ev(6, 180, 10, "purchase", 0.0))
       q.processAllAvailable()
       val rows = spark.table("cpjoin")
         .select("click_id", "purchase_value").collect()

@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * expression compiles to a tight primitive `for` loop inside whole-stage
   * codegen. Semantics match the interpreted form and the DuckDB oracle
   * exactly: each float is widened to double, products are summed in array
-  * order, so results are bit-identical.
+  * order, so results are bit-identical. Mismatched lengths return null,
+  * exactly like the interpreted form (`zip_with` null-pads the shorter
+  * array and the null product nulls the fold).
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,7 +47,8 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var k = 0
     while (k < n) {
@@ -62,9 +65,10 @@ case class VectorDot(left: Expression, right: Expression)
       val k = ctx.freshName("k")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $k = 0; $k < $n; $k++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $k = 0; $k < $n && !${ev.isNull}; $k++) {
          |  if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($k) * (double) $b.getFloat($k);
          |}

@@ -20,25 +20,36 @@ object SkewJoin {
 
   /** Inner equi-join of `probe` (large, skewed) with `build` on
     * `probeKey == buildKey`, spreading each probe key over `numSalts`
-    * partitions. */
+    * partitions.
+    *
+    * `saltCols` names the probe columns the per-row salt is hashed from;
+    * empty (the default) hashes the whole row, which requires every probe
+    * column to be hashable — pass an explicit subset when the probe
+    * carries map-typed columns. The internal working column is named to
+    * avoid collision with both inputs' schemas. */
   def saltedInner(
       probe: DataFrame,
       build: DataFrame,
       probeKey: String,
       buildKey: String,
-      numSalts: Int): DataFrame = {
+      numSalts: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
-    // Deterministic per-row salt: hash of the whole row spreads even a
-    // single hot key uniformly (duplicate rows co-locate, which only
-    // costs balance, never correctness).
-    val saltedProbe = probe.withColumn("__salt",
-      pmod(hash(probe.columns.map(col): _*), lit(numSalts)))
-    val replicatedBuild = build.withColumn("__salt",
+    val salt = Iterator.iterate("__salt")(_ + "_")
+      .dropWhile(n => probe.columns.contains(n) || build.columns.contains(n))
+      .next()
+    // Deterministic per-row salt: hash of the salt-source columns spreads
+    // even a single hot key uniformly (rows identical on those columns
+    // co-locate, which only costs balance, never correctness).
+    val src = if (saltCols.nonEmpty) saltCols else probe.columns.toSeq
+    val saltedProbe = probe.withColumn(salt,
+      pmod(hash(src.map(probe(_)): _*), lit(numSalts)))
+    val replicatedBuild = build.withColumn(salt,
       explode(sequence(lit(0), lit(numSalts - 1))))
     saltedProbe
       .join(replicatedBuild,
         saltedProbe(probeKey) === replicatedBuild(buildKey) &&
-          saltedProbe("__salt") === replicatedBuild("__salt"))
-      .drop("__salt")
+          saltedProbe(salt) === replicatedBuild(salt))
+      .drop(salt)
   }
 }

@@ -137,10 +137,14 @@ object Pipeline extends QueryModule {
   private def p03SimhashFingerprint: Q = (s, d) => simhashFp(s, d)
 
   /** SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes;
-    * only docs sharing a band byte are candidates (pigeonhole: any pair
-    * within hamming distance 3 shares at least one exact band), then keep
-    * pairs within hamming distance 5. Same bucketed-not-all-pairs shape
-    * as the MinHash path, over a 4x smaller sketch. */
+    * only docs sharing a band byte are candidates, then keep pairs within
+    * hamming distance 3 — the distance the 4-band pigeonhole actually
+    * guarantees (any pair differing in ≤3 bits leaves at least one band
+    * intact), so the output is COMPLETE at its advertised threshold.
+    * Distances 4-5 would only be found when their bits happen to spare a
+    * band; emitting them would be a recall lottery. Same
+    * bucketed-not-all-pairs shape as the MinHash path, over a 4x smaller
+    * sketch. */
   private def p12SimhashPairs: Q = (s, d) => {
     val fp = simhashFp(s, d).localCheckpoint(false)
     val bands = fp.select(col("doc_id"), col("simhash"),
@@ -155,7 +159,7 @@ object Pipeline extends QueryModule {
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(IntegerType))
-      .filter(col("hamming") <= 5)
+      .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
   }
 
@@ -660,7 +664,7 @@ object Pipeline extends QueryModule {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 5""".stripMargin,
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
     "p13_cosine_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -376,11 +376,15 @@ object Relational extends QueryModule {
       .na.fill(0L, Priorities)
 
   /** UNPIVOT (melt): the inverse reshape, priorities back to rows. Pure
-    * map — each input row emits one row per unpivoted column. */
+    * map — each input row emits one row per unpivoted column. The n=0
+    * rows that q37's na.fill manufactured for absent (status, priority)
+    * combos are dropped so the result matches a plain GROUP BY on any
+    * data, not just data where every combo occurs. */
   private def q38Unpivot: Q = (s, d) =>
     q37Pivot(s, d).unpivot(
       Array(col("o_orderstatus")),
       Priorities.map(col).toArray, "o_orderpriority", "n")
+      .filter(col("n") > 0)
 
   // ---- registry ----------------------------------------------------------
 

@@ -38,14 +38,18 @@ class VectorDotSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
-  test("null input yields null, mismatched lengths use the shorter") {
+  test("null input yields null, mismatched lengths yield null like zip_with") {
     val df = Seq(
       (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))),
       (None: Option[Seq[Float]], Some(Seq(1.0f))),
     ).toDF("a", "b")
-    val rows = df.select(vdot(col("a"), col("b"))).collect()
-    assert(rows(0).getDouble(0) == 3.0)
-    assert(rows(1).isNullAt(0))
+    val rows = df.select(
+      vdot(col("a"), col("b")).as("fast"),
+      dot(asDouble(col("a")), asDouble(col("b"))).as("slow")).collect()
+    // zip_with null-pads the shorter array, so the interpreted form is
+    // null on a length mismatch — and so is vdot.
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
 
   test("a null element nulls the result, matching the interpreted form") {

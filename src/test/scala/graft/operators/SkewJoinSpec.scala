@@ -33,4 +33,21 @@ class SkewJoinSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(salts > 4) // one hot key fans out across most of 8 salt values
   }
+
+  test("a pre-existing __salt column survives untouched") {
+    val probe = Seq((1L, 7), (2L, 9)).toDF("k", "__salt")
+    val build = Seq((1L, "b")).toDF("bk", "bv")
+    val got = SkewJoin.saltedInner(probe, build, "k", "bk", 4)
+    assert(got.columns.count(_ == "__salt") == 1)
+    assert(got.select("__salt").head.getInt(0) == 7)
+  }
+
+  test("saltCols lets a probe with an unhashable column join") {
+    val probe = Seq((1L, Map("a" -> 1)), (1L, Map("b" -> 2)))
+      .toDF("k", "props") // map-typed column: hash() would throw on it
+    val build = Seq((1L, "b")).toDF("bk", "bv")
+    val got = SkewJoin.saltedInner(probe, build, "k", "bk", 4,
+      saltCols = Seq("k"))
+    assert(got.count() == 2)
+  }
 }

@@ -94,9 +94,10 @@ class PipelineMiniSpec extends SparkSpec {
     val rows = run("p05_ann_lsh_bucketed")
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // buckets on 4 dims (padded sign pattern): {0,1} share "1000"… wait —
-    // signs of v0=[1,0,0,0] and v1=[.9,.1,0,0]: zero counts as >=0 → both
-    // "1111"; v2 also "1111"; v3 "0111". So 0,1,2 pair up; 3 is alone.
+    // p05 buckets on 8 sign bits; these 4-dim vectors pad dims 5-8 with
+    // '0'. Zero counts as >=0, so v0=[1,0,0,0], v1=[.9,.1,0,0] and
+    // v2=[0,1,0,0] all bucket as "11110000", while v3=[-1,0,0,0] is
+    // "01110000": 0,1,2 pair up within the bucket and 3 is alone.
     assert(rows.contains((0L, 1L)))
     assert(!rows.exists(p => p._1 == 3L || p._2 == 3L))
   }

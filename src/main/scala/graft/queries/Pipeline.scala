@@ -222,6 +222,46 @@ object Pipeline extends QueryModule {
       .select("probe_id", "vec_id", "rnk", "sim")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path next to p05's LSH.
+    * A small coarse-quantizer codebook is broadcast, every vector is
+    * assigned to its nearest centroid in one map pass + one keyed argmax,
+    * and probes search ONLY their own cell: work per probe is
+    * |corpus|/|cells|, and the assignment is reusable across queries
+    * (that is the IVF index). The codebook here is the first 16 vectors —
+    * a deterministic stand-in for k-means centroids, which keeps the
+    * DuckDB oracle bit-exact; a production build would train the codebook
+    * offline and broadcast it the same way. */
+  private def p20AnnIvf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        round(vdot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("csim"))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      .localCheckpoint(false)
+    val probes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("cell"))
+    val sims = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors are bucketed
     * by the sign pattern of their first 4 dimensions (16 buckets) and only
     * same-bucket pairs are compared — |corpus|²/16 instead of all pairs,
@@ -325,6 +365,53 @@ object Pipeline extends QueryModule {
       .withColumn("rnk", row_number().over(global).cast(IntegerType))
       .filter(col("rnk") <= 25)
       .select("rnk", "bigram", "n")
+  }
+
+  /** Rolling-window document fingerprint (winnowing-style k-min sketch):
+    * hash every 8-character sliding window of the text and keep each
+    * document's 4 smallest window hashes. Two near-identical documents
+    * share most windows, so their sketches collide on most slots — the
+    * classic plagiarism/near-dup fingerprint (winnowing), with the k-min
+    * selection standing in for per-stride minima. Pure map (the window
+    * explode) + one keyed top-k per doc; rows scale with text bytes,
+    * never with doc pairs. */
+  private def p21WinnowFingerprint: Q = (s, d) => {
+    val W = 8
+    val wins = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= W,
+          sequence(lit(1), length(col("text")) - (W - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), h60(expr(s"substr(text, i, $W)")).as("whash"))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy(col("whash").asc)
+    wins.withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= 4)
+      .select("doc_id", "rnk", "whash")
+  }
+
+  private val EnBigrams = Seq("th", "he", "in", "er", "an",
+    "re", "on", "at", "en", "nd")
+  private val FrBigrams = Seq("le", "de", "es", "en", "on",
+    "nt", "qu", "ou", "ai", "eu")
+
+  /** Character-n-gram language ID: score each document's distinct char
+    * bigrams against per-language profile sets (the classic Cavnar–Trenkle
+    * n-gram profile method, reduced to two tiny profiles) and predict the
+    * higher-scoring language. Pure map — profiles are literals baked into
+    * the expression, so this is one codegen'd pass at any scale. */
+  private def p22LangidNgram: Q = (s, d) => {
+    val grams = expr("array_distinct(transform(" +
+      "sequence(1, greatest(length(text) - 1, 1)), i -> substr(text, i, 2)))")
+    def hits(profile: Seq[String]) =
+      size(array_intersect(col("grams"), array(profile.map(lit): _*)))
+        .cast(LongType)
+    Tables.documents(s, d)
+      .withColumn("grams", grams)
+      .select(col("doc_id"), col("lang"),
+        hits(EnBigrams).as("en_hits"), hits(FrBigrams).as("fr_hits"))
+      .withColumn("pred",
+        when(col("en_hits") >= col("fr_hits"), lit("en")).otherwise(lit("fr")))
   }
 
   // ---- multimodal columns ------------------------------------------------
@@ -503,6 +590,9 @@ object Pipeline extends QueryModule {
     "p17_tfidf_topterms" -> p17TfidfTopTerms,
     "p18_bigram_top" -> p18BigramTop,
     "p19_train_val_split" -> p19TrainValSplit,
+    "p20_ann_ivf" -> p20AnnIvf,
+    "p21_winnow_fingerprint" -> p21WinnowFingerprint,
+    "p22_langid_ngram" -> p22LangidNgram,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -721,6 +811,63 @@ object Pipeline extends QueryModule {
          |  lang, COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "p20_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+        |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
+        |  WHERE arnk = 1),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, cell
+        |  FROM a WHERE vec_id < 20),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM a JOIN p USING (cell) WHERE vec_id <> probe_id),
+        |r AS (SELECT probe_id, vec_id, sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
+        |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "p21_winnow_fingerprint" ->
+      s"""WITH wins AS (
+         |  SELECT DISTINCT doc_id, ${sqlH60("substr(text, u.i, 8)")} AS whash
+         |  FROM documents,
+         |    UNNEST(generate_series(1, strlen(text) - 7)) AS u(i)
+         |  WHERE strlen(text) >= 8),
+         |r AS (SELECT doc_id, whash,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY whash)
+         |    AS INT) AS rnk
+         |  FROM wins)
+         |SELECT doc_id, rnk, whash FROM r WHERE rnk <= 4""".stripMargin,
+    "p22_langid_ngram" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, lang, list_distinct(list_transform(
+         |    generate_series(1, greatest(strlen(text) - 1, 1)),
+         |    i -> substr(text, i, 2))) AS grams
+         |  FROM documents),
+         |h AS (SELECT doc_id, lang,
+         |  CAST(len(list_intersect(grams,
+         |    ${EnBigrams.map(b => s"'$b'").mkString("[", ", ", "]")}))
+         |    AS BIGINT) AS en_hits,
+         |  CAST(len(list_intersect(grams,
+         |    ${FrBigrams.map(b => s"'$b'").mkString("[", ", ", "]")}))
+         |    AS BIGINT) AS fr_hits
+         |  FROM g)
+         |SELECT doc_id, lang, en_hits, fr_hits,
+         |  CASE WHEN en_hits >= fr_hits THEN 'en' ELSE 'fr' END AS pred
+         |FROM h""".stripMargin,
     "p16_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |p AS (SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_ts

@@ -327,6 +327,43 @@ object Relational extends QueryModule {
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
 
+  /** CUBE grouping sets (all four combinations of the two dimensions) —
+    * the full-lattice companion of q34's ROLLUP; still one shuffle (Spark
+    * expands the grouping sets map-side). */
+  private def q39Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  /** KMV (k-minimum-values) distinct-count sketch — the composable
+    * alternative to exact COUNT DISTINCT at 100 TB. Every value is hashed
+    * to 60 bits; each partition keeps only its k smallest hashes (the
+    * `limit` after `orderBy` plans as TakeOrderedAndProject — partial
+    * top-k per partition, merge on the driver, never a global sort), and
+    * the estimate is (k-1) / (h_k / 2^60). Unlike HLL the hash is
+    * engine-portable (md5 via Portable.h60), so DuckDB reproduces the
+    * sketch BIT-EXACTLY — estimate, exact count, and relative error all
+    * hash-match. Estimated vs exact distinct custkeys over orders. */
+  private def q40KmvDistinct: Q = (s, d) => {
+    import graft.functions.Portable.h60
+    val k = 256
+    val kth = Tables.orders(s, d)
+      .select(h60(col("o_custkey").cast(StringType)).as("hv")).distinct()
+      .orderBy(col("hv").asc).limit(k)
+      .agg(max(col("hv")).as("kth"), count(lit(1)).as("kk"))
+    val exact = Tables.orders(s, d)
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    kth.crossJoin(exact)
+      .select(
+        col("kk").cast(IntegerType).as("k"),
+        round((col("kk") - 1).cast(DoubleType) * lit(math.pow(2, 60)) /
+          col("kth"), 4).as("est_distinct"),
+        col("exact_distinct"))
+      .withColumn("rel_err",
+        round(abs(col("est_distinct") - col("exact_distinct")) /
+          col("exact_distinct"), 4))
+  }
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -426,6 +463,8 @@ object Relational extends QueryModule {
     "q36_exact_stats" -> q36ExactStats,
     "q37_pivot" -> q37Pivot,
     "q38_unpivot" -> q38Unpivot,
+    "q39_cube" -> q39Cube,
+    "q40_kmv_distinct" -> q40KmvDistinct,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -616,5 +655,24 @@ object Relational extends QueryModule {
     "q38_unpivot" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q39_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q40_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT
+         |    ${graft.functions.Portable.sqlH60("CAST(o_custkey AS VARCHAR)")} AS hv
+         |  FROM orders),
+         |mins AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+         |sk AS (SELECT MAX(hv) AS kth, COUNT(*) AS kk FROM mins),
+         |e AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders),
+         |est AS (SELECT CAST(kk AS INT) AS k,
+         |    round((kk - 1) * 1152921504606846976.0 / kth, 4) AS est_distinct,
+         |    exact_distinct
+         |  FROM sk, e)
+         |SELECT k, est_distinct, exact_distinct,
+         |  round(abs(est_distinct - exact_distinct) / exact_distinct, 4)
+         |    AS rel_err
+         |FROM est""".stripMargin,
   )
 }

@@ -33,6 +33,9 @@ object PipelineMiniSpec {
       (1L, vec(0.9, 0.1, 0, 0), 0), // nearest to 0
       (2L, vec(0, 1, 0, 0), 1),
       (3L, vec(-1, 0, 0, 0), 2),
+      // non-centroid for the IVF path (p20 treats vec_id < 16 as the
+      // codebook): nearest centroid is 2, so it lands in cell 2
+      (16L, vec(0.1, 0.95, 0, 0), 1),
     ).toDF("vec_id", "embedding", "label")
       .write.parquet(s"$d/embeddings.parquet")
     val t0 = 1700000000000000000L // nanos
@@ -100,6 +103,35 @@ class PipelineMiniSpec extends SparkSpec {
     // "01110000": 0,1,2 pair up within the bucket and 3 is alone.
     assert(rows.contains((0L, 1L)))
     assert(!rows.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("p20 IVF ANN searches only the probe's centroid cell") {
+    val rows = run("p20_ann_ivf")
+      .select("probe_id", "vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // v16 assigns to centroid 2 (cos ≈ 0.994 beats every other centroid),
+    // so probe 2's cell contains exactly {2, 16} and its only hit is 16.
+    assert(rows.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet == Set((16L, 1)))
+    // centroids 0,1,3 keep singleton cells aside from 0/1 sharing none —
+    // 0 and 1 sit in their own cells (each is its own nearest centroid),
+    // so probe 0 finds nothing.
+    assert(!rows.exists(_._1 == 0L))
+  }
+
+  test("p21 winnow fingerprints of identical docs match, k-min is bounded") {
+    val byDoc = run("p21_winnow_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(byDoc(0L).map(t => (t._2, t._3)).toSet ==
+      byDoc(1L).map(t => (t._2, t._3)).toSet) // doc 1 is an exact dup of 0
+    assert(byDoc.values.forall(_.length <= 4))
+    assert(byDoc(3L).length == 4) // 49 chars → 42 windows → full sketch
+  }
+
+  test("p22 n-gram language ID flags the English doc") {
+    val r = run("p22_langid_ngram").filter(col("doc_id") === 3).head()
+    assert(r.getAs[Long]("en_hits") > 0L)
+    assert(r.getAs[String]("pred") == "en")
   }
 
   test("p06 text stats are exact on a known doc") {

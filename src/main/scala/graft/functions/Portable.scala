@@ -37,8 +37,16 @@ object Portable {
     * DuckDB twin: `sqlHashFam(i, s)`. */
   def hashFam(i: Int, c: Column): Column = {
     val d = md5(c)
-    val h1 = conv(substring(d, 1, 15), 16, 10).cast(LongType)
-    val h2 = conv(substring(d, 16, 10), 16, 10).cast(LongType)
+    hashFamFrom(i,
+      conv(substring(d, 1, 15), 16, 10).cast(LongType),
+      conv(substring(d, 16, 10), 16, 10).cast(LongType))
+  }
+
+  /** `hashFam` from the two precomputed digest halves. Callers evaluating
+    * many family members per row (MinHash sketches) should compute
+    * `h1`/`h2` once as columns and use this — one md5 per row instead of
+    * one per (row × family member). */
+  def hashFamFrom(i: Int, h1: Column, h2: Column): Column = {
     val x = (h1 + lit(i.toLong) * h2) % lit(HashP)
     (x * x + x + lit(i.toLong)) % lit(HashP)
   }

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension installing graft's native expressions into the SQL
+  * function registry, so `spark.sql("... vector_dot(a, b) ...")` plans
+  * the codegen'd expression directly — the Catalyst-idiomatic way to ship
+  * engine functions (usable via `.config("spark.sql.extensions",
+  * "graft.functions.GraftExtensions")` on ANY session, no code changes),
+  * rather than session-local UDF registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.vectorDot)
+}
+
+object GraftExtensions {
+  val vectorDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"vector_dot requires exactly 2 arguments, got ${children.length}")
+      VectorDot(children.head, children(1))
+    })
+}

@@ -61,6 +61,17 @@ class VectorDotSpec extends SparkSpec {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
   }
 
+  test("vector_dot is a registered SQL function via session extensions") {
+    val got = spark.sql(
+      """SELECT vector_dot(
+        |  array(cast(1.0 AS float), cast(2.0 AS float)),
+        |  array(cast(3.0 AS float), cast(4.0 AS float))) AS d""".stripMargin)
+      .head.getDouble(0)
+    assert(got == 11.0)
+    assertThrows[Exception](
+      spark.sql("SELECT vector_dot(array(cast(1.0 AS float)))").collect())
+  }
+
   test("rejects non-float-array inputs at analysis") {
     val bad = Seq((Seq(1.0, 2.0), Seq(1.0f))).toDF("a", "b")
     assertThrows[Exception](bad.select(vdot(col("a"), col("b"))).collect())

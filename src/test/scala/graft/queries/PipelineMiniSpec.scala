@@ -161,6 +161,37 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("user_id") == 7L))
   }
 
+  test("p10 hourly windows land all mini events in one hour") {
+    val rows = run("p10_events_hourly").collect()
+    assert(rows.map(_.getAs[String]("hour")).distinct.length == 1)
+    val byType = rows.map(r =>
+      r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(byType == Map("click" -> 2L, "view" -> 1L, "purchase" -> 1L))
+  }
+
+  test("p13 cosine near-dup pairs only within sign buckets above 0.40") {
+    val pairs = run("p13_cosine_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket "1111" holds v0,v1,v2,v16; only (0,1) and (2,16) have
+    // cosine >= 0.40; v3 ("0111") is alone in its bucket.
+    assert(pairs == Set((0L, 1L), (2L, 16L)))
+  }
+
+  test("p16 range join counts the purchase itself inside its window") {
+    val rows = run("p16_range_join").collect()
+    assert(rows.length == 1) // one purchase (user 8), no later events
+    assert(rows.head.getAs[Long]("n_follow") == 1L)
+  }
+
+  test("p19 split is exhaustive and deterministic") {
+    def rows() = run("p19_train_val_split").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    val a = rows()
+    assert(a.map(_._3).sum == 5) // every doc lands in exactly one split
+    assert(a.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    assert(a == rows())
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -43,6 +43,21 @@ object Pipeline extends QueryModule {
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
     "on", "for", "with")
 
+  /** `documents` rebalanced across the cluster before expensive per-row
+    * work. The driver-provided table is one parquet row group, so the
+    * scan stage gets ONE task regardless of split size — and every
+    * text-pipeline operator multiplies each row into dozens of
+    * shingle/token/window rows and hashes them. Shuffling the raw docs
+    * first costs bytes-of-input once and buys cores× parallelism on the
+    * explode+digest work that dominates; with properly-split input (many
+    * files / row groups) the exchange is still just one linear pass.
+    * Applied only where A/B timing showed the map side dominates (shingle
+    * explodes, per-window hashing, interpreted char-gram HOFs);
+    * aggregation-bound ops (exact dedup, corpus profile) skip it — their
+    * own groupBy exchange rebalances and the extra shuffle just loses. */
+  private def docsBalanced(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   // ---- deduplication -----------------------------------------------------
 
   /** Exact dedup: group by content hash, keep the smallest doc_id.
@@ -62,7 +77,7 @@ object Pipeline extends QueryModule {
     * Duplicate shingles within a doc are emitted; consumers must be
     * multiset-safe (min / collect_set are). */
   private def shingleRows(s: SparkSession, d: String, w: Int): DataFrame =
-    Tables.documents(s, d)
+    docsBalanced(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(when(size(col("t")) >= w,
@@ -317,7 +332,7 @@ object Pipeline extends QueryModule {
     * integers, so they are bit-identical across engines. */
   private def p06TextStats: Q = (s, d) => {
     val t = tokens(col("text"))
-    Tables.documents(s, d).select(
+    docsBalanced(s, d).select(
       col("doc_id"),
       size(t).cast(LongType).as("n_tokens"),
       // BPE-ish sub-word count: letter runs, digit runs, other glyphs —
@@ -353,7 +368,7 @@ object Pipeline extends QueryModule {
     * per-doc top-3 ranking so a last-ULP ln() difference between engines
     * can never flip an order. */
   private def p17TfidfTopTerms: Q = (s, d) => {
-    val terms = Tables.documents(s, d)
+    val terms = docsBalanced(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -375,7 +390,7 @@ object Pipeline extends QueryModule {
     * (salted local rank bounds any reducer before the global rank);
     * deterministic tie-break on the bigram itself. */
   private def p18BigramTop: Q = (s, d) => {
-    val counted = Tables.documents(s, d)
+    val counted = docsBalanced(s, d)
       .select(explode(shingles(tokens(col("text")), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
     val local = Window.partitionBy(pmod(hash(col("bigram")), lit(64)))
@@ -399,7 +414,7 @@ object Pipeline extends QueryModule {
     * never with doc pairs. */
   private def p21WinnowFingerprint: Q = (s, d) => {
     val W = 8
-    val wins = Tables.documents(s, d)
+    val wins = docsBalanced(s, d)
       .select(col("doc_id"), col("text"),
         explode(when(length(col("text")) >= W,
           sequence(lit(1), length(col("text")) - (W - 1)))
@@ -428,7 +443,7 @@ object Pipeline extends QueryModule {
     def hits(profile: Seq[String]) =
       size(array_intersect(col("grams"), array(profile.map(lit): _*)))
         .cast(LongType)
-    Tables.documents(s, d)
+    docsBalanced(s, d)
       .withColumn("grams", grams)
       .select(col("doc_id"), col("lang"),
         hits(EnBigrams).as("en_hits"), hits(FrBigrams).as("fr_hits"))
@@ -471,7 +486,7 @@ object Pipeline extends QueryModule {
         sequence(lit(0), ceil(length(payload) / lit(16.0)).cast(IntegerType) - 1),
         k => payload.substr(k * 16 + 1, lit(16))))
       .otherwise(array().cast("array<binary>"))
-    Tables.documents(s, d)
+    docsBalanced(s, d)
       .select(col("doc_id"), posexplode(frames))
       .select(col("doc_id"), col("pos").cast(IntegerType).as("frame_idx"),
         md5(col("col")).as("frame_md5"),

@@ -327,8 +327,9 @@ object Pipeline extends QueryModule {
 
   /** Per-document text metrics: token counts, type/token ratio, mean token
     * length, stopword ratio, a linear quality score, a stopword-based
-    * language-ID heuristic, and an md5 content fingerprint. Pure map —
-    * no shuffle at any scale. All ratios are single divisions of exact
+    * language-ID heuristic, and an md5 content fingerprint. Pure per-row
+    * map after the coarse-input rebalance (see docsBalanced) — no keyed
+    * shuffle at any scale. All ratios are single divisions of exact
     * integers, so they are bit-identical across engines. */
   private def p06TextStats: Q = (s, d) => {
     val t = tokens(col("text"))
@@ -435,8 +436,9 @@ object Pipeline extends QueryModule {
   /** Character-n-gram language ID: score each document's distinct char
     * bigrams against per-language profile sets (the classic Cavnar–Trenkle
     * n-gram profile method, reduced to two tiny profiles) and predict the
-    * higher-scoring language. Pure map — profiles are literals baked into
-    * the expression, so this is one codegen'd pass at any scale. */
+    * higher-scoring language. Pure per-row map after the coarse-input
+    * rebalance — profiles are literals baked into the expression, so this
+    * is one pass at any scale. */
   private def p22LangidNgram: Q = (s, d) => {
     val grams = expr("array_distinct(transform(" +
       "sequence(1, greatest(length(text) - 1, 1)), i -> substr(text, i, 2)))")
@@ -506,6 +508,32 @@ object Pipeline extends QueryModule {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
+  }
+
+  /** End-to-end curation composite — the whole "make a training set"
+    * path as ONE declarative query: score quality, language-gate with the
+    * stopword heuristic, and exact-dedup (keep the smallest doc_id per
+    * content hash), emitting the curated manifest. Catalyst fuses the
+    * scoring map into the scan side of the single dedup shuffle, so the
+    * composite costs the same one keyed exchange as dedup alone — the
+    * point of composing curation declaratively instead of materializing
+    * each stage. */
+  private def p23Curation: Q = (s, d) => {
+    val t = tokens(col("text"))
+    val scored = docsBalanced(s, d).select(
+      col("doc_id"), col("text"),
+      size(t).cast(LongType).as("n_tokens"),
+      (size(filter(t, x => x.isin(Stopwords: _*))) / size(t)).as("stop_ratio"),
+      (size(array_distinct(t)) / size(t)).as("uniq_ratio"))
+      .withColumn("quality",
+        round((col("stop_ratio") + col("uniq_ratio")) / 2, 6))
+    val w = Window.partitionBy(md5(col("text")))
+    scored
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id") &&
+        col("stop_ratio") >= 0.05 && col("n_tokens") >= 5 &&
+        col("quality") >= 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
 
   // ---- event analytics (JSON props, time windows, sessions) --------------
@@ -630,6 +658,7 @@ object Pipeline extends QueryModule {
     "p20_ann_ivf" -> p20AnnIvf,
     "p21_winnow_fingerprint" -> p21WinnowFingerprint,
     "p22_langid_ngram" -> p22LangidNgram,
+    "p23_curation" -> p23Curation,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -905,6 +934,20 @@ object Pipeline extends QueryModule {
          |SELECT doc_id, lang, en_hits, fr_hits,
          |  CASE WHEN en_hits >= fr_hits THEN 'en' ELSE 'fr' END AS pred
          |FROM h""".stripMargin,
+    "p23_curation" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    len(list_filter(t, x -> list_contains($sqlStops, x))) / len(t)
+         |      AS stop_ratio,
+         |    len(list_distinct(t)) / len(t) AS uniq_ratio
+         |  FROM (SELECT doc_id, text, $sqlToks AS t FROM documents)),
+         |q AS (SELECT doc_id, n_tokens, stop_ratio,
+         |    round((stop_ratio + uniq_ratio) / 2, 6) AS quality,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+         |  FROM sc)
+         |SELECT doc_id, n_tokens, quality FROM q
+         |WHERE doc_id = keep_id AND stop_ratio >= 0.05
+         |  AND n_tokens >= 5 AND quality >= 0.3""".stripMargin,
     "p16_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |p AS (SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_ts

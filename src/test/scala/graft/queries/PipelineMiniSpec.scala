@@ -192,6 +192,14 @@ class PipelineMiniSpec extends SparkSpec {
     assert(a == rows())
   }
 
+  test("p23 curation keeps exactly the deduped english quality doc") {
+    // docs 0/1/2 have no stopwords (stop_ratio 0 -> language gate drops
+    // them); doc 4 likewise; doc 3 has two "the" -> only survivor.
+    val rows = run("p23_curation").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(rows.head.getAs[Long]("n_tokens") == 10L)
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

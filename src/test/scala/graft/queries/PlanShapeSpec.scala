@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions for the scale claims made in operator
+  * comments and PLANS.md — the properties that keep these queries alive
+  * at 100 TB, checked mechanically so a refactor can't silently lose
+  * them. Runs at sf0.001; plan shape is scale-independent. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Pipeline.queries.getOrElse(name, Relational.queries(name))(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("top-k queries plan TakeOrderedAndProject, never a global sort") {
+    Seq("q30_top_revenue", "q32_returned_items", "q40_kmv_distinct")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      }
+  }
+
+  test("bucketed pair generators never plan an all-pairs join") {
+    // p04 is the deliberate brute-force baseline (broadcast nested loop);
+    // every scale-path operator must join on a key instead.
+    Seq("p02_minhash_neardup", "p12_simhash_pairs", "p13_cosine_neardup",
+      "p05_ann_lsh_bucketed", "p20_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs nested loop:\n$p")
+    }
+  }
+
+  test("filters reach the parquet scan as pushed filters") {
+    Seq("q02_filter_eq_ne", "q03_filter_range", "q19_agg_group").foreach { q =>
+      val p = plan(q)
+      assert("PushedFilters: \\[[^\\]]*\\(".r.findFirstIn(p).isDefined ||
+        "PushedFilters: \\[[A-Za-z]".r.findFirstIn(p).isDefined,
+        s"$q has no pushed filters:\n$p")
+    }
+  }
+
+  test("constant-size dims broadcast; growing tables are never hinted") {
+    val p = plan("q31_local_volume")
+    assert(p.contains("BroadcastHashJoin"), s"q31 lost its dim broadcasts:\n$p")
+    // the logical plan must not carry a broadcast hint on supplier — AQE
+    // decides. (The hint would survive into ResolvedHint nodes.)
+    val logical = Relational.queries("q31_local_volume")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!"(?i)hint.*supplier".r.findFirstIn(logical).isDefined,
+      s"supplier is hint-broadcast:\n$logical")
+  }
+
+  test("window aggregates shuffle once on their key") {
+    val p = plan("q09_join_multikey")
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"q09 shuffles more than the single keyed exchange (+AQE read):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"q09 regressed to the self-join plan:\n$p")
+  }
+}

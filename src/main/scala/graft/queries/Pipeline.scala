@@ -511,27 +511,31 @@ object Pipeline extends QueryModule {
   }
 
   /** End-to-end curation composite — the whole "make a training set"
-    * path as ONE declarative query: score quality, language-gate with the
-    * stopword heuristic, and exact-dedup (keep the smallest doc_id per
-    * content hash), emitting the curated manifest. Catalyst fuses the
-    * scoring map into the scan side of the single dedup shuffle, so the
-    * composite costs the same one keyed exchange as dedup alone — the
-    * point of composing curation declaratively instead of materializing
-    * each stage. */
+    * path as ONE declarative query: exact-dedup (keep the smallest doc_id
+    * per content hash), then score quality and language-gate the
+    * survivors, emitting the curated manifest. Dedup runs FIRST so the
+    * expensive tokenize/score work and the duplicate rows themselves
+    * never ride past the exchange — on a dedup-heavy corpus (the use
+    * case) only unique survivors are scored. One keyed shuffle total (the
+    * dedup window's, which also lands the scoring map on balanced
+    * partitions, so no docsBalanced here); filters and dedup commute
+    * because duplicates share text and therefore scores. */
   private def p23Curation: Q = (s, d) => {
+    val w = Window.partitionBy(md5(col("text")))
+    val survivors = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
     val t = tokens(col("text"))
-    val scored = docsBalanced(s, d).select(
-      col("doc_id"), col("text"),
-      size(t).cast(LongType).as("n_tokens"),
-      (size(filter(t, x => x.isin(Stopwords: _*))) / size(t)).as("stop_ratio"),
-      (size(array_distinct(t)) / size(t)).as("uniq_ratio"))
+    survivors
+      .select(
+        col("doc_id"),
+        size(t).cast(LongType).as("n_tokens"),
+        (size(filter(t, x => x.isin(Stopwords: _*))) / size(t)).as("stop_ratio"),
+        (size(array_distinct(t)) / size(t)).as("uniq_ratio"))
       .withColumn("quality",
         round((col("stop_ratio") + col("uniq_ratio")) / 2, 6))
-    val w = Window.partitionBy(md5(col("text")))
-    scored
-      .withColumn("keep_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keep_id") &&
-        col("stop_ratio") >= 0.05 && col("n_tokens") >= 5 &&
+      .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 5 &&
         col("quality") >= 0.3)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
@@ -757,7 +761,7 @@ object Pipeline extends QueryModule {
          |    AS BIGINT) AS n_regex_tokens,
          |  CAST(len(list_distinct(t)) AS BIGINT) AS n_uniq,
          |  len(list_distinct(t)) / len(t) AS uniq_ratio,
-         |  CAST(list_sum(list_transform(t, x -> strlen(x))) AS BIGINT) / len(t)
+         |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) / len(t)
          |    AS avg_tok_len,
          |  len(list_filter(t, x -> list_contains($sqlStops, x))) / len(t)
          |    AS stop_ratio,
@@ -910,8 +914,8 @@ object Pipeline extends QueryModule {
       s"""WITH wins AS (
          |  SELECT DISTINCT doc_id, ${sqlH60("substr(text, u.i, 8)")} AS whash
          |  FROM documents,
-         |    UNNEST(generate_series(1, strlen(text) - 7)) AS u(i)
-         |  WHERE strlen(text) >= 8),
+         |    UNNEST(generate_series(1, length(text) - 7)) AS u(i)
+         |  WHERE length(text) >= 8),
          |r AS (SELECT doc_id, whash,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY whash)
          |    AS INT) AS rnk
@@ -920,7 +924,7 @@ object Pipeline extends QueryModule {
     "p22_langid_ngram" ->
       s"""WITH g AS (
          |  SELECT doc_id, lang, list_distinct(list_transform(
-         |    generate_series(1, greatest(strlen(text) - 1, 1)),
+         |    generate_series(1, greatest(length(text) - 1, 1)),
          |    i -> substr(text, i, 2))) AS grams
          |  FROM documents),
          |h AS (SELECT doc_id, lang,

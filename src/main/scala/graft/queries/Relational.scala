@@ -364,6 +364,37 @@ object Relational extends QueryModule {
           col("exact_distinct"), 4))
   }
 
+  /** Cross join — inexpressible in the reference (a multi-table query
+    * without join conditions silently DROPS tables,
+    * RandomInitialPlan.java:93-102); made explicit here, deliberately
+    * only between the two constant-size dims where an all-pairs product
+    * is safe at any scale. */
+  private def q41CrossJoin: Q = (s, d) =>
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name")
+
+  /** CASE expression banding + aggregate over the derived column (no
+    * conditional expressions exist in the reference grammar, §2.7). The
+    * CASE is codegen'd into the scan projection; the groupBy shuffles
+    * three band rows per partition. */
+  private def q42CaseBands: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        when(col("o_totalprice") < 100000, "small")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("large").as("band"),
+        col("o_totalprice"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  /** LIKE pattern filters — contains + prefix (no LIKE token exists in the
+    * reference lexer, scaner.lex:37-169). The prefix pattern stays
+    * pushable as a parquet StringStartsWith filter. */
+  private def q43LikeFilter: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").like("%o%") && col("p_type").like("SMALL%"))
+      .select("p_partkey", "p_name", "p_type", "p_brand")
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -465,6 +496,9 @@ object Relational extends QueryModule {
     "q38_unpivot" -> q38Unpivot,
     "q39_cube" -> q39Cube,
     "q40_kmv_distinct" -> q40KmvDistinct,
+    "q41_cross_join" -> q41CrossJoin,
+    "q42_case_bands" -> q42CaseBands,
+    "q43_like_filter" -> q43LikeFilter,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -674,5 +708,15 @@ object Relational extends QueryModule {
          |  round(abs(est_distinct - exact_distinct) / exact_distinct, 4)
          |    AS rel_err
          |FROM est""".stripMargin,
+    "q41_cross_join" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q42_case_bands" ->
+      s"""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+         |  WHEN o_totalprice < 300000 THEN 'mid' ELSE 'large' END AS band,
+         |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1""".stripMargin,
+    "q43_like_filter" ->
+      """SELECT p_partkey, p_name, p_type, p_brand FROM part
+        |WHERE p_name LIKE '%o%' AND p_type LIKE 'SMALL%'""".stripMargin,
   )
 }

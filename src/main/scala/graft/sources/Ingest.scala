@@ -38,4 +38,30 @@ object Ingest {
       sep: String = "\t"): Unit =
     readDelimited(spark, inPath, schema, sep)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** Result sink in the reference's output format — a header line then
+    * tab-separated value rows (`QueryMain.executeQuery`,
+    * /root/reference/src/QueryMain.java:162-226) — written distributed:
+    * one part file per partition instead of one driver-side stream. */
+  def writeDelimited(
+      df: DataFrame,
+      outPath: String,
+      sep: String = "\t",
+      header: Boolean = true): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("sep", sep)
+      .option("header", header.toString)
+      .csv(outPath)
+
+  /** Newline-delimited JSON → parquet, the second text source format.
+    * Schema is explicit (like every reference table, §1.3) so malformed
+    * documents fail loudly instead of widening types. */
+  def jsonToParquet(
+      spark: SparkSession,
+      inPath: String,
+      schema: StructType,
+      outPath: String): Unit =
+    spark.read.schema(schema).json(inPath)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
 }

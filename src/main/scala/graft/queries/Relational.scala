@@ -395,6 +395,41 @@ object Relational extends QueryModule {
       .filter(col("p_name").like("%o%") && col("p_type").like("SMALL%"))
       .select("p_partkey", "p_name", "p_type", "p_brand")
 
+  /** Running total per customer over their order history — the frame-
+    * bounded window aggregate (rowsBetween) the reference lacks (§2.7).
+    * One exchange on o_custkey; each partition is a linear pass with one
+    * accumulator. Decimal partials keep the running sum engine-exact at
+    * every prefix, and the (date, orderkey) order is total so prefixes
+    * are deterministic. */
+  private def q44RunningTotal: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType)
+          .as("running_total"))
+  }
+
+  /** Offset window functions lag/lead/first_value over each customer's
+    * order sequence — prior/next order price and first order date. Same
+    * single-exchange shape as q44. */
+  private def q45LagLead: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        date_format(first_value(col("o_orderdate")).over(w), "yyyy-MM-dd")
+          .as("first_order_date"))
+  }
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -499,6 +534,8 @@ object Relational extends QueryModule {
     "q41_cross_join" -> q41CrossJoin,
     "q42_case_bands" -> q42CaseBands,
     "q43_like_filter" -> q43LikeFilter,
+    "q44_running_total" -> q44RunningTotal,
+    "q45_lag_lead" -> q45LagLead,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -718,5 +755,22 @@ object Relational extends QueryModule {
     "q43_like_filter" ->
       """SELECT p_partkey, p_name, p_type, p_brand FROM part
         |WHERE p_name LIKE '%o%' AND p_type LIKE 'SMALL%'""".stripMargin,
+    "q44_running_total" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+         |  CAST(SUM(${sqlDec("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS running_total
+         |FROM orders WHERE o_custkey < 100""".stripMargin,
+    "q45_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  STRFTIME(FIRST_VALUE(o_orderdate) OVER w, '%Y-%m-%d')
+        |    AS first_order_date
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
   )
 }

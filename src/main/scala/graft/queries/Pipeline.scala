@@ -40,8 +40,8 @@ object Pipeline extends QueryModule {
   private val ShingleW = 3
   private val JaccardThreshold = 0.5
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is",
-    "on", "for", "with")
+  private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in",
+    "is", "on", "for", "with")
 
   /** `documents` rebalanced across the cluster before expensive per-row
     * work. The driver-provided table is one parquet row group, so the

@@ -99,6 +99,26 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stateless text-quality gate on a DOCUMENT stream — the filter half
+    * of the batch curation composite (graft.queries.Pipeline.p23) applied
+    * to continuously arriving docs. Stateless transforms need no
+    * watermark or state store: identical expressions, identical
+    * thresholds, per-microbatch map — the unification Structured
+    * Streaming promises, demonstrated on the text pipeline rather than
+    * events. (Streaming DEDUP needs state and lives in dedupEvents's
+    * dropDuplicatesWithinWatermark pattern instead.) */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), col("text"),
+        size(t).cast("long").as("n_tokens"),
+        (size(filter(t, x =>
+          x.isin(graft.queries.Pipeline.Stopwords: _*))) / size(t))
+          .as("stop_ratio"))
+      .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 5)
+      .select("doc_id", "n_tokens", "stop_ratio")
+  }
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

@@ -137,4 +137,23 @@ class StreamsSpec extends SparkSpec {
       assert(latest.getAs[Double]("sum_value") == 4.0)
     } finally q.stop()
   }
+
+  test("qualityGate filters a document stream with the batch expressions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = qualityGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"), // passes
+        (2L, "alpha beta gamma delta epsilon"),              // no stopwords
+        (3L, "the end"))                                     // too short
+      q.processAllAvailable()
+      in.addData((4L, "this is a stream of words with the gate on")) // passes
+      q.processAllAvailable()
+      val kept = spark.table("curated").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 4L))
+    } finally q.stop()
+  }
 }

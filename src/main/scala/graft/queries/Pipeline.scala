@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -540,6 +540,41 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
 
+  private val CmsDepth = 4
+  private val CmsWidth = 8192
+  private val CmsProbes = Seq("the", "a", "of", "and", "to")
+
+  /** Count–Min Sketch term frequencies — the bounded-memory answer to
+    * token counting at 100 TB: the sketch table is AT MOST depth×width
+    * (4×8192) rows no matter the corpus vocabulary, versus an exact
+    * count's shuffle sized by distinct terms. Composed from counting
+    * primitives (depth hash rows per term → keyed count), so it stays
+    * portable: the same md5-derived buckets make the DuckDB oracle
+    * reproduce every counter exactly. Probe estimates take the min over
+    * depth counters and are compared against exact counts in the output
+    * (CMS never undercounts: est >= exact always). */
+  private def p24CmsCounts: Q = (s, d) => {
+    def bucket(j: Column, term: Column): Column =
+      h60(concat(j.cast(StringType), lit(":"), term)) % CmsWidth
+    val terms = docsBalanced(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+    val cms = terms
+      .select(col("term"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .select(col("j"), bucket(col("j"), col("term")).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("n"))
+    val probeRows = CmsProbes.flatMap(t => (0 until CmsDepth).map(j => (t, j)))
+    import s.implicits._
+    val pb = probeRows.toDF("term", "j")
+      .withColumn("bucket", bucket(col("j"), col("term")))
+    val est = pb.join(cms, Seq("j", "bucket"), "left")
+      .groupBy("term").agg(min(coalesce(col("n"), lit(0L))).as("est_count"))
+    val exact = terms.filter(col("term").isin(CmsProbes: _*))
+      .groupBy("term").agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("term"), "left")
+      .select(col("term"), col("est_count"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+  }
+
   // ---- event analytics (JSON props, time windows, sessions) --------------
 
   /** Typed extraction from a JSON props column + per-type aggregates.
@@ -663,6 +698,7 @@ object Pipeline extends QueryModule {
     "p21_winnow_fingerprint" -> p21WinnowFingerprint,
     "p22_langid_ngram" -> p22LangidNgram,
     "p23_curation" -> p23Curation,
+    "p24_cms_counts" -> p24CmsCounts,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -952,6 +988,29 @@ object Pipeline extends QueryModule {
          |SELECT doc_id, n_tokens, quality FROM q
          |WHERE doc_id = keep_id AND stop_ratio >= 0.05
          |  AND n_tokens >= 5 AND quality >= 0.3""".stripMargin,
+    "p24_cms_counts" -> {
+      def b(j: String, t: String) =
+        s"${sqlH60(s"CAST($j AS VARCHAR) || ':' || $t")} % $CmsWidth"
+      val probeList = CmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""WITH terms AS (
+         |  SELECT unnest($sqlToks) AS term FROM documents),
+         |js AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS j),
+         |cms AS (
+         |  SELECT j, ${b("j", "term")} AS bucket, COUNT(*) AS n
+         |  FROM terms, js GROUP BY 1, 2),
+         |pb AS (
+         |  SELECT p.term, js.j, ${b("js.j", "p.term")} AS bucket
+         |  FROM (SELECT unnest($probeList) AS term) p, js),
+         |est AS (
+         |  SELECT term, MIN(coalesce(n, 0)) AS est_count
+         |  FROM pb LEFT JOIN cms USING (j, bucket) GROUP BY term),
+         |ex AS (
+         |  SELECT term, COUNT(*) AS exact_count FROM terms
+         |  WHERE list_contains($probeList, term) GROUP BY term)
+         |SELECT term, CAST(est_count AS BIGINT) AS est_count,
+         |  CAST(coalesce(exact_count, 0) AS BIGINT) AS exact_count
+         |FROM est LEFT JOIN ex USING (term)""".stripMargin
+    },
     "p16_range_join" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
         |p AS (SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS p_ts

@@ -200,6 +200,14 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_tokens") == 10L)
   }
 
+  test("p24 CMS never undercounts and is exact on the mini corpus") {
+    val rows = run("p24_cms_counts").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("the", "a", "of", "and", "to"))
+    rows.values.foreach { case (est, exact) => assert(est >= exact) }
+    assert(rows("the")._2 == 2L) // doc 3 contains "the" twice
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -430,6 +430,36 @@ object Relational extends QueryModule {
           .as("first_order_date"))
   }
 
+  /** Date arithmetic (datediff / date_add / month truncation) — the date
+    * half of the scalar-function surface the reference lacks (§2.7). All
+    * derived dates are emitted as yyyy-MM-dd strings so both engines
+    * agree on type and format. */
+  private def q46DateArith: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        datediff(lit("1998-12-31").cast(DateType), col("o_orderdate"))
+          .as("days_to_eoy"),
+        date_format(date_add(col("o_orderdate"), 7), "yyyy-MM-dd").as("plus7"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_start"))
+
+  /** NULL-handling functions over outer-join-produced nulls: COALESCE
+    * defaulting, IS NULL flags, CASE tagging. The reference has no NULLs
+    * in its data path at all (SURVEY §1.2). */
+  private def q47NullHandling: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        col("o_orderkey"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("price_or_zero"),
+        col("o_orderkey").isNull.as("no_big_order"),
+        when(col("o_orderkey").isNotNull, "has").otherwise("none").as("tag"))
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -536,6 +566,8 @@ object Relational extends QueryModule {
     "q43_like_filter" -> q43LikeFilter,
     "q44_running_total" -> q44RunningTotal,
     "q45_lag_lead" -> q45LagLead,
+    "q46_date_arith" -> q46DateArith,
+    "q47_null_handling" -> q47NullHandling,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -772,5 +804,21 @@ object Relational extends QueryModule {
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q46_date_arith" ->
+      """SELECT o_orderkey,
+        |  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |    AS INT) AS days_to_eoy,
+        |  STRFTIME(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS plus7,
+        |  STRFTIME(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin,
+    "q47_null_handling" ->
+      """SELECT c_custkey, o_orderkey,
+        |  coalesce(o_totalprice, 0.0) AS price_or_zero,
+        |  o_orderkey IS NULL AS no_big_order,
+        |  CASE WHEN o_orderkey IS NOT NULL THEN 'has' ELSE 'none' END AS tag
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey""".stripMargin,
   )
 }

@@ -82,12 +82,34 @@ object Dialect extends QueryModule {
         |(SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) t""".stripMargin),
   )
 
+  /** ANSI front-end cases (graft.sql.SparkSqlRunner): shapes the
+    * reference grammar cannot express at all — correlated and IN
+    * subqueries. The SAME statement text is the DuckDB oracle, proving
+    * the ANSI surface end-to-end. The correlated threshold is an exact
+    * decimal sum divided once, so both engines compute the identical
+    * double and the comparison can never flip on a last-ULP average. */
+  val ansiCases: Map[String, String] = Map(
+    "s10_sql_corr_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
+    "s11_sql_in_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_nationkey = 3)""".stripMargin,
+  )
+
   val queries: Map[String, Q] =
     cases.map { case (name, (dialectSql, _)) =>
       name -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
-        MiniSqlPlanner.run(s, d, dialectSql))
+        MiniSqlPlanner.run(s, d, dialectSql)): (String, Q)
+    } ++ ansiCases.map { case (name, sql) =>
+      name -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.sql.SparkSqlRunner.run(s, d, sql)): (String, Q)
     }
 
   val oracleSql: Map[String, String] =
-    cases.map { case (name, (_, oracle)) => name -> oracle }
+    cases.map { case (name, (_, oracle)) => name -> oracle } ++ ansiCases
 }

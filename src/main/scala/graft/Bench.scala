@@ -55,13 +55,18 @@ object Bench {
       try run(name)
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // a fast failure must not win the min and mask the honest run
+        return Double.PositiveInfinity
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map(name => name -> math.min(timed(name), timed(name)))
+    val results = names.map { name =>
+      val t = math.min(timed(name), timed(name))
+      name -> (if (t.isFinite) t else -1.0) // -1 marks a query that failed twice
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver's scraper (raw via build.sbt outputStrategy),
     // plus a file copy in case stdout is decorated by the launcher.

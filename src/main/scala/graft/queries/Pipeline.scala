@@ -43,6 +43,24 @@ object Pipeline extends QueryModule {
   private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in",
     "is", "on", "for", "with")
 
+  /** Quality-gate scoring columns and thresholds, shared STRUCTURALLY by
+    * the batch curation composite (p23) and the streaming quality gate
+    * (graft.streaming.Streams.qualityGate) so batch and stream cannot
+    * silently diverge. */
+  private[graft] val QualityMinStopRatio = 0.05
+  private[graft] val QualityMinTokens = 5L
+
+  private[graft] def withQualityScores(df: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    df.withColumn("n_tokens", size(t).cast(LongType))
+      .withColumn("stop_ratio",
+        size(filter(t, x => x.isin(Stopwords: _*))) / size(t))
+  }
+
+  private[graft] def qualityFilter(df: DataFrame): DataFrame =
+    df.filter(col("stop_ratio") >= QualityMinStopRatio &&
+      col("n_tokens") >= QualityMinTokens)
+
   /** `documents` rebalanced across the cluster before expensive per-row
     * work. The driver-provided table is one parquet row group, so the
     * scan stage gets ONE task regardless of split size — and every
@@ -527,16 +545,12 @@ object Pipeline extends QueryModule {
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keep_id"))
     val t = tokens(col("text"))
-    survivors
-      .select(
-        col("doc_id"),
-        size(t).cast(LongType).as("n_tokens"),
-        (size(filter(t, x => x.isin(Stopwords: _*))) / size(t)).as("stop_ratio"),
-        (size(array_distinct(t)) / size(t)).as("uniq_ratio"))
-      .withColumn("quality",
-        round((col("stop_ratio") + col("uniq_ratio")) / 2, 6))
-      .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 5 &&
-        col("quality") >= 0.3)
+    qualityFilter(
+      withQualityScores(survivors)
+        .withColumn("uniq_ratio", size(array_distinct(t)) / size(t))
+        .withColumn("quality",
+          round((col("stop_ratio") + col("uniq_ratio")) / 2, 6)))
+      .filter(col("quality") >= 0.3)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
 
@@ -555,7 +569,7 @@ object Pipeline extends QueryModule {
     * (CMS never undercounts: est >= exact always). */
   private def p24CmsCounts: Q = (s, d) => {
     def bucket(j: Column, term: Column): Column =
-      h60(concat(j.cast(StringType), lit(":"), term)) % CmsWidth
+      h60Seeded(j, term) % CmsWidth
     val terms = docsBalanced(s, d)
       .select(explode(tokens(col("text"))).as("term"))
     val cms = terms
@@ -989,8 +1003,7 @@ object Pipeline extends QueryModule {
          |WHERE doc_id = keep_id AND stop_ratio >= 0.05
          |  AND n_tokens >= 5 AND quality >= 0.3""".stripMargin,
     "p24_cms_counts" -> {
-      def b(j: String, t: String) =
-        s"${sqlH60(s"CAST($j AS VARCHAR) || ':' || $t")} % $CmsWidth"
+      def b(j: String, t: String) = s"${sqlH60Seeded(j, t)} % $CmsWidth"
       val probeList = CmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")
       s"""WITH terms AS (
          |  SELECT unnest($sqlToks) AS term FROM documents),

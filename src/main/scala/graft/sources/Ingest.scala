@@ -39,16 +39,20 @@ object Ingest {
     readDelimited(spark, inPath, schema, sep)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
 
-  /** Result sink in the reference's output format — a header line then
+  /** Result sink in the reference's output format — ONE header line then
     * tab-separated value rows (`QueryMain.executeQuery`,
-    * /root/reference/src/QueryMain.java:162-226) — written distributed:
-    * one part file per partition instead of one driver-side stream. */
+    * /root/reference/src/QueryMain.java:162-226). The default writes a
+    * single part file so concatenating the directory reproduces the
+    * reference's single result stream exactly (its results are
+    * human-sized); pass `singleFile = false` for a sharded write of large
+    * results, where each part file carries its own header. */
   def writeDelimited(
       df: DataFrame,
       outPath: String,
       sep: String = "\t",
-      header: Boolean = true): Unit =
-    df.write
+      header: Boolean = true,
+      singleFile: Boolean = true): Unit =
+    (if (singleFile) df.coalesce(1) else df).write
       .mode(SaveMode.Overwrite)
       .option("sep", sep)
       .option("header", header.toString)

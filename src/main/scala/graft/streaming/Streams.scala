@@ -108,14 +108,8 @@ object Streams {
     * events. (Streaming DEDUP needs state and lives in dedupEvents's
     * dropDuplicatesWithinWatermark pattern instead.) */
   def qualityGate(docs: DataFrame): DataFrame = {
-    val t = split(col("text"), " ")
-    docs
-      .select(col("doc_id"), col("text"),
-        size(t).cast("long").as("n_tokens"),
-        (size(filter(t, x =>
-          x.isin(graft.queries.Pipeline.Stopwords: _*))) / size(t))
-          .as("stop_ratio"))
-      .filter(col("stop_ratio") >= 0.05 && col("n_tokens") >= 5)
+    import graft.queries.Pipeline.{qualityFilter, withQualityScores}
+    qualityFilter(withQualityScores(docs))
       .select("doc_id", "n_tokens", "stop_ratio")
   }
 

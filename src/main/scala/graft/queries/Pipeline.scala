@@ -554,6 +554,41 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
   }
 
+  /** PMI collocation mining: pointwise mutual information of adjacent
+    * word pairs, ln((c12/B) / ((c1/T)(c2/T))) over OCCURRENCE counts
+    * (unigram total T, bigram total B) — the classic "which word pairs
+    * co-occur far above chance" statistic. Three counting shuffles with
+    * map-side combine plus two broadcast scalar totals; scores are
+    * rounded to 4 decimals before ranking so a last-ULP ln() difference
+    * can never flip an order, and the top-k uses the same salted
+    * two-phase pattern as p18. */
+  private def p25PmiCollocations: Q = (s, d) => {
+    val toks = docsBalanced(s, d).select(explode(tokens(col("text"))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tTot = toks.agg(count(lit(1)).as("t_total"))
+    val bi = shingleRows(s, d, 2)
+      .groupBy(col("shingle").as("bigram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val bTot = bi.agg(sum(col("c12")).as("b_total"))
+    val scored = bi.filter(col("c12") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .withColumn("pmi", round(log(
+        (col("c12").cast(DoubleType) * col("t_total") * col("t_total")) /
+          (col("b_total").cast(DoubleType) * col("c1") * col("c2"))), 4))
+    val local = Window.partitionBy(pmod(hash(col("bigram")), lit(64)))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+    val global = Window.partitionBy(lit(1))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+    scored
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 15)
+      .withColumn("rnk", row_number().over(global).cast(IntegerType))
+      .filter(col("rnk") <= 15)
+      .select("rnk", "bigram", "c12", "pmi")
+  }
+
   private val CmsDepth = 4
   private val CmsWidth = 8192
   private val CmsProbes = Seq("the", "a", "of", "and", "to")
@@ -713,6 +748,7 @@ object Pipeline extends QueryModule {
     "p22_langid_ngram" -> p22LangidNgram,
     "p23_curation" -> p23Curation,
     "p24_cms_counts" -> p24CmsCounts,
+    "p25_pmi_collocations" -> p25PmiCollocations,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -1002,6 +1038,30 @@ object Pipeline extends QueryModule {
          |SELECT doc_id, n_tokens, quality FROM q
          |WHERE doc_id = keep_id AND stop_ratio >= 0.05
          |  AND n_tokens >= 5 AND quality >= 0.3""".stripMargin,
+    "p25_pmi_collocations" ->
+      s"""WITH toks AS (SELECT unnest($sqlToks) AS w FROM documents),
+         |uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+         |tt AS (SELECT COUNT(*) AS t_total FROM toks),
+         |bi0 AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> array_to_string(t[i:i+1], ' '))) AS bigram
+         |  FROM (SELECT $sqlToks AS t FROM documents)),
+         |bi AS (SELECT bigram, COUNT(*) AS c12,
+         |    split_part(bigram, ' ', 1) AS w1,
+         |    split_part(bigram, ' ', 2) AS w2
+         |  FROM bi0 GROUP BY bigram),
+         |bt AS (SELECT CAST(SUM(c12) AS BIGINT) AS b_total FROM bi),
+         |sc AS (SELECT bigram, c12,
+         |    round(ln((CAST(c12 AS DOUBLE) * t_total * t_total) /
+         |      (CAST(b_total AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+         |  FROM bi
+         |  JOIN uni u1 ON u1.w = bi.w1
+         |  JOIN uni u2 ON u2.w = bi.w2, tt, bt
+         |  WHERE c12 >= 5),
+         |r AS (SELECT bigram, c12, pmi,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rnk
+         |  FROM sc)
+         |SELECT rnk, bigram, c12, pmi FROM r WHERE rnk <= 15""".stripMargin,
     "p24_cms_counts" -> {
       def b(j: String, t: String) = s"${sqlH60Seeded(j, t)} % $CmsWidth"
       val probeList = CmsProbes.map(t => s"'$t'").mkString("[", ", ", "]")

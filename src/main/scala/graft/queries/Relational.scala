@@ -460,6 +460,21 @@ object Relational extends QueryModule {
         col("o_orderkey").isNull.as("no_big_order"),
         when(col("o_orderkey").isNotNull, "has").otherwise("none").as("tag"))
 
+  /** UNION ALL — bag union, no dedup shuffle at all (q26 is the DISTINCT
+    * flavor). Planned as a pure concatenation of the two scans. */
+  private def q48UnionAll: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_nationkey") === 1)
+      .select(col("c_custkey").as("k"))
+      .unionAll(Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("k")))
+
+  /** EXCEPT ALL — bag difference with multiplicity (each occurrence on
+    * the right cancels one on the left), the multiset cousin of q25. */
+  private def q49ExceptAll: Q = (s, d) =>
+    Tables.orders(s, d).select(col("o_custkey").as("k"))
+      .exceptAll(Tables.customer(s, d)
+        .filter(col("c_nationkey") < 13).select(col("c_custkey").as("k")))
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -568,6 +583,8 @@ object Relational extends QueryModule {
     "q45_lag_lead" -> q45LagLead,
     "q46_date_arith" -> q46DateArith,
     "q47_null_handling" -> q47NullHandling,
+    "q48_union_all" -> q48UnionAll,
+    "q49_except_all" -> q49ExceptAll,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -820,5 +837,13 @@ object Relational extends QueryModule {
         |FROM customer LEFT JOIN
         |  (SELECT * FROM orders WHERE o_totalprice > 400000) o
         |  ON c_custkey = o_custkey""".stripMargin,
+    "q48_union_all" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_nationkey = 1
+        |UNION ALL
+        |SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000""".stripMargin,
+    "q49_except_all" ->
+      """SELECT o_custkey AS k FROM orders
+        |EXCEPT ALL
+        |SELECT c_custkey AS k FROM customer WHERE c_nationkey < 13""".stripMargin,
   )
 }

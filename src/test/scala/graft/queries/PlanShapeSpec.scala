@@ -69,5 +69,16 @@ class PlanShapeSpec extends SparkSpec {
       s"q09 shuffles more than the single keyed exchange (+AQE read):\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"q09 regressed to the self-join plan:\n$p")
+    Seq("q44_running_total", "q45_lag_lead").foreach { q =>
+      val w = plan(q)
+      assert(w.linesIterator.count(_.contains("Exchange")) <= 2,
+        s"$q lost its single-exchange shape:\n$w")
+    }
+  }
+
+  test("UNION ALL is pure concatenation — no exchange, no aggregate") {
+    val p = plan("q48_union_all")
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
+      s"q48 plans a shuffle or dedup for a bag union:\n$p")
   }
 }

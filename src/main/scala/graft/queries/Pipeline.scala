@@ -721,6 +721,29 @@ object Pipeline extends QueryModule {
       .agg(count(lit(1)).as("n_follow"))
   }
 
+  /** Conversion funnel: of users whose first click exists, how many made
+    * a purchase within 30 minutes of it. Two keyed shuffles on user_id
+    * (first-click agg, then purchase match) and a single global roll-up
+    * row — per-user work is independent, so the shape holds at any user
+    * count. */
+  private def p26Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts_us")).as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"))
+    firstClick.join(purchases, Seq("user_id"), "left_outer")
+      .withColumn("hit",
+        when(col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + lit(1800000000L), 1).otherwise(0))
+      .groupBy("user_id").agg(max(col("hit")).as("converted"))
+      .agg(
+        count(lit(1)).as("n_clickers"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast(DoubleType) / col("n_clickers"), 4))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -749,6 +772,7 @@ object Pipeline extends QueryModule {
     "p23_curation" -> p23Curation,
     "p24_cms_counts" -> p24CmsCounts,
     "p25_pmi_collocations" -> p25PmiCollocations,
+    "p26_funnel" -> p26Funnel,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -1038,6 +1062,23 @@ object Pipeline extends QueryModule {
          |SELECT doc_id, n_tokens, quality FROM q
          |WHERE doc_id = keep_id AND stop_ratio >= 0.05
          |  AND n_tokens >= 5 AND quality >= 0.3""".stripMargin,
+    "p26_funnel" ->
+      """WITH fc AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS c_ts FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |hits AS (
+        |  SELECT fc.user_id, MAX(CASE WHEN p.p_ts >= fc.c_ts
+        |      AND p.p_ts <= fc.c_ts + 1800000000 THEN 1 ELSE 0 END)
+        |    AS converted
+        |  FROM fc LEFT JOIN
+        |    (SELECT user_id, epoch_us(ts) AS p_ts FROM events
+        |     WHERE event_type = 'purchase') p
+        |    ON fc.user_id = p.user_id
+        |  GROUP BY fc.user_id)
+        |SELECT COUNT(*) AS n_clickers,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+        |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4) AS conv_rate
+        |FROM hits""".stripMargin,
     "p25_pmi_collocations" ->
       s"""WITH toks AS (SELECT unnest($sqlToks) AS w FROM documents),
          |uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),

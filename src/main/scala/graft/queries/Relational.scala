@@ -475,6 +475,20 @@ object Relational extends QueryModule {
       .exceptAll(Tables.customer(s, d)
         .filter(col("c_nationkey") < 13).select(col("c_custkey").as("k")))
 
+  /** Distribution window functions — NTILE quartiles and percent_rank
+    * per nation over a total (balance, key) order. percent_rank's
+    * (rank-1)/(n-1) is a single division of exact integers, rounded so
+    * both engines agree to the last bit. */
+  private def q50Ntile: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+  }
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -585,6 +599,7 @@ object Relational extends QueryModule {
     "q47_null_handling" -> q47NullHandling,
     "q48_union_all" -> q48UnionAll,
     "q49_except_all" -> q49ExceptAll,
+    "q50_ntile" -> q50Ntile,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -845,5 +860,12 @@ object Relational extends QueryModule {
       """SELECT o_custkey AS k FROM orders
         |EXCEPT ALL
         |SELECT c_custkey AS k FROM customer WHERE c_nationkey < 13""".stripMargin,
+    "q50_ntile" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
   )
 }

@@ -66,7 +66,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // a twice-failed query must not quietly IMPROVE the headline total:
+    // any failure poisons it to -1 so round-over-round comparisons scream
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver's scraper (raw via build.sbt outputStrategy),
     // plus a file copy in case stdout is decorated by the launcher.

@@ -565,7 +565,9 @@ object Pipeline extends QueryModule {
   private def p25PmiCollocations: Q = (s, d) => {
     val toks = docsBalanced(s, d).select(explode(tokens(col("text"))).as("w"))
     val uni = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val tTot = toks.agg(count(lit(1)).as("t_total"))
+    // totals come from the tiny aggregated sides (like bTot below), never
+    // a second explode pass over the corpus
+    val tTot = uni.agg(sum(col("c")).as("t_total"))
     val bi = shingleRows(s, d, 2)
       .groupBy(col("shingle").as("bigram")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))

@@ -52,7 +52,11 @@ object Ingest {
       sep: String = "\t",
       header: Boolean = true,
       singleFile: Boolean = true): Unit =
-    (if (singleFile) df.coalesce(1) else df).write
+    // repartition(1), not coalesce(1): coalesce would propagate the
+    // single-task constraint up through the whole final stage and run a
+    // map-only query serially; the explicit exchange keeps the compute
+    // parallel and only the write is one task.
+    (if (singleFile) df.repartition(1) else df).write
       .mode(SaveMode.Overwrite)
       .option("sep", sep)
       .option("header", header.toString)

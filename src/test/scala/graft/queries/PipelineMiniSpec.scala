@@ -200,6 +200,34 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_tokens") == 10L)
   }
 
+  test("p17 tf-idf ranks the repeated rare term first") {
+    // "the" is doc 3's only tf=2 term and appears in no other doc, so its
+    // score 2*ln(6/2) tops the doc's ranking.
+    val top = run("p17_tfidf_topterms")
+      .filter(col("doc_id") === 3 && col("rnk") === 1).head()
+    assert(top.getAs[String]("term") == "the")
+  }
+
+  test("p18 top bigram is the alphabetically-first 3-document bigram") {
+    // docs 0, 1, 2 share the base text's bigrams (document frequency 3);
+    // ties break on the bigram itself, so "alpha beta" ranks first.
+    val top = run("p18_bigram_top").filter(col("rnk") === 1).head()
+    assert(top.getAs[String]("bigram") == "alpha beta")
+    assert(top.getAs[Long]("n") == 3L)
+  }
+
+  test("p25 PMI emits nothing below the count threshold") {
+    // no mini bigram reaches 5 occurrences, so the threshold filters all
+    assert(run("p25_pmi_collocations").isEmpty)
+  }
+
+  test("p26 funnel counts clickers; the mini corpus converts nobody") {
+    val r = run("p26_funnel").head()
+    assert(r.getAs[Long]("n_clickers") == 1L) // only user 7 clicks
+    assert(r.getAs[Long]("n_converted") == 0L) // user 8's purchase is unrelated
+    assert(r.getAs[Double]("conv_rate") == 0.0)
+  }
+
   test("p24 CMS never undercounts and is exact on the mini corpus") {
     val rows = run("p24_cms_counts").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

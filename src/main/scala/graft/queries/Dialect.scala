@@ -99,6 +99,12 @@ object Dialect extends QueryModule {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_custkey IN
         |  (SELECT c_custkey FROM customer WHERE c_nationkey = 3)""".stripMargin,
+    "s12_sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+    "s13_sql_having" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |GROUP BY o_orderstatus HAVING COUNT(*) > 1000""".stripMargin,
   )
 
   val queries: Map[String, Q] =

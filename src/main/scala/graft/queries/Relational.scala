@@ -489,6 +489,17 @@ object Relational extends QueryModule {
         round(percent_rank().over(w), 6).as("pct_rank"))
   }
 
+  /** Sorted string aggregation (LISTAGG analogue): distinct priorities
+    * per status as one sorted CSV. `collect_set` alone is
+    * order-nondeterministic under parallelism — `array_sort` before the
+    * join makes the result identical on any partitioning, matching
+    * DuckDB's `string_agg(DISTINCT ... ORDER BY ...)`. */
+  private def q51ListAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+        .as("prios"))
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -600,6 +611,7 @@ object Relational extends QueryModule {
     "q48_union_all" -> q48UnionAll,
     "q49_except_all" -> q49ExceptAll,
     "q50_ntile" -> q50Ntile,
+    "q51_listagg" -> q51ListAgg,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -867,5 +879,10 @@ object Relational extends QueryModule {
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+    "q51_listagg" ->
+      """SELECT o_orderstatus,
+        |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+        |    AS prios
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
   )
 }

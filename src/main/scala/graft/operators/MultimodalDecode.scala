@@ -33,7 +33,11 @@ object MultimodalDecode {
   def decodeFrames(df: DataFrame): Dataset[DecodedFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id").cast(LongType), col("payload").cast(BinaryType))
+    df.select(col("doc_id").cast(LongType),
+        // a null payload decodes to zero frames, matching the p14
+        // expression path's when() null-skip (no NPE in the task)
+        coalesce(col("payload").cast(BinaryType), lit(Array.empty[Byte]))
+          .as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // A real decoder opens its (expensive) native codec context here,

@@ -794,7 +794,8 @@ object Pipeline extends QueryModule {
          |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
          |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
          |sig AS (SELECT doc_id, [$sqlSigList] AS sig,
-         |    list(${sqlH60("shingle")}) AS shset, COUNT(*) AS n
+         |    list(DISTINCT ${sqlH60("shingle")}) AS shset,
+         |    COUNT(DISTINCT ${sqlH60("shingle")}) AS n
          |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, b AS band, array_to_string(list_transform(

@@ -39,11 +39,15 @@ object Ingest {
     readDelimited(spark, inPath, schema, sep)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
 
-  /** Result sink in the reference's output format — ONE header line then
-    * tab-separated value rows (`QueryMain.executeQuery`,
-    * /root/reference/src/QueryMain.java:162-226). The default writes a
-    * single part file so concatenating the directory reproduces the
-    * reference's single result stream exactly (its results are
+  /** Result sink in the spirit of the reference's output format — a
+    * header line then tab-separated value rows (`QueryMain.executeQuery`,
+    * /root/reference/src/QueryMain.java:162-226). NOT byte-identical to
+    * the reference: QueryMain prints the header with double-space
+    * separators, a trailing tab after every value, and `-NULL-` for
+    * nulls, while Spark's CSV sink emits a sep-joined header, no trailing
+    * tab, empty strings for nulls, and quotes fields containing the
+    * separator. The default writes a single part file so concatenating
+    * the directory yields one result stream (reference results are
     * human-sized); pass `singleFile = false` for a sharded write of large
     * results, where each part file carries its own header. */
   def writeDelimited(

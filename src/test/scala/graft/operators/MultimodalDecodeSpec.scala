@@ -19,6 +19,14 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(byDoc == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("null payload decodes to zero frames, not an NPE") {
+    val withNull = Seq((1L, Some("abc".getBytes("UTF-8"))), (2L, None))
+      .toDF("doc_id", "payload")
+    val byDoc = MultimodalDecode.decodeFrames(withNull)
+      .groupByKey(_.doc_id).count().collect().toMap
+    assert(byDoc == Map(1L -> 1L)) // the null row contributes nothing
+  }
+
   test("decoded features are deterministic and exact") {
     val frames = MultimodalDecode.decodeFrames(payloads)
       .filter(_.doc_id == 1L).collect().sortBy(_.frame_idx)

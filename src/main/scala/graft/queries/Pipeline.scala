@@ -746,6 +746,157 @@ object Pipeline extends QueryModule {
         round(col("n_converted").cast(DoubleType) / col("n_clickers"), 4))
   }
 
+  // ---- training-set assembly (chunking / packing / sampling) -------------
+
+  // Context-window chunking: 32-token chunks every 24 tokens (8-token
+  // overlap so no boundary-spanning phrase is lost to a hard cut).
+  private val ChunkTokens = 32
+  private val ChunkStride = 24
+
+  /** Fixed-size token chunking for context-window preparation: each doc
+    * explodes into overlapping 32-token chunks on a 24-token stride. Pure
+    * map-side explode — no shuffle at all; at 100 TB this is one linear
+    * pass whose output partitioning inherits the input's. The trailing
+    * partial chunk is kept (short tail beats silently dropped tokens in
+    * a training corpus). */
+  private def p27DocChunking: Q = (s, d) =>
+    docsBalanced(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("i"))
+      .select(col("doc_id"),
+        ((col("i") - 1) / lit(ChunkStride)).cast(LongType).as("chunk_id"),
+        concat_ws(" ", slice(col("t"), col("i"), lit(ChunkTokens)))
+          .as("chunk_text"),
+        size(slice(col("t"), col("i"), lit(ChunkTokens))).cast(LongType)
+          .as("n_tok"))
+
+  // Token-budget sharding: ~4096 tokens per shard, 100 docs per cumsum
+  // range (ranges only bound the prefix-sum fan-in, not shard size).
+  private val ShardTokens = 4096L
+  private val RangeDocs = 100L
+
+  /** Token-budget sharding for training-data assembly: docs in doc_id
+    * order are packed into consecutive shards of ~4096 tokens by running
+    * token count (documents split at shard boundaries — the
+    * boundary-splitting packing regime, where no capacity is wasted).
+    * The running sum is the textbook distributed prefix sum, NOT a
+    * single-partition global window: per-doc counts aggregate into
+    * coarse doc_id ranges, the tiny range table alone passes through an
+    * ordered window (rows = corpus/100, broadcastable), and each doc's
+    * global cumsum is its range offset plus an in-range window
+    * partitioned by range. No stage funnels the corpus through one
+    * task. */
+  private def p28TokenShards: Q = (s, d) => {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n"))
+      .withColumn("rng", floor(col("doc_id") / lit(RangeDocs)))
+    val offsets = perDoc.groupBy("rng").agg(sum(col("n")).as("rn"))
+      .withColumn("off", coalesce(
+        sum(col("rn")).over(Window.orderBy("rng")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("rng", "off")
+    val cum = perDoc.join(broadcast(offsets), "rng")
+      .withColumn("cum", col("off") +
+        sum(col("n")).over(Window.partitionBy("rng").orderBy("doc_id")))
+    cum.groupBy(((col("cum") - 1) / lit(ShardTokens)).cast(LongType)
+        .as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  // Edit-distance near-dup: 2 one-row MinHash bands for candidates
+  // (P(candidate) = 1-(1-j)^2 — a j=0.9 pair missed with p=1%), then a
+  // length prefilter (|len_a-len_b| ≤ 0.35·max is implied by any
+  // accepted distance, and costs O(1) vs the DP's O(n²)) before the
+  // exact Levenshtein verify at relative distance ≤ 0.2 — measured
+  // bimodal on the corpus: near-dups ≤0.1, background ≥0.6.
+  private val EditRelThreshold = 0.2
+  private val EditLenPrefilter = 0.35
+
+  /** Near-dedup verified by exact edit distance — the character-level
+    * complement of p02's token-set Jaccard (catches heavy in-place
+    * rewording that preserves few shingles yet small char edits).
+    * Candidates come ONLY from shared MinHash band buckets, never
+    * all-pairs; the O(len²) Levenshtein DP runs solely on
+    * length-compatible candidates, and the tiny candidate list broadcasts
+    * against the corpus so no text ever shuffles. */
+  private def p29EditNearDup: Q = (s, d) => {
+    val sh = shingleRows(s, d, ShingleW)
+      .withColumn("dg", md5(col("shingle")))
+      .withColumn("h1", conv(substring(col("dg"), 1, 15), 16, 10).cast(LongType))
+      .withColumn("h2", conv(substring(col("dg"), 16, 10), 16, 10).cast(LongType))
+    val sig = sh.groupBy("doc_id").agg(
+      min(hashFamFrom(0, col("h1"), col("h2"))).as("b0"),
+      min(hashFamFrom(1, col("h1"), col("h2"))).as("b1"))
+    val bands = sig.selectExpr("doc_id",
+      "stack(2, 0, b0, 1, b1) AS (band, bkey)")
+    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      col("n_chars"))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("n_chars").as("la")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("n_chars").as("lb")), "doc_b")
+      .withColumn("mx", greatest(col("la"), col("lb")))
+      .filter(abs(col("la") - col("lb")) <= lit(EditLenPrefilter) * col("mx"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast(LongType))
+      .filter(col("dist") <= lit(EditRelThreshold) * col("mx"))
+      .select(col("doc_a"), col("doc_b"), col("dist"),
+        round(col("dist") / col("mx"), 6).as("rel_dist"))
+  }
+
+  private val StratumSampleK = 5
+
+  /** Deterministic stratified sampling: the k=5 smallest portable text
+    * hashes per (lang, source) stratum — a reproducible uniform draw
+    * (md5 is uniform on text) that guarantees every stratum is
+    * represented, where p19's global hash split samples proportionally.
+    * One keyed shuffle on the stratum; per-stratum window state is a
+    * single counter, and stratum cardinality (langs × sources) bounds
+    * skew. */
+  private def p30StratifiedSample: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(h60(col("text")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= StratumSampleK)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+  }
+
+  /** Repetition / boilerplate quality signals (the Gopher-style
+    * repetition filters): per-doc distinct-token ratio, top-token
+    * dominance, and duplicate-bigram fraction. Two counting aggregations
+    * keyed on doc_id (token-level and bigram-level) joined back — every
+    * stage is a map-side-combinable groupBy; nothing pairwise, nothing
+    * driver-side. */
+  private def p31RepetitionScore: Q = (s, d) => {
+    val tc = docsBalanced(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val uni = tc.groupBy("doc_id").agg(
+      sum(col("c")).as("n"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_cnt"))
+    val bi = shingleRows(s, d, 2).groupBy("doc_id").agg(
+      count(lit(1)).as("n_bi"),
+      countDistinct(col("shingle")).as("n_bi_d"))
+    uni.join(bi, "doc_id")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(col("n_distinct") / col("n"), 6).as("distinct_ratio"),
+        round(col("top_cnt") / col("n"), 6).as("top_token_frac"),
+        when(col("n_bi") > 0,
+          round(lit(1.0) - col("n_bi_d") / col("n_bi"), 6))
+          .otherwise(0.0).as("dup_bigram_frac"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -775,6 +926,11 @@ object Pipeline extends QueryModule {
     "p24_cms_counts" -> p24CmsCounts,
     "p25_pmi_collocations" -> p25PmiCollocations,
     "p26_funnel" -> p26Funnel,
+    "p27_doc_chunking" -> p27DocChunking,
+    "p28_token_shards" -> p28TokenShards,
+    "p29_edit_neardup" -> p29EditNearDup,
+    "p30_stratified_sample" -> p30StratifiedSample,
+    "p31_repetition_score" -> p31RepetitionScore,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -795,7 +951,7 @@ object Pipeline extends QueryModule {
          |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
          |sig AS (SELECT doc_id, [$sqlSigList] AS sig,
          |    list(DISTINCT ${sqlH60("shingle")}) AS shset,
-         |    COUNT(DISTINCT ${sqlH60("shingle")}) AS n
+         |    len(shset) AS n
          |  FROM sh GROUP BY doc_id),
          |bands AS (
          |  SELECT doc_id, b AS band, array_to_string(list_transform(
@@ -1136,6 +1292,77 @@ object Pipeline extends QueryModule {
         |FROM p JOIN ev ON p.user_id = ev.user_id
         |  AND ev.ts_us >= p.p_ts AND ev.ts_us <= p.p_ts + 600000000
         |GROUP BY 1""".stripMargin,
+    "p27_doc_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |c AS (SELECT doc_id, unnest(generate_series(1, len(t), $ChunkStride)) AS i, t
+         |  FROM t)
+         |SELECT doc_id, CAST((i-1)//$ChunkStride AS BIGINT) AS chunk_id,
+         |  array_to_string(t[i:i+${ChunkTokens - 1}], ' ') AS chunk_text,
+         |  CAST(len(t[i:i+${ChunkTokens - 1}]) AS BIGINT) AS n_tok
+         |FROM c""".stripMargin,
+    "p28_token_shards" ->
+      s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM n)
+         |SELECT CAST((cum-1)//$ShardTokens AS BIGINT) AS shard,
+         |  COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM c GROUP BY 1""".stripMargin,
+    "p29_edit_neardup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+         |sig AS (SELECT doc_id, MIN(${sqlHashFam(0, "shingle")}) AS b0,
+         |    MIN(${sqlHashFam(1, "shingle")}) AS b1
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, b0 AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, b1 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b, ta.text AS xa, tb.text AS xb,
+         |    greatest(ta.n_chars, tb.n_chars) AS mx
+         |  FROM cand c
+         |  JOIN documents ta ON ta.doc_id = c.doc_a
+         |  JOIN documents tb ON tb.doc_id = c.doc_b
+         |  WHERE abs(ta.n_chars - tb.n_chars)
+         |    <= $EditLenPrefilter * greatest(ta.n_chars, tb.n_chars))
+         |SELECT doc_a, doc_b, CAST(levenshtein(xa, xb) AS BIGINT) AS dist,
+         |  round(levenshtein(xa, xb) * 1.0 / mx, 6) AS rel_dist
+         |FROM pairs
+         |WHERE levenshtein(xa, xb) <= $EditRelThreshold * mx""".stripMargin,
+    "p30_stratified_sample" ->
+      s"""SELECT doc_id, lang, source, rk FROM (
+         |  SELECT doc_id, lang, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+         |      ORDER BY ${sqlH60("text")}, doc_id) AS INT) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $StratumSampleK""".stripMargin,
+    "p31_repetition_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_cnt
+         |  FROM tc GROUP BY 1),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+         |    i -> array_to_string(t[i:i+1], ' '))) AS bigram
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+         |bi AS (SELECT doc_id, COUNT(*) AS n_bi,
+         |    COUNT(DISTINCT bigram) AS n_bi_d
+         |  FROM bg GROUP BY 1)
+         |SELECT uni.doc_id, n AS n_tokens,
+         |  round(n_distinct * 1.0 / n, 6) AS distinct_ratio,
+         |  round(top_cnt * 1.0 / n, 6) AS top_token_frac,
+         |  CASE WHEN n_bi > 0 THEN round(1.0 - n_bi_d * 1.0 / n_bi, 6)
+         |    ELSE 0.0 END AS dup_bigram_frac
+         |FROM uni JOIN bi USING (doc_id)""".stripMargin,
     "p11_events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -236,6 +236,64 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows("the")._2 == 2L) // doc 3 contains "the" twice
   }
 
+  test("p27 chunking covers every token and respects the stride") {
+    val rows = run("p27_doc_chunking")
+      .filter(col("doc_id") === 0).orderBy("chunk_id").collect()
+    // 29 tokens, stride 24: starts at 1 and 25
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("chunk_id") == 0L)
+    assert(rows(0).getAs[Long]("n_tok") == 29L) // 32-cap truncates at end
+    assert(rows(1).getAs[Long]("n_tok") == 5L) // tokens 25..29
+    val one = run("p27_doc_chunking").filter(col("doc_id") === 3).collect()
+    assert(one.length == 1) // 10 tokens -> single chunk = the whole doc
+    assert(one.head.getAs[String]("chunk_text") ==
+      "the quick brown fox jumps over the lazy dog today")
+  }
+
+  test("p28 token sharding packs the mini corpus into one exact shard") {
+    val r = run("p28_token_shards").collect()
+    assert(r.length == 1) // 29*3 + 10 + 8 = 105 tokens < 4096
+    val row = r.head
+    assert(row.getAs[Long]("shard") == 0L)
+    assert(row.getAs[Long]("n_docs") == 5L)
+    assert(row.getAs[Long]("total_tokens") == 105L)
+    assert(row.getAs[Long]("first_doc") == 0L)
+    assert(row.getAs[Long]("last_doc") == 4L)
+  }
+
+  test("p29 edit-distance near-dup finds the planted pairs with exact distances") {
+    val pairs = run("p29_edit_neardup")
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist")))
+    // docs 0=1 (identical), 2 differs by the 4-char five->FIVE edit
+    assert(pairs.toSet ==
+      Set((0L, 1L, 0L), (0L, 2L, 4L), (1L, 2L, 4L)))
+    val rel = run("p29_edit_neardup").collect()
+      .map(_.getAs[Double]("rel_dist"))
+    assert(rel.forall(_ <= 0.2))
+  }
+
+  test("p30 stratified sample keeps <=k per stratum, ties broken by doc_id") {
+    val rows = run("p30_stratified_sample").collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("rk")).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L)) // every stratum <= k
+    // docs 0 and 1 share text (equal hash) -> doc_id tiebreak orders them
+    assert(rows(0L) == 1 && rows(1L) == 2)
+    assert(rows(2L) == 1 && rows(3L) == 1 && rows(4L) == 1)
+  }
+
+  test("p31 repetition scores match hand counts") {
+    val r = run("p31_repetition_score")
+      .filter(col("doc_id") === 3).head()
+    assert(r.getAs[Long]("n_tokens") == 10L)
+    assert(r.getAs[Double]("distinct_ratio") == 0.9) // "the" appears twice
+    assert(r.getAs[Double]("top_token_frac") == 0.2)
+    assert(r.getAs[Double]("dup_bigram_frac") == 0.0) // all 9 bigrams distinct
+    val base = run("p31_repetition_score")
+      .filter(col("doc_id") === 0).head()
+    assert(base.getAs[Double]("distinct_ratio") == 1.0) // 29 distinct tokens
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

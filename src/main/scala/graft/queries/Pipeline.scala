@@ -909,6 +909,44 @@ object Pipeline extends QueryModule {
           .otherwise(0.0).as("dup_bigram_frac"))
   }
 
+  /** Duplicate-cluster resolution: connected components over the p02
+    * near-dup pair graph via min-label propagation — the step that turns
+    * pairwise matches into per-doc keep/drop decisions (cluster id = the
+    * smallest doc_id in the component, `keep` marks the canonical doc).
+    * The propagation is the standard BSP pattern (what GraphX Pregel
+    * runs): each round is one fully-distributed keyed shuffle, the
+    * driver only counts whether any label still shrank, and rounds are
+    * bounded by the cluster diameter — near-dup clusters are shallow
+    * (template families), so a handful of rounds at any corpus size.
+    * Labels are checkpointed per round: iterative lineage would
+    * otherwise re-run every prior round each action. */
+  private def p32DupClusters: Q = (s, d) => {
+    val pairs = p02MinhashNearDup(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(false)
+    var converged = false
+    while (!converged) {
+      val viaNeighbor = edges
+        .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("doc_id"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") < col("old"))
+        .isEmpty
+      labels = next
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      when(col("lbl") === col("doc_id"), 1).otherwise(0).as("keep"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -938,6 +976,7 @@ object Pipeline extends QueryModule {
     "p24_cms_counts" -> p24CmsCounts,
     "p25_pmi_collocations" -> p25PmiCollocations,
     "p26_funnel" -> p26Funnel,
+    "p32_dup_clusters" -> p32DupClusters,
     "p27_doc_chunking" -> p27DocChunking,
     "p28_token_shards" -> p28TokenShards,
     "p29_edit_neardup" -> p29EditNearDup,
@@ -952,40 +991,56 @@ object Pipeline extends QueryModule {
   private val sqlStops =
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // p02's full oracle text, shared with p32 (which clusters p02's pairs).
+  private val sqlP02: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+       |sig AS (SELECT doc_id, [$sqlSigList] AS sig,
+       |    list(DISTINCT ${sqlH60("shingle")}) AS shset,
+       |    len(shset) AS n
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b AS band, array_to_string(list_transform(
+       |    sig[b*$BandRows+1 : b*$BandRows+$BandRows],
+       |    x -> CAST(x AS VARCHAR)), ',') AS bkey
+       |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    len(list_intersect(da.shset, db.shset)) AS ninter,
+       |    da.n AS na, db.n AS nb
+       |  FROM cand c
+       |  JOIN sig da ON da.doc_id = c.doc_a
+       |  JOIN sig db ON db.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b,
+       |  CAST(ninter AS DOUBLE) / (na + nb - ninter) AS jaccard
+       |FROM pairs
+       |WHERE CAST(ninter AS DOUBLE) / (na + nb - ninter)
+       |  >= $JaccardThreshold""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "p32_dup_clusters" ->
+      s"""WITH RECURSIVE p AS ($sqlP02),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id,
+         |  CAST(CASE WHEN least(src, MIN(dst)) = src THEN 1 ELSE 0 END
+         |    AS INT) AS keep
+         |FROM reach GROUP BY src""".stripMargin,
     "p01_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS dup_cnt
         |FROM documents GROUP BY 1""".stripMargin,
-    "p02_minhash_neardup" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
-         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
-         |sig AS (SELECT doc_id, [$sqlSigList] AS sig,
-         |    list(DISTINCT ${sqlH60("shingle")}) AS shset,
-         |    len(shset) AS n
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, b AS band, array_to_string(list_transform(
-         |    sig[b*$BandRows+1 : b*$BandRows+$BandRows],
-         |    x -> CAST(x AS VARCHAR)), ',') AS bkey
-         |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b) bs),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    len(list_intersect(da.shset, db.shset)) AS ninter,
-         |    da.n AS na, db.n AS nb
-         |  FROM cand c
-         |  JOIN sig da ON da.doc_id = c.doc_a
-         |  JOIN sig db ON db.doc_id = c.doc_b)
-         |SELECT doc_a, doc_b,
-         |  CAST(ninter AS DOUBLE) / (na + nb - ninter) AS jaccard
-         |FROM pairs
-         |WHERE CAST(ninter AS DOUBLE) / (na + nb - ninter)
-         |  >= $JaccardThreshold""".stripMargin,
+    "p02_minhash_neardup" -> sqlP02,
     "p03_simhash_fingerprint" ->
       s"""WITH tok AS (
          |  SELECT doc_id, ${sqlH60("tok")} AS hv FROM (

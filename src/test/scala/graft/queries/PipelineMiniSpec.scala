@@ -294,6 +294,15 @@ class PipelineMiniSpec extends SparkSpec {
     assert(base.getAs[Double]("distinct_ratio") == 1.0) // 29 distinct tokens
   }
 
+  test("p32 dup clusters collapse the near-dup triangle to one canonical doc") {
+    val rows = run("p32_dup_clusters").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // p02 emits pairs (0,1),(0,2),(1,2) -> a single component labeled 0
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    assert(rows.values.map(_._1).toSet == Set(0L))
+    assert(rows(0L)._2 == 1 && rows(1L)._2 == 0 && rows(2L)._2 == 0)
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -286,7 +286,12 @@ object Pipeline extends QueryModule {
     * a deterministic stand-in for k-means centroids, which keeps the
     * DuckDB oracle bit-exact; a production build would train the codebook
     * offline and broadcast it the same way. */
-  private def p20AnnIvf: Q = (s, d) => {
+  /** IVF cell assignment shared by p20 (probe search) and p33 (kNN
+    * graph): every vector keyed to its nearest codebook centroid via a
+    * broadcast crossJoin + per-vector argmax — one map-side pass, one
+    * keyed shuffle for the argmax window. Checkpointed because both
+    * consumers read it from two join sides. */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
@@ -295,7 +300,7 @@ object Pipeline extends QueryModule {
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
         round(vdot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
           .as("csim"))
@@ -303,6 +308,10 @@ object Pipeline extends QueryModule {
       .filter(col("arnk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
       .localCheckpoint(false)
+  }
+
+  private def p20AnnIvf: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
     val probes = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("cell"))
@@ -315,6 +324,29 @@ object Pipeline extends QueryModule {
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+  /** kNN graph over ALL vectors, IVF-bucketed: each vector's top-3
+    * cosine neighbors searched only within its centroid cell — the
+    * |corpus|²→Σ|cell|² candidate reduction that makes a full
+    * neighbor-graph build (the input to embedding-space dedup and
+    * clustering) tractable. The per-vector top-k window reads at most
+    * one cell, so no reducer ever sees more than a cell's worth of
+    * candidates; finer codebooks shrink cells as the corpus grows. */
+  private def p33KnnGraph: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
+    val sims = assigned.join(
+        assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+          col("v").as("nv"), col("nrm").as("nnrm")), Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(vdot(col("v"), col("nv")) / (col("nrm") * col("nnrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("vec_id", "nbr_id", "rnk", "sim")
   }
 
   /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors are bucketed
@@ -977,6 +1009,7 @@ object Pipeline extends QueryModule {
     "p25_pmi_collocations" -> p25PmiCollocations,
     "p26_funnel" -> p26Funnel,
     "p32_dup_clusters" -> p32DupClusters,
+    "p33_knn_graph" -> p33KnnGraph,
     "p27_doc_chunking" -> p27DocChunking,
     "p28_token_shards" -> p28TokenShards,
     "p29_edit_neardup" -> p29EditNearDup,
@@ -1246,6 +1279,33 @@ object Pipeline extends QueryModule {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
         |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "p33_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+        |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
+        |  WHERE arnk = 1),
+        |s AS (
+        |  SELECT x.vec_id, y.vec_id AS nbr_id,
+        |    round(list_sum(list_transform(generate_series(1, len(x.v)),
+        |      i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 6) AS sim
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        |r AS (SELECT vec_id, nbr_id, sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, nbr_id) AS INT) AS rnk FROM s)
+        |SELECT vec_id, nbr_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
     "p21_winnow_fingerprint" ->
       s"""WITH wins AS (
          |  SELECT DISTINCT doc_id, ${sqlH60("substr(text, u.i, 8)")} AS whash

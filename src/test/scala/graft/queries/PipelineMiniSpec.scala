@@ -303,6 +303,14 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows(0L)._2 == 1 && rows(1L)._2 == 0 && rows(2L)._2 == 0)
   }
 
+  test("p33 kNN graph pairs only the cell cohabitants, mutually") {
+    val rows = run("p33_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("rnk")))
+    // only cell 2 holds two vectors (centroid 2 and vec 16); every other
+    // vector is alone in its cell and has no neighbors at all
+    assert(rows.toSet == Set((2L, 16L, 1), (16L, 2L, 1)))
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -785,14 +785,12 @@ object Pipeline extends QueryModule {
   private val ChunkTokens = 32
   private val ChunkStride = 24
 
-  /** Fixed-size token chunking for context-window preparation: each doc
-    * explodes into overlapping 32-token chunks on a 24-token stride. Pure
-    * map-side explode — no shuffle at all; at 100 TB this is one linear
-    * pass whose output partitioning inherits the input's. The trailing
-    * partial chunk is kept (short tail beats silently dropped tokens in
-    * a training corpus). */
-  private def p27DocChunking: Q = (s, d) =>
-    docsBalanced(s, d)
+  /** Chunking expressions shared STRUCTURALLY by batch p27 and the
+    * streaming chunker (graft.streaming.Streams.chunkStream) — the same
+    * batch/stream unification contract as the quality gate. Stateless
+    * explode, so it runs identically per-microbatch. */
+  private[graft] def chunkRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("i"))
@@ -802,6 +800,15 @@ object Pipeline extends QueryModule {
           .as("chunk_text"),
         size(slice(col("t"), col("i"), lit(ChunkTokens))).cast(LongType)
           .as("n_tok"))
+
+  /** Fixed-size token chunking for context-window preparation: each doc
+    * explodes into overlapping 32-token chunks on a 24-token stride. Pure
+    * map-side explode — no shuffle at all; at 100 TB this is one linear
+    * pass whose output partitioning inherits the input's. The trailing
+    * partial chunk is kept (short tail beats silently dropped tokens in
+    * a training corpus). */
+  private def p27DocChunking: Q = (s, d) =>
+    chunkRows(docsBalanced(s, d))
 
   // Token-budget sharding: ~4096 tokens per shard, 100 docs per cumsum
   // range (ranges only bound the prefix-sum fan-in, not shard size).

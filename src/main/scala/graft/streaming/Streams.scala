@@ -113,6 +113,15 @@ object Streams {
       .select("doc_id", "n_tokens", "stop_ratio")
   }
 
+  /** Stateless context-window chunker on a document stream — the
+    * streaming twin of batch p27 (graft.queries.Pipeline.chunkRows, the
+    * SAME expressions), turning arriving docs into overlapping
+    * fixed-size token chunks per microbatch. An explode is stateless, so
+    * no watermark or state store is involved and throughput is pure
+    * map-side. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.queries.Pipeline.chunkRows(docs)
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

@@ -138,6 +138,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkStream chunks a document stream with the batch expressions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = chunkStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val words = (1 to 29).map(i => s"w$i").mkString(" ")
+      in.addData((1L, words), (2L, "short doc"))
+      q.processAllAvailable()
+      val rows = spark.table("chunks").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("chunk_id"),
+          r.getAs[Long]("n_tok")))
+      // 29 tokens on a 24 stride -> chunks of 29 and 5; 2 tokens -> one
+      assert(rows.toSet ==
+        Set((1L, 0L, 29L), (1L, 1L, 5L), (2L, 0L, 2L)))
+    } finally q.stop()
+  }
+
   test("qualityGate filters a document stream with the batch expressions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

@@ -105,6 +105,20 @@ object Dialect extends QueryModule {
     "s13_sql_having" ->
       """SELECT o_orderstatus, COUNT(*) AS n FROM orders
         |GROUP BY o_orderstatus HAVING COUNT(*) > 1000""".stripMargin,
+    "s14_sql_not_exists" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_suppkey = s.s_suppkey
+        |    AND l.l_quantity = 50 AND l.l_discount > 0.09)""".stripMargin,
+    "s15_sql_cte_window" ->
+      """WITH ranked AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rk
+        |FROM ranked WHERE rk <= 2""".stripMargin,
   )
 
   val queries: Map[String, Q] =

@@ -986,6 +986,22 @@ object Pipeline extends QueryModule {
       when(col("lbl") === col("doc_id"), 1).otherwise(0).as("keep"))
   }
 
+  /** Cohort retention matrix: users grouped by first-active day, then
+    * distinct active users counted per (cohort, day-offset) — the
+    * product-analytics standard. Every stage is a keyed
+    * map-side-combinable aggregation: (user, day) dedup, per-user min,
+    * a user-keyed join, then the cohort-cell count-distinct (two-phase,
+    * so no cell funnels all users through one reducer). */
+  private def p34RetentionCohorts: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    days.join(cohorts, "user_id")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).cast(LongType).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1017,6 +1033,7 @@ object Pipeline extends QueryModule {
     "p26_funnel" -> p26Funnel,
     "p32_dup_clusters" -> p32DupClusters,
     "p33_knn_graph" -> p33KnnGraph,
+    "p34_retention_cohorts" -> p34RetentionCohorts,
     "p27_doc_chunking" -> p27DocChunking,
     "p28_token_shards" -> p28TokenShards,
     "p29_edit_neardup" -> p29EditNearDup,
@@ -1497,6 +1514,15 @@ object Pipeline extends QueryModule {
          |  CASE WHEN n_bi > 0 THEN round(1.0 - n_bi_d * 1.0 / n_bi, 6)
          |    ELSE 0.0 END AS dup_bigram_frac
          |FROM uni JOIN bi USING (doc_id)""".stripMargin,
+    "p34_retention_cohorts" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1)
+        |SELECT STRFTIME(c.cohort, '%Y-%m-%d') AS cohort_day,
+        |  date_diff('day', c.cohort, d.day) AS offset_days,
+        |  COUNT(DISTINCT d.user_id) AS n_users
+        |FROM c JOIN d ON c.user_id = d.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "p11_events_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -311,6 +311,14 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.toSet == Set((2L, 16L, 1), (16L, 2L, 1)))
   }
 
+  test("p34 retention puts both mini users in one day-0 cohort cell") {
+    val rows = run("p34_retention_cohorts").collect()
+    assert(rows.length == 1) // all mini events land on 2023-11-14 UTC
+    assert(rows.head.getAs[String]("cohort_day") == "2023-11-14")
+    assert(rows.head.getAs[Long]("offset_days") == 0L)
+    assert(rows.head.getAs[Long]("n_users") == 2L)
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -826,8 +826,12 @@ object Pipeline extends QueryModule {
     * global cumsum is its range offset plus an in-range window
     * partitioned by range. No stage funnels the corpus through one
     * task. */
-  private def p28TokenShards: Q = (s, d) => {
-    val perDoc = Tables.documents(s, d)
+  /** The p28 core over any (doc_id, text) frame — budget-parametric so
+    * the property suite can exercise multi-shard packing (token
+    * conservation, shard-size bounds) on small corpora. */
+  private[graft] def tokenShards(docs: DataFrame,
+      budget: Long = ShardTokens): DataFrame = {
+    val perDoc = docs
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n"))
       .withColumn("rng", floor(col("doc_id") / lit(RangeDocs)))
     val offsets = perDoc.groupBy("rng").agg(sum(col("n")).as("rn"))
@@ -838,13 +842,16 @@ object Pipeline extends QueryModule {
     val cum = perDoc.join(broadcast(offsets), "rng")
       .withColumn("cum", col("off") +
         sum(col("n")).over(Window.partitionBy("rng").orderBy("doc_id")))
-    cum.groupBy(((col("cum") - 1) / lit(ShardTokens)).cast(LongType)
+    cum.groupBy(((col("cum") - 1) / lit(budget)).cast(LongType)
         .as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n")).as("total_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
+
+  private def p28TokenShards: Q = (s, d) =>
+    tokenShards(Tables.documents(s, d))
 
   // Edit-distance near-dup: 2 one-row MinHash bands for candidates
   // (P(candidate) = 1-(1-j)^2 — a j=0.9 pair missed with p=1%), then a

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+
+/** Properties of the training-set assembly operators on arbitrary
+  * corpora: chunking must reconstruct every document exactly, and
+  * sharding must conserve tokens while respecting its packing bounds. */
+object PipelinePropertySpec extends Properties("Pipeline") {
+
+  // each case runs 1-2 distributed queries; keep the suite fast
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(15)
+
+  private val word: Gen[String] =
+    Gen.chooseNum(0, 99).map(i => s"w$i")
+
+  /** Docs with contiguous ids and 1..80 single-space-joined tokens —
+    * the documents-table text contract. */
+  private val docsGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.chooseNum(1, 12)
+    texts <- Gen.listOfN(n,
+      Gen.chooseNum(1, 80).flatMap(Gen.listOfN(_, word).map(_.mkString(" "))))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("chunks reconstruct each document: strided concat = original") =
+    forAll(docsGen) { docs =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val chunks = Pipeline.chunkRows(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1)
+      docs.forall { case (id, text) =>
+        val cs = chunks(id).sortBy(_._2).map(_._3)
+        // chunk c starts at token c*stride: the first 24 tokens of each
+        // chunk plus the full final chunk rebuild the doc exactly
+        val toks = cs.init.flatMap(_.split(" ").take(24)) ++
+          cs.last.split(" ")
+        toks.mkString(" ") == text &&
+          // every chunk is capped at 32 tokens; a non-final chunk always
+          // reaches at least one past the next chunk's start (>= 25)
+          cs.forall(_.split(" ").length <= 32) &&
+          cs.init.forall(_.split(" ").length >= 25)
+      }
+    }
+
+  property("shards conserve tokens, stay in order, and respect bounds") =
+    forAll(docsGen, Gen.chooseNum(10L, 200L)) { (docs, budget) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val shards = Pipeline.tokenShards(docs.toDF("doc_id", "text"), budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      val totalTokens = docs.map(_._2.split(" ").length.toLong).sum
+      val maxDoc = docs.map(_._2.split(" ").length.toLong).max
+      shards.map(_._3).sum == totalTokens &&
+        shards.map(_._2).sum == docs.length.toLong &&
+        // boundary-splitting bound: a shard exceeds the budget by less
+        // than its boundary-crossing document
+        shards.forall(_._3 < budget + maxDoc) &&
+        // doc ranges of consecutive (non-empty) shards are contiguous:
+        // packing never reorders or drops a doc
+        shards.sliding(2).forall {
+          case Array((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+            firstB == lastA + 1
+          case _ => true
+        }
+    }
+}

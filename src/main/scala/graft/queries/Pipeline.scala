@@ -1009,6 +1009,24 @@ object Pipeline extends QueryModule {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  // BPE-ish pre-tokenizer: contraction suffixes, letter runs, digit
+  // runs, single punctuation marks — the GPT-2 pre-tokenizer family
+  // minus its lookahead (which RE2, and therefore the DuckDB twin,
+  // cannot express). On the all-lowercase corpus it coincides with
+  // whitespace splitting; on punctuated text it splits finer.
+  private[graft] val BpeTokenRe =
+    "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token counting both ways the brief names: whitespace tokens and a
+    * BPE-style regex pre-tokenization. Pure per-row map after the input
+    * rebalance — regexp_extract_all is a codegen'd expression, no UDF. */
+  private def p35TokenCounts: Q = (s, d) =>
+    docsBalanced(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"))
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1041,6 +1059,7 @@ object Pipeline extends QueryModule {
     "p32_dup_clusters" -> p32DupClusters,
     "p33_knn_graph" -> p33KnnGraph,
     "p34_retention_cohorts" -> p34RetentionCohorts,
+    "p35_token_counts" -> p35TokenCounts,
     "p27_doc_chunking" -> p27DocChunking,
     "p28_token_shards" -> p28TokenShards,
     "p29_edit_neardup" -> p29EditNearDup,
@@ -1521,6 +1540,12 @@ object Pipeline extends QueryModule {
          |  CASE WHEN n_bi > 0 THEN round(1.0 - n_bi_d * 1.0 / n_bi, 6)
          |    ELSE 0.0 END AS dup_bigram_frac
          |FROM uni JOIN bi USING (doc_id)""".stripMargin,
+    "p35_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${BpeTokenRe.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
     "p34_retention_cohorts" ->
       """WITH d AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events GROUP BY 1, 2),

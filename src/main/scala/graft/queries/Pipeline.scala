@@ -1054,6 +1054,27 @@ object Pipeline extends QueryModule {
         size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
           .cast(LongType).as("n_bpe_tokens"))
 
+  /** Incremental dedup — the daily-ingest pattern: a new batch (a
+    * deterministic 10% hash slice standing in for today's arrivals) is
+    * deduped against the existing corpus with a hash-keyed anti-join,
+    * then within itself (min-id per content hash). Both shuffles are
+    * keyed on the content digest, and the existing side carries ONLY
+    * distinct hashes — at production scale that is the persisted
+    * dedup-index table, not a re-scan of all history. */
+  private def p36IncrementalDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("is_new",
+        h60(col("doc_id").cast(StringType)) % 10 === 9)
+    val existing = docs.filter(!col("is_new"))
+      .select(col("content_hash")).distinct()
+    docs.filter(col("is_new"))
+      .join(existing, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("batch_dups"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1087,6 +1108,7 @@ object Pipeline extends QueryModule {
     "p33_knn_graph" -> p33KnnGraph,
     "p34_retention_cohorts" -> p34RetentionCohorts,
     "p35_token_counts" -> p35TokenCounts,
+    "p36_incremental_dedup" -> p36IncrementalDedup,
     "p27_doc_chunking" -> p27DocChunking,
     "p28_token_shards" -> p28TokenShards,
     "p29_edit_neardup" -> p29EditNearDup,
@@ -1575,6 +1597,16 @@ object Pipeline extends QueryModule {
          |  CASE WHEN n_bi > 0 THEN round(1.0 - n_bi_d * 1.0 / n_bi, 6)
          |    ELSE 0.0 END AS dup_bigram_frac
          |FROM uni JOIN bi USING (doc_id)""".stripMargin,
+    "p36_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, sha256(text) AS content_hash,
+         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_new
+         |  FROM documents),
+         |existing AS (SELECT DISTINCT content_hash FROM d WHERE NOT is_new)
+         |SELECT content_hash, MIN(doc_id) AS keep_id,
+         |  COUNT(*) AS batch_dups
+         |FROM d WHERE is_new
+         |  AND content_hash NOT IN (SELECT content_hash FROM existing)
+         |GROUP BY 1""".stripMargin,
     "p35_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens,

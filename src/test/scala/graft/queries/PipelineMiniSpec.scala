@@ -337,6 +337,19 @@ class PipelineMiniSpec extends SparkSpec {
     assert(bpe == Seq("it", "'s", "42", "spark", "-", "sql", "!"))
   }
 
+  test("p36 incremental dedup keeps only unseen new-slice hashes") {
+    // independent re-derivation of the hash slice: md5-prefix mod 10 == 9
+    def bucket(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString.take(15), 16) % 10
+    assert((0L to 4L).filter(id => bucket(id.toString) == 9L) == Seq(4L))
+    // doc 4 is the whole "new batch"; its text is unique in the corpus,
+    // so it survives the anti-join with batch_dups = 1
+    val rows = run("p36_incremental_dedup").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("batch_dups")))
+    assert(rows.toSeq == Seq((4L, 1L)))
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -270,12 +270,16 @@ object Relational extends QueryModule {
     Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("l_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      // group on the raw date; the string form is projected AFTER the
+      // top-10, so the formatter runs 10 times, not once per fact row
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
         .cast(DoubleType).as("rev"))
       .orderBy(col("rev").desc, col("l_orderkey").asc)
       .limit(10)
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("rev"))
 
   /** Q5-style local supplier volume: 6-table star join. Only the
     * constant-size dims (region 5 rows, nation 25 rows) are hard-broadcast;

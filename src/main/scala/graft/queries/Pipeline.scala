@@ -818,6 +818,13 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(sequence(lit(1), size(col("t")), lit(ChunkStride))).as("i"))
+      // a start whose chunk would add no new tokens (the previous chunk
+      // already reached end-of-doc) is pure duplication in a training
+      // corpus: keep start i only if it is the first or extends coverage,
+      // i.e. i + overlap <= n  (previous chunk ends at i + overlap - 1
+      // when truncated; the kept tail chunk always reaches the last token)
+      .filter(col("i") === 1 ||
+        col("i") + lit(ChunkTokens - ChunkStride) <= size(col("t")))
       .select(col("doc_id"),
         ((col("i") - 1) / lit(ChunkStride)).cast(LongType).as("chunk_id"),
         concat_ws(" ", slice(col("t"), col("i"), lit(ChunkTokens)))
@@ -843,13 +850,15 @@ object Pipeline extends QueryModule {
     * order are packed into consecutive shards of ~4096 tokens by running
     * token count (documents split at shard boundaries — the
     * boundary-splitting packing regime, where no capacity is wasted).
-    * The running sum is the textbook distributed prefix sum, NOT a
-    * single-partition global window: per-doc counts aggregate into
-    * coarse doc_id ranges, the tiny range table alone passes through an
-    * ordered window (rows = corpus/100, broadcastable), and each doc's
-    * global cumsum is its range offset plus an in-range window
-    * partitioned by range. No stage funnels the corpus through one
-    * task. */
+    * The running sum is the textbook distributed prefix sum, not a
+    * single-partition global window over the corpus: per-doc counts
+    * aggregate into coarse doc_id ranges, only the range table (100×
+    * smaller) passes through the ordered window, and each doc's global
+    * cumsum is its range offset plus an in-range window partitioned by
+    * range. The single-task stage is thus reduced 100×, not eliminated —
+    * at a scale where corpus/100 range rows overwhelm one task or the
+    * broadcast, the same offset trick recurses on the range table for
+    * another 100× per level. */
   /** The p28 core over any (doc_id, text) frame — budget-parametric so
     * the property suite can exercise multi-shard packing (token
     * conservation, shard-size bounds) on small corpora. */
@@ -879,12 +888,13 @@ object Pipeline extends QueryModule {
 
   // Edit-distance near-dup: 2 one-row MinHash bands for candidates
   // (P(candidate) = 1-(1-j)^2 — a j=0.9 pair missed with p=1%), then a
-  // length prefilter (|len_a-len_b| ≤ 0.35·max is implied by any
-  // accepted distance, and costs O(1) vs the DP's O(n²)) before the
-  // exact Levenshtein verify at relative distance ≤ 0.2 — measured
-  // bimodal on the corpus: near-dups ≤0.1, background ≥0.6.
+  // length prefilter before the Levenshtein verify at relative distance
+  // ≤ 0.2 — measured bimodal on the corpus: near-dups ≤0.1, background
+  // ≥0.6. The prefilter reuses the SAME bound: edit distance ≥ |len_a −
+  // len_b|, so any pair the final filter could accept has a length gap
+  // ≤ 0.2·max — an O(1) test that skips the O(d·n) DP for pairs that
+  // are provably rejectable, with bit-identical output.
   private val EditRelThreshold = 0.2
-  private val EditLenPrefilter = 0.35
 
   /** Near-dedup verified by exact edit distance — the character-level
     * complement of p02's token-set Jaccard (catches heavy in-place
@@ -923,7 +933,7 @@ object Pipeline extends QueryModule {
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
         col("n_chars").as("lb")), "doc_b")
       .withColumn("mx", greatest(col("la"), col("lb")))
-      .filter(abs(col("la") - col("lb")) <= lit(EditLenPrefilter) * col("mx"))
+      .filter(abs(col("la") - col("lb")) <= lit(EditRelThreshold) * col("mx"))
       // Threshold-banded DP (Ukkonen): O(d·n) per pair instead of O(n²),
       // with early exit (-1) the moment a pair provably exceeds the
       // acceptance bound. dist is an integer, so the floor'd threshold
@@ -973,11 +983,14 @@ object Pipeline extends QueryModule {
     val bi = shingleRows(s, d, 2).groupBy("doc_id").agg(
       count(lit(1)).as("n_bi"),
       countDistinct(col("shingle")).as("n_bi_d"))
-    uni.join(bi, "doc_id")
+    // LEFT join: a 1-token doc has no bigram rows at all, but a
+    // repetition filter must still score it (dup_bigram_frac = 0)
+    // rather than silently drop it from the output.
+    uni.join(bi, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n").as("n_tokens"),
         round(col("n_distinct") / col("n"), 6).as("distinct_ratio"),
         round(col("top_cnt") / col("n"), 6).as("top_token_frac"),
-        when(col("n_bi") > 0,
+        when(coalesce(col("n_bi"), lit(0L)) > 0,
           round(lit(1.0) - col("n_bi_d") / col("n_bi"), 6))
           .otherwise(0.0).as("dup_bigram_frac"))
   }
@@ -1040,7 +1053,11 @@ object Pipeline extends QueryModule {
   // runs, single punctuation marks — the GPT-2 pre-tokenizer family
   // minus its lookahead (which RE2, and therefore the DuckDB twin,
   // cannot express). On the all-lowercase corpus it coincides with
-  // whitespace splitting; on punctuated text it splits finer.
+  // whitespace splitting; on punctuated text it splits finer. Second
+  // portability condition: Java regex walks UTF-16 code units while RE2
+  // walks code points, so `[^a-z0-9 ]` counts a supplementary-plane
+  // character (emoji) as 2 tokens vs RE2's 1 — fine on this BMP-only
+  // corpus, but a non-BMP corpus needs a code-point-aligned pattern.
   private[graft] val BpeTokenRe =
     "'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -1529,7 +1546,7 @@ object Pipeline extends QueryModule {
          |SELECT doc_id, CAST((i-1)//$ChunkStride AS BIGINT) AS chunk_id,
          |  array_to_string(t[i:i+${ChunkTokens - 1}], ' ') AS chunk_text,
          |  CAST(len(t[i:i+${ChunkTokens - 1}]) AS BIGINT) AS n_tok
-         |FROM c""".stripMargin,
+         |FROM c WHERE i = 1 OR i + ${ChunkTokens - ChunkStride} <= len(t)""".stripMargin,
     "p28_token_shards" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
          |  FROM documents),
@@ -1565,7 +1582,7 @@ object Pipeline extends QueryModule {
          |  JOIN documents ta ON ta.doc_id = c.doc_a
          |  JOIN documents tb ON tb.doc_id = c.doc_b
          |  WHERE abs(ta.n_chars - tb.n_chars)
-         |    <= $EditLenPrefilter * greatest(ta.n_chars, tb.n_chars))
+         |    <= $EditRelThreshold * greatest(ta.n_chars, tb.n_chars))
          |SELECT doc_a, doc_b, CAST(levenshtein(xa, xb) AS BIGINT) AS dist,
          |  round(levenshtein(xa, xb) * 1.0 / mx, 6) AS rel_dist
          |FROM pairs
@@ -1594,9 +1611,10 @@ object Pipeline extends QueryModule {
          |SELECT uni.doc_id, n AS n_tokens,
          |  round(n_distinct * 1.0 / n, 6) AS distinct_ratio,
          |  round(top_cnt * 1.0 / n, 6) AS top_token_frac,
-         |  CASE WHEN n_bi > 0 THEN round(1.0 - n_bi_d * 1.0 / n_bi, 6)
+         |  CASE WHEN coalesce(n_bi, 0) > 0
+         |    THEN round(1.0 - n_bi_d * 1.0 / n_bi, 6)
          |    ELSE 0.0 END AS dup_bigram_frac
-         |FROM uni JOIN bi USING (doc_id)""".stripMargin,
+         |FROM uni LEFT JOIN bi USING (doc_id)""".stripMargin,
     "p36_incremental_dedup" ->
       s"""WITH d AS (SELECT doc_id, sha256(text) AS content_hash,
          |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_new

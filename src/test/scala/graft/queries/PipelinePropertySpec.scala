@@ -40,10 +40,10 @@ object PipelinePropertySpec extends Properties("Pipeline") {
         val toks = cs.init.flatMap(_.split(" ").take(24)) ++
           cs.last.split(" ")
         toks.mkString(" ") == text &&
-          // every chunk is capped at 32 tokens; a non-final chunk always
-          // reaches at least one past the next chunk's start (>= 25)
-          cs.forall(_.split(" ").length <= 32) &&
-          cs.init.forall(_.split(" ").length >= 25)
+          // the final chunk is capped at 32 tokens; with no-new-token
+          // starts suppressed, every non-final chunk is exactly full
+          cs.last.split(" ").length <= 32 &&
+          cs.init.forall(_.split(" ").length == 32)
       }
     }
 

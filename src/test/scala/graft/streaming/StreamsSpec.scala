@@ -145,15 +145,16 @@ class StreamsSpec extends SparkSpec {
       .writeStream.format("memory").queryName("chunks")
       .outputMode(OutputMode.Append).start()
     try {
-      val words = (1 to 29).map(i => s"w$i").mkString(" ")
+      val words = (1 to 40).map(i => s"w$i").mkString(" ")
       in.addData((1L, words), (2L, "short doc"))
       q.processAllAvailable()
       val rows = spark.table("chunks").collect()
         .map(r => (r.getLong(0), r.getAs[Long]("chunk_id"),
           r.getAs[Long]("n_tok")))
-      // 29 tokens on a 24 stride -> chunks of 29 and 5; 2 tokens -> one
+      // 40 tokens on a 24 stride -> chunks of 32 (tokens 1-32) and 16
+      // (tokens 25-40); 2 tokens -> a single whole-doc chunk
       assert(rows.toSet ==
-        Set((1L, 0L, 29L), (1L, 1L, 5L), (2L, 0L, 2L)))
+        Set((1L, 0L, 32L), (1L, 1L, 16L), (2L, 0L, 2L)))
     } finally q.stop()
   }
 

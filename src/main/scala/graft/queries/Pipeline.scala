@@ -52,13 +52,37 @@ object Pipeline extends QueryModule {
 
   private def capBuckets(bands: DataFrame): DataFrame = {
     // The hot-bucket list is tiny (empty on honest corpora), so the cap
-    // costs one map-side-combinable count plus a broadcast anti-join —
-    // NOT a window over every band row, which would add a full
-    // sort-shuffle per consumer (measured 2x on p02).
+    // costs one map-side-combinable count plus an anti-join — NOT a
+    // window over every band row, which would add a full sort-shuffle
+    // per consumer (measured 2x on p02). The anti-join is deliberately
+    // UN-hinted: AQE broadcasts the hot list while it is small, and on
+    // the pathological corpus where it is not (millions of distinct spam
+    // clusters), a hint would force the unbounded list through the
+    // driver — the failure the cap exists to prevent.
     val hot = bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > MaxBucket)
       .select("band", "bkey")
-    bands.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    bands.join(hot, Seq("band", "bkey"), "left_anti")
+  }
+
+  /** Candidate pairs from a (doc_id, band, bkey) table: bucket-capped
+    * keyed self-join, each unordered pair once — the single pair
+    * generator shared by p02 (6×2-row bands) and p29 (2×1-row bands).
+    * `materialize` checkpoints the capped bands so the self-join's two
+    * sides read one materialization instead of re-running the upstream
+    * band build — A/B-timed per caller (wins for p02's explode+count
+    * subtree, loses for p29 whose expensive subtree is already
+    * checkpointed). SQL twin: `sqlCappedCand`, appended after a `bands`
+    * CTE. */
+  private def candidatePairs(bands: DataFrame,
+      materialize: Boolean): DataFrame = {
+    val capped0 = capBuckets(bands)
+    val capped = if (materialize) capped0.localCheckpoint(false) else capped0
+    capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
   }
 
   private[graft] val Stopwords = Seq("the", "a", "of", "and", "to", "in",
@@ -164,14 +188,7 @@ object Pipeline extends QueryModule {
             slice(col("sig"), b * BandRows + 1, lit(BandRows)),
             x => x.cast(StringType))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    // materialized once so the self-join's two sides don't each re-run
-    // the band explode + hot-bucket count
-    val capped = capBuckets(bands).localCheckpoint(false)
-    val cand = capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = candidatePairs(bands, materialize = true)
     // Verify stage: exact Jaccard via array_intersect of the carried
     // shingle sets, computed only for candidate pairs; the tiny candidate
     // list broadcasts, so the corpus is never shuffled here.
@@ -915,16 +932,11 @@ object Pipeline extends QueryModule {
       min(hashFamFrom(0, col("h1"), col("h2"))).as("b0"),
       min(hashFamFrom(1, col("h1"), col("h2"))).as("b1"))
       .localCheckpoint(false)
-    // NOT checkpointed (unlike p02's band table): A/B-timed slower here —
+    // not materialized (unlike p02's band table): A/B-timed slower here —
     // the sig checkpoint above already truncates the expensive subtree,
     // and a second materialization barrier just serializes the stages.
-    val bands = capBuckets(sig.selectExpr("doc_id",
-      "stack(2, 0, b0, 1, b1) AS (band, bkey)"))
-    val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = candidatePairs(sig.selectExpr("doc_id",
+      "stack(2, 0, b0, 1, b1) AS (band, bkey)"), materialize = false)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
       col("n_chars"))
     cand
@@ -938,7 +950,7 @@ object Pipeline extends QueryModule {
       // with early exit (-1) the moment a pair provably exceeds the
       // acceptance bound. dist is an integer, so the floor'd threshold
       // keeps exactly the pairs the oracle's `lev <= 0.2*mx` keeps, with
-      // identical distances — measured ~6x faster than the full DP on
+      // identical distances — measured ~5x faster than the full DP on
       // the sf0.1 candidate set.
       .withColumn("dist",
         expr(s"levenshtein(ta, tb, CAST($EditRelThreshold * mx AS INT))")
@@ -954,14 +966,26 @@ object Pipeline extends QueryModule {
     * hashes per (lang, source) stratum — a reproducible uniform draw
     * (md5 is uniform on text) that guarantees every stratum is
     * represented, where p19's global hash split samples proportionally.
-    * One keyed shuffle on the stratum; per-stratum window state is a
-    * single counter, and stratum cardinality (langs × sources) bounds
-    * skew. */
+    * Two-phase like every top-k in this file (p04/p18): a salted local
+    * rank prunes each stratum to salts×k rows before the final stratum
+    * window, so a stratum holding most of the corpus (one dominant
+    * (lang, source) is the norm in crawl data) never funnels its full
+    * volume through a single reducer. The final rank over the pruned
+    * rows is the global answer because each salt cell keeps its own
+    * k smallest — a stratum winner must be a salt-cell winner. */
   private def p30StratifiedSample: Q = (s, d) => {
-    val w = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(h60(col("text")), col("doc_id"))
+    val salts = 32
+    val hv = h60(col("text"))
+    val wLocal = Window.partitionBy(col("lang"), col("source"), col("salt"))
+      .orderBy(col("hv"), col("doc_id"))
+    val wFinal = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("hv"), col("doc_id"))
     Tables.documents(s, d)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("hv", hv)
+      .withColumn("salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= StratumSampleK)
+      .withColumn("rk", row_number().over(wFinal))
       .filter(col("rk") <= StratumSampleK)
       .select(col("doc_id"), col("lang"), col("source"), col("rk"))
   }
@@ -1000,10 +1024,12 @@ object Pipeline extends QueryModule {
     * pairwise matches into per-doc keep/drop decisions (cluster id = the
     * smallest doc_id in the component, `keep` marks the canonical doc).
     * The propagation is the standard BSP pattern (what GraphX Pregel
-    * runs): each round is one fully-distributed keyed shuffle, the
-    * driver only counts whether any label still shrank, and rounds are
-    * bounded by the cluster diameter — near-dup clusters are shallow
-    * (template families), so a handful of rounds at any corpus size.
+    * runs): each round is one fully-distributed set of keyed shuffles
+    * and the driver only tests whether any label still shrank. Each
+    * round also shortcuts through the label graph (lbl ← lbl's lbl, the
+    * path-halving step of union-find), so convergence is O(log
+    * diameter) rounds — a 50k-doc chain-shaped drift cluster converges
+    * in ~17 rounds, not 50k — with a fail-fast cap as the backstop.
     * Labels are checkpointed per round: iterative lineage would
     * otherwise re-run every prior round each action. */
   private def p32DupClusters: Q = (s, d) => {
@@ -1016,11 +1042,20 @@ object Pipeline extends QueryModule {
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint(false)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      // 64 halving rounds cover any diameter a 2^64-node graph can hold;
+      // hitting the cap means a logic bug, so fail loudly, never hang
+      rounds += 1
+      require(rounds <= 64, s"label propagation did not converge")
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("doc_id"), col("lbl"))
-      val next = labels.union(viaNeighbor)
+      val viaParent = labels
+        .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("plbl")),
+          "lbl")
+        .select(col("doc_id"), col("plbl").as("lbl"))
+      val next = labels.union(viaNeighbor).union(viaParent)
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
       converged = next
@@ -1140,6 +1175,19 @@ object Pipeline extends QueryModule {
   private val sqlStops =
     Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  // The capped candidate-pair CTEs (twin of `candidatePairs`), appended
+  // after any `bands(doc_id, band, bkey)` CTE — one copy for both the
+  // p02 and p29 oracles so cap/ordering tweaks cannot diverge.
+  private val sqlCappedCand: String =
+    s"""capped AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+       |    FROM bands) t WHERE bsz <= $MaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
   // p02's full oracle text, shared with p32 (which clusters p02's pairs).
   private val sqlP02: String =
     s"""WITH sh AS (
@@ -1154,14 +1202,7 @@ object Pipeline extends QueryModule {
        |    sig[b*$BandRows+1 : b*$BandRows+$BandRows],
        |    x -> CAST(x AS VARCHAR)), ',') AS bkey
        |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b) bs),
-       |capped AS (
-       |  SELECT doc_id, band, bkey FROM (
-       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
-       |    FROM bands) t WHERE bsz <= $MaxBucket),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$sqlCappedCand,
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b,
        |    len(list_intersect(da.shset, db.shset)) AS ninter,
@@ -1567,14 +1608,7 @@ object Pipeline extends QueryModule {
          |bands AS (
          |  SELECT doc_id, 0 AS band, b0 AS bkey FROM sig
          |  UNION ALL SELECT doc_id, 1, b1 FROM sig),
-         |capped AS (
-         |  SELECT doc_id, band, bkey FROM (
-         |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
-         |    FROM bands) t WHERE bsz <= $MaxBucket),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM capped a JOIN capped b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |$sqlCappedCand,
          |pairs AS (
          |  SELECT c.doc_a, c.doc_b, ta.text AS xa, tb.text AS xb,
          |    greatest(ta.n_chars, tb.n_chars) AS mx

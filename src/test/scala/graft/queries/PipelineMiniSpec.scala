@@ -350,6 +350,55 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.toSeq == Seq((4L, 1L)))
   }
 
+  test("p37 span dedup: shared 10-token spans dup, short docs score zero") {
+    val rows = run("p37_span_dedup").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_dup_spans"), r.getAs[Double]("dup_span_frac"))).toMap
+    // docs 0,1,2 all span tokens 1-20 identically (doc 2's edit is token
+    // 29, past the last full span) -> every span occurs 3x corpus-wide
+    Seq(0L, 1L, 2L).foreach(id => assert(rows(id) == ((2L, 2L, 1.0))))
+    assert(rows(3L) == ((1L, 0L, 0.0))) // 10 tokens, one unique span
+    assert(rows(4L) == ((0L, 0L, 0.0))) // 8 tokens: no full span at all
+  }
+
+  test("p38 decontamination excludes the eval slice and scores the rest") {
+    // independent slice re-derivation: h60 = md5 hex prefix, mod 20 == 3
+    def slice(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString.take(15), 16) % 20
+    assert((0L to 4L).filter(id => slice(id.toString) == 3L) == Seq(3L))
+    val rows = run("p38_decontamination").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_hits"), r.getAs[Int]("contaminated"))).toMap
+    // eval doc 3 is absent from the audit; no training doc shares a
+    // 5-gram with it, so the corpus is clean but fully scored
+    assert(rows.keySet == Set(0L, 1L, 2L, 4L))
+    assert(rows(0L) == ((25L, 0L, 0))) // 29 distinct tokens -> 25 grams
+    assert(rows(4L) == ((4L, 0L, 0)))  // 8 tokens -> 4 grams
+    assert(rows.values.forall(_._3 == 0))
+  }
+
+  test("p39 inverted index: exact df, postings ranked tf desc then doc") {
+    val rows = run("p39_inverted_index").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("df"),
+        r.getAs[Int]("rk"), r.getAs[Long]("doc_id"), r.getAs[Long]("tf")))
+    // "the" occurs twice inside doc 3 only: df counts docs, tf the hits
+    assert(rows.filter(_._1 == "the").toSeq == Seq(("the", 1L, 1, 3L, 2L)))
+    // tokens() does not fold case: "five" (docs 0,1) vs "FIVE" (doc 2)
+    assert(rows.filter(_._1 == "alpha").sortBy(_._3).toSeq ==
+      Seq(("alpha", 3L, 1, 0L, 1L), ("alpha", 3L, 2, 1L, 1L),
+        ("alpha", 3L, 3, 2L, 1L)))
+    assert(rows.count(_._1 == "five") == 2 && rows.count(_._1 == "FIVE") == 1)
+  }
+
+  test("p40 HLL estimate matches the hand-computed linear-count value") {
+    val r = run("p40_hll_distinct").head
+    assert(r.getAs[Long]("n_exact") == 2L)
+    // 2 users -> 2 occupied registers, linear counting: 256*ln(256/254)
+    assert(r.getAs[Double]("hll_estimate") == 2.0079)
+    assert(r.getAs[Double]("rel_err") == 0.00395)
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

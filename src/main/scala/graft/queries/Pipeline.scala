@@ -1279,6 +1279,162 @@ object Pipeline extends QueryModule {
           .as("rel_err"))
   }
 
+  /** Duplicate-cluster representative selection — the step after p32
+    * answers "which docs are duplicates of each other": pick ONE doc to
+    * keep per cluster, preferring the longest (token count as the quality
+    * proxy, min doc_id as the deterministic tiebreak), and report how
+    * many members it displaces. One window per cluster plus one keyed
+    * aggregation — per-cluster reducer state is a counter, and cluster
+    * skew is already bounded upstream by p02's LSH bucket cap. */
+  private def p41ClusterReps: Q = (s, d) => {
+    val labels = p32DupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    labels.join(toks, "doc_id")
+      .withColumn("rnk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(min(when(col("rnk") === 1, col("doc_id"))).as("rep_doc"),
+        count(lit(1)).as("n_members"))
+  }
+
+  /** Int8 scalar quantization + quantized ANN with exact re-rank — the
+    * memory-bandwidth scale path for similarity search: the corpus scan
+    * reads 1-byte codes (4× less than float32), candidates are ranked by
+    * the INTEGER quantized dot product (bit-exact across engines — no
+    * float summation anywhere in the wide phase), and only the top-20
+    * survivors per probe fetch their float vectors for the exact cosine
+    * re-rank. Per-dimension min/max is one tiny two-level aggregation
+    * (dims rows) packed into two broadcast arrays; the quantized corpus
+    * is checkpointed because the probe and corpus sides both read it —
+    * at production scale it is the persisted quantized index. */
+  private def p42AnnQuantized: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          p => p.getField("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+          p => p.getField("mx")).as("mxs"))
+    def quant(x: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(127L),
+          floor((x.cast(DoubleType) - mn) * lit(255.0) / (mx - mn)) -
+            lit(128L)))
+    val q = e.crossJoin(broadcast(stats))
+      .withColumn("qv", transform(col("v"), (x, i) =>
+        quant(x, element_at(col("mns"), i + 1),
+          element_at(col("mxs"), i + 1))))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .select("vec_id", "v", "nrm", "qv")
+      .localCheckpoint(false)
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("qv").as("qpv"))
+    val qdot = aggregate(zip_with(col("qpv"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, p) => acc + p)
+    val cands = q.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("pv"), col("v"),
+        col("pnrm"), col("nrm"), qdot.as("qsim"))
+    // same provably-lossless two-phase top-k as p04, keyed on the
+    // integer score; the exact re-rank then reads 20 rows per probe
+    val local = Window
+      .partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    val rerank = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cands
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 20)
+      .withColumn("qrnk", row_number().over(global)).filter(col("qrnk") <= 20)
+      .withColumn("sim",
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(rerank).cast(IntegerType))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "vec_id", "rnk", "sim", "qsim")
+  }
+
+  private val VocabTopK = 16
+
+  /** Vocabulary build + out-of-vocabulary rate: the top-V corpus terms
+    * by total occurrence count (two-phase salted top-k, so no reducer
+    * sees the full term table), then each (lang, source) slice's OOV
+    * rate — the fraction of token OCCURRENCES outside the vocabulary,
+    * the signal a tokenizer-training / corpus-mixing step reads. The
+    * rate is a micro-average (two exact integer sums, one division), so
+    * no floating-point accumulation order exists anywhere. The tiny
+    * vocab joins the per-doc term counts un-hinted — AQE broadcasts it. */
+  private def p43VocabOov: Q = (s, d) => {
+    val occ = docsBalanced(s, d).select(col("doc_id"), col("lang"),
+      col("source"), explode(tokens(col("text"))).as("term"))
+    val docTf = occ.groupBy("doc_id", "lang", "source", "term")
+      .agg(count(lit(1)).as("tf"))
+    val corpus = docTf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val local = Window.partitionBy(pmod(hash(col("term")), lit(64)))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val global = Window.partitionBy(lit(1))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val vocab = corpus
+      .withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= VocabTopK)
+      .withColumn("rnk", row_number().over(global))
+      .filter(col("rnk") <= VocabTopK)
+      .select(col("term"), lit(1).as("in_vocab"))
+    docTf.join(vocab, Seq("term"), "left_outer")
+      .groupBy("lang", "source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("tf")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast(DoubleType) / col("n_tokens"), 6))
+  }
+
+  private val BloomBits = 8192L
+  private val BloomK = 3
+
+  /** Bloom-filter dedup prefilter — p36's incremental anti-join, but the
+    * index the new batch probes first is BITS, not hashes: k=3 portable
+    * positions per content hash, deduped into a position table that is
+    * bounded at [[BloomBits]] rows NO MATTER how many documents the
+    * corpus holds (vs the distinct-hash index, which grows linearly).
+    * Each new doc reports its bloom verdict next to ground truth, so the
+    * false-positive rate — the fraction of bloom hits that still need
+    * the exact check — is measurable from the output. Both joins are
+    * un-hinted: AQE broadcasts the ≤8192-row bit table. */
+  private def p44BloomPrefilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("is_new",
+        h60(col("doc_id").cast(StringType)) % 10 === 9)
+    val existing = docs.filter(!col("is_new"))
+      .select("content_hash").distinct()
+    def positions(c: Column): Column = array((0 until BloomK).map(i =>
+      h60Seeded(lit(i), c) % lit(BloomBits)): _*)
+    val bits = existing
+      .select(explode(positions(col("content_hash"))).as("pos")).distinct()
+      .withColumn("present", lit(1))
+    val probes = docs.filter(col("is_new"))
+      .select(col("doc_id"), col("content_hash"),
+        explode(positions(col("content_hash"))).as("pos"))
+    val verdicts = probes.join(bits, Seq("pos"), "left_outer")
+      .groupBy("doc_id", "content_hash")
+      .agg(sum(when(col("present").isNull, 1).otherwise(0)).as("miss"))
+      .withColumn("bloom_hit",
+        when(col("miss") === 0, 1).otherwise(0).cast(IntegerType))
+    verdicts.join(existing.withColumn("dup", lit(1)),
+        Seq("content_hash"), "left_outer")
+      .select(col("doc_id"), col("bloom_hit"),
+        when(col("dup").isNull, 0).otherwise(1)
+          .cast(IntegerType).as("is_dup"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1322,6 +1478,10 @@ object Pipeline extends QueryModule {
     "p38_decontamination" -> p38Decontamination,
     "p39_inverted_index" -> p39InvertedIndex,
     "p40_hll_distinct" -> p40HllDistinct,
+    "p41_cluster_reps" -> p41ClusterReps,
+    "p42_ann_quantized" -> p42AnnQuantized,
+    "p43_vocab_oov" -> p43VocabOov,
+    "p44_bloom_prefilter" -> p44BloomPrefilter,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -1372,20 +1532,121 @@ object Pipeline extends QueryModule {
        |WHERE CAST(ninter AS DOUBLE) / (na + nb - ninter)
        |  >= $JaccardThreshold""".stripMargin
 
+  // Connected-component labels over p02's pair graph (transitive closure
+  // + min-label per component) — the cluster CTE shared by the p32 and
+  // p41 oracles. Callers prepend WITH RECURSIVE and read `lbl`.
+  private val sqlClusterLabels: String =
+    s"""p AS ($sqlP02),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lbl AS (
+       |  SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "p32_dup_clusters" ->
-      s"""WITH RECURSIVE p AS ($sqlP02),
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION ALL SELECT doc_b, doc_a FROM p),
-         |reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id,
-         |  CAST(CASE WHEN least(src, MIN(dst)) = src THEN 1 ELSE 0 END
+      s"""WITH RECURSIVE $sqlClusterLabels
+         |SELECT doc_id, cluster_id,
+         |  CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END
          |    AS INT) AS keep
-         |FROM reach GROUP BY src""".stripMargin,
+         |FROM lbl""".stripMargin,
+    "p41_cluster_reps" ->
+      s"""WITH RECURSIVE $sqlClusterLabels,
+         |tk AS (SELECT doc_id, len($sqlToks) AS n_tokens FROM documents),
+         |r AS (SELECT l.cluster_id, l.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY t.n_tokens DESC, l.doc_id ASC) AS rnk
+         |  FROM lbl l JOIN tk t ON l.doc_id = t.doc_id)
+         |SELECT cluster_id,
+         |  MIN(CASE WHEN rnk = 1 THEN doc_id END) AS rep_doc,
+         |  COUNT(*) AS n_members
+         |FROM r GROUP BY cluster_id""".stripMargin,
+    "p42_ann_quantized" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        |  FROM e, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(v)) FROM e))) AS i) dims
+        |  WHERE i <= len(v) GROUP BY i),
+        |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |  FROM st),
+        |q AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |    list_transform(generate_series(1, len(v)), i ->
+        |      CASE WHEN mxs[i] = mns[i] THEN 0
+        |        ELSE least(127, CAST(floor((v[i] - mns[i]) * 255.0
+        |          / (mxs[i] - mns[i])) AS BIGINT) - 128) END) AS qv
+        |  FROM e, sa),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, qv AS qpv
+        |  FROM q WHERE vec_id < 5),
+        |c AS (
+        |  SELECT probe_id, vec_id, pv, v, pnrm, nrm,
+        |    CAST(list_sum(list_transform(generate_series(1, len(qpv)),
+        |      i -> qpv[i] * qv[i])) AS BIGINT) AS qsim
+        |  FROM q, p WHERE vec_id <> probe_id),
+        |t AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY qsim DESC, vec_id ASC) AS qrnk FROM c),
+        |r AS (
+        |  SELECT probe_id, vec_id, qsim,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM t WHERE qrnk <= 20)
+        |SELECT probe_id, vec_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk,
+        |  sim, qsim
+        |FROM r
+        |QUALIFY rnk <= 5""".stripMargin,
+    "p43_vocab_oov" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, lang, source, unnest($sqlToks) AS term
+         |  FROM documents),
+         |dtf AS (SELECT doc_id, lang, source, term, COUNT(*) AS tf
+         |  FROM occ GROUP BY 1, 2, 3, 4),
+         |corpus AS (SELECT term, SUM(tf) AS cnt FROM dtf GROUP BY 1),
+         |vocab AS (SELECT term FROM corpus
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC)
+         |    <= $VocabTopK)
+         |SELECT lang, source, COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.term IS NULL THEN tf ELSE 0 END)
+         |    AS BIGINT) AS n_oov,
+         |  round(CAST(SUM(CASE WHEN v.term IS NULL THEN tf ELSE 0 END)
+         |      AS DOUBLE)
+         |    / CAST(SUM(tf) AS BIGINT), 6) AS oov_rate
+         |FROM dtf d LEFT JOIN vocab v ON d.term = v.term
+         |GROUP BY 1, 2""".stripMargin,
+    "p44_bloom_prefilter" ->
+      s"""WITH d AS (SELECT doc_id, sha256(text) AS content_hash,
+         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_new
+         |  FROM documents),
+         |existing AS (SELECT DISTINCT content_hash FROM d WHERE NOT is_new),
+         |seeds AS (SELECT unnest(generate_series(0, ${BloomK - 1})) AS k),
+         |bits AS (SELECT DISTINCT
+         |    ${sqlH60Seeded("k", "content_hash")} % $BloomBits AS pos
+         |  FROM existing, seeds),
+         |pr AS (SELECT doc_id, content_hash,
+         |    ${sqlH60Seeded("k", "content_hash")} % $BloomBits AS pos
+         |  FROM d, seeds WHERE is_new),
+         |verdicts AS (
+         |  SELECT doc_id, content_hash,
+         |    CAST(CASE WHEN SUM(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END)
+         |      = 0 THEN 1 ELSE 0 END AS INT) AS bloom_hit
+         |  FROM pr LEFT JOIN bits b ON pr.pos = b.pos
+         |  GROUP BY 1, 2)
+         |SELECT h.doc_id, h.bloom_hit,
+         |  CAST(CASE WHEN e.content_hash IS NULL THEN 0 ELSE 1 END
+         |    AS INT) AS is_dup
+         |FROM verdicts h
+         |LEFT JOIN existing e ON h.content_hash = e.content_hash""".stripMargin,
     "p01_exact_dedup" ->
       """SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS dup_cnt

@@ -399,6 +399,57 @@ class PipelineMiniSpec extends SparkSpec {
     assert(r.getAs[Double]("rel_err") == 0.00395)
   }
 
+  test("p41 cluster reps keep the longest doc, min doc_id on ties") {
+    val rows = run("p41_cluster_reps").collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("rep_doc"),
+        r.getAs[Long]("n_members")))
+    // one cluster: the {0,1,2} near-dup triangle; all 29 tokens long,
+    // so the tie falls to the smallest doc_id
+    assert(rows.toSeq == Seq((0L, 0L, 3L)))
+  }
+
+  test("p42 quantized ANN re-ranks to the true nearest neighbor") {
+    val rows = run("p42_ann_quantized")
+      .filter(col("probe_id") === 0).orderBy("rnk").collect()
+    assert(rows.length == 4) // whole mini corpus fits in top-5
+    val top = rows.head
+    assert(top.getAs[Long]("vec_id") == 1L)
+    // hand-quantized (mins/maxes over the 5 mini vectors):
+    // qv0 = [127, -128, 0, 0], qv1 = [114, -103, 0, 0]
+    // qdot = 127*114 + (-128)*(-103) = 27662
+    assert(top.getAs[Long]("qsim") == 27662L)
+    assert(top.getAs[Double]("sim") > 0.99)
+    // the affine-shifted integer score may re-order mid-ranks (vec 3
+    // outscores vec 16 quantized but loses on cosine) — the exact
+    // re-rank must win: ranks follow sim, not qsim
+    val sims = rows.map(_.getAs[Double]("sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("p43 vocab top-16 and per-stratum OOV micro-average") {
+    val rows = run("p43_vocab_oov").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_oov"), r.getAs[Double]("oov_rate")))).toMap
+    // 28 terms tie at count 3; the vocab is the 16 alphabetically
+    // first, so each base doc has 13 OOV occurrences of 29
+    assert(rows(("en", "src0")) == ((2L, 58L, 26L, 0.448276)))
+    assert(rows(("en", "src1")) == ((1L, 29L, 13L, 0.448276)))
+    // docs 3 and 4 share no vocab term: fully OOV
+    assert(rows(("en", "src2"))._4 == 1.0)
+    assert(rows(("fr", "src3"))._4 == 1.0)
+  }
+
+  test("p44 bloom prefilter clears the unique new doc") {
+    val rows = run("p44_bloom_prefilter").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bloom_hit"),
+        r.getAs[Int]("is_dup")))
+    // doc 4 is the whole new batch (same slice as p36); its text is
+    // unique, and its 3 bit positions miss the 9 occupied bits of the
+    // 8192-bit filter, so the bloom screens it out before any join
+    assert(rows.toSeq == Seq((4L, 0, 0)))
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

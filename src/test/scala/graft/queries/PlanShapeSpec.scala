@@ -94,6 +94,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("vocab and bloom joins stay keyed — no nested-loop anywhere") {
+    // p43's vocab and p44's bit/hash tables are tiny but must join on
+    // their keys (term / pos / content_hash) so AQE picks the method;
+    // a nested loop would re-scan the corpus per probe row
+    Seq("p43_vocab_oov", "p44_bloom_prefilter").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested loop:\n$p")
+    }
+  }
+
   test("UNION ALL is pure concatenation — no exchange, no aggregate") {
     val p = plan("q48_union_all")
     assert(!p.contains("Exchange") && !p.contains("HashAggregate"),

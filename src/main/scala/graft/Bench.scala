@@ -46,10 +46,13 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
-    // Min of two timed runs per query: a single run still carries ±30%
-    // machine-load noise (the round-2 review's complaint — it can't
-    // detect a real 25% regression); the min of two approximates the
-    // machine-independent cost while keeping total bench time bounded.
+    // Min of three timed runs per query, INTERLEAVED (three full passes
+    // over the query list, not reps back-to-back): a single run carries
+    // ±30% machine-load noise, and back-to-back reps let one multi-second
+    // load spike poison every rep of the same query — the per-query
+    // outliers that hopped between rounds 3/4/5. Spreading the reps
+    // across passes makes the min robust to transient interference while
+    // keeping total bench time bounded.
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name)
@@ -60,9 +63,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val passes = (1 to 3).map(_ => names.map(n => n -> timed(n)).toMap)
     val results = names.map { name =>
-      val t = math.min(timed(name), timed(name))
-      name -> (if (t.isFinite) t else -1.0) // -1 marks a query that failed twice
+      val t = passes.map(_(name)).min
+      name -> (if (t.isFinite) t else -1.0) // -1 marks a query that always failed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * "graft.functions.GraftExtensions")` on ANY session, no code changes),
   * rather than session-local UDF registration. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDot)
+    ext.injectFunction(GraftExtensions.vectorDotLong)
+  }
 }
 
 object GraftExtensions {
@@ -23,5 +25,14 @@ object GraftExtensions {
       require(children.length == 2,
         s"vector_dot requires exactly 2 arguments, got ${children.length}")
       VectorDot(children.head, children(1))
+    })
+
+  val vectorDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot_long"),
+    new ExpressionInfo(classOf[VectorDotLong].getName, "vector_dot_long"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"vector_dot_long requires exactly 2 arguments, got ${children.length}")
+      VectorDotLong(children.head, children(1))
     })
 }

@@ -9,6 +9,7 @@ import graft.Exact._
 import graft.Tables
 import graft.functions.Portable._
 import graft.functions.VectorDot.vdot
+import graft.functions.VectorDotLong.vdotl
 
 /** Large-scale training-data-pipeline operators over the `documents`,
   * `embeddings` and `events` tables: deduplication (exact, MinHash+LSH,
@@ -1335,8 +1336,9 @@ object Pipeline extends QueryModule {
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("qv").as("qpv"))
-    val qdot = aggregate(zip_with(col("qpv"), col("qv"), (a, b) => a * b),
-      lit(0L), (acc, p) => acc + p)
+    // native codegen'd integer loop (VectorDotLong) — the wide phase of
+    // the quantized scan must not pay interpreted-lambda dispatch
+    val qdot = vdotl(col("qpv"), col("qv"))
     val cands = q.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), col("pv"), col("v"),

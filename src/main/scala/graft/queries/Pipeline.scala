@@ -1437,6 +1437,71 @@ object Pipeline extends QueryModule {
           .cast(IntegerType).as("is_dup"))
   }
 
+  /** Character- and token-level Simpson diversity (1 − Σp²) — the
+    * log-free entropy analogue used as a garbage/repetition quality
+    * signal: boilerplate and low-quality spans have few distinct
+    * symbols, so their diversity collapses. Chosen over Shannon entropy
+    * deliberately: Σcnt² and the totals are exact integers, so the score
+    * is two integer sums and one division — no `ln`, whose libm rounding
+    * differs across engines, and no float accumulation order anywhere.
+    * Two keyed counting aggregations (map-side combinable) joined on
+    * doc_id; rows scale with text bytes, never with doc pairs. */
+  private def p45DiversityScore: Q = (s, d) => {
+    def simpson(s2: Column, n: Column): Column =
+      round(lit(1.0) - s2.cast(DoubleType) / (n * n).cast(DoubleType), 6)
+    val chars = docsBalanced(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      // Java's split(s, -1) appends a trailing "" that DuckDB's
+      // string_split does not produce; both twins filter it
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_ch"),
+        sum(col("c") * col("c")).as("s2_ch"))
+    val toks = docsBalanced(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * col("c")).as("s2_tok"))
+    chars.join(toks, "doc_id")
+      .select(col("doc_id"), col("n_ch"),
+        simpson(col("s2_ch"), col("n_ch")).as("char_simpson"),
+        col("n_tok"), simpson(col("s2_tok"), col("n_tok")).as("token_simpson"))
+  }
+
+  private val MixCap = 0.05
+  private val MixScale = 1000000L
+
+  /** Source-mixture reweighting (static DoReMi-style downsampling): no
+    * source may exceed [[MixCap]] of the corpus's tokens, so each
+    * source's keep-rate is min(1, cap/share) and docs are kept by a
+    * deterministic hash threshold — the same doc survives on any
+    * cluster, any partitioning, any run. Three tiny aggregations (the
+    * per-source table is |sources| rows, broadcast back un-hinted) plus
+    * one map-side filter; the heavy corpus is scanned once and never
+    * shuffled on a data-dependent key. Per-source admissions ride along
+    * so the realized mixture is auditable against the target. */
+  private def p46MixtureSample: Q = (s, d) => {
+    val docTok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    val bySrc = docTok.groupBy("source")
+      .agg(sum(col("n_tok")).as("src_tok"), count(lit(1)).as("n_docs_in"))
+    val tot = docTok.agg(sum(col("n_tok")).as("tot_tok"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("keep_rate", least(lit(1.0), lit(MixCap) /
+        (col("src_tok").cast(DoubleType) / col("tot_tok").cast(DoubleType))))
+    val kept = docTok.join(rates.select("source", "keep_rate"), "source")
+      .filter(h60(concat(lit("mix:"), col("doc_id").cast(StringType)))
+        % lit(MixScale) < floor(col("keep_rate") * lit(MixScale.toDouble)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tok")).as("n_tok_kept"))
+    rates.join(kept, Seq("source"), "left_outer")
+      .select(col("source"), round(col("keep_rate"), 6).as("keep_rate"),
+        col("n_docs_in"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1484,6 +1549,8 @@ object Pipeline extends QueryModule {
     "p42_ann_quantized" -> p42AnnQuantized,
     "p43_vocab_oov" -> p43VocabOov,
     "p44_bloom_prefilter" -> p44BloomPrefilter,
+    "p45_diversity_score" -> p45DiversityScore,
+    "p46_mixture_sample" -> p46MixtureSample,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -1626,6 +1693,55 @@ object Pipeline extends QueryModule {
          |    / CAST(SUM(tf) AS BIGINT), 6) AS oov_rate
          |FROM dtf d LEFT JOIN vocab v ON d.term = v.term
          |GROUP BY 1, 2""".stripMargin,
+    "p45_diversity_score" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, c FROM (
+         |    SELECT doc_id, ch, COUNT(*) AS c FROM (
+         |      SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |      FROM documents) WHERE ch <> '' GROUP BY 1, 2)),
+         |cd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ch,
+         |    CAST(SUM(c * c) AS BIGINT) AS s2_ch
+         |  FROM ch GROUP BY 1),
+         |tk AS (
+         |  SELECT doc_id, c FROM (
+         |    SELECT doc_id, term, COUNT(*) AS c FROM (
+         |      SELECT doc_id, unnest($sqlToks) AS term
+         |      FROM documents) GROUP BY 1, 2)),
+         |td AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         |    CAST(SUM(c * c) AS BIGINT) AS s2_tok
+         |  FROM tk GROUP BY 1)
+         |SELECT cd.doc_id, n_ch,
+         |  round(1.0 - CAST(s2_ch AS DOUBLE) / CAST(n_ch * n_ch AS DOUBLE), 6)
+         |    AS char_simpson,
+         |  n_tok,
+         |  round(1.0 - CAST(s2_tok AS DOUBLE) / CAST(n_tok * n_tok AS DOUBLE),
+         |    6) AS token_simpson
+         |FROM cd JOIN td ON cd.doc_id = td.doc_id""".stripMargin,
+    "p46_mixture_sample" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, source, CAST(len($sqlToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |bysrc AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+         |    COUNT(*) AS n_docs_in
+         |  FROM dt GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot_tok FROM dt),
+         |rates AS (
+         |  SELECT source, n_docs_in,
+         |    least(1.0, $MixCap /
+         |      (CAST(src_tok AS DOUBLE) / CAST(tot_tok AS DOUBLE)))
+         |      AS keep_rate
+         |  FROM bysrc, tot),
+         |kept AS (
+         |  SELECT d.source, COUNT(*) AS n_docs_kept,
+         |    CAST(SUM(d.n_tok) AS BIGINT) AS n_tok_kept
+         |  FROM dt d JOIN rates r ON d.source = r.source
+         |  WHERE ${sqlH60("'mix:' || CAST(doc_id AS VARCHAR)")} % $MixScale
+         |    < CAST(floor(r.keep_rate * $MixScale.0) AS BIGINT)
+         |  GROUP BY 1)
+         |SELECT r.source, round(r.keep_rate, 6) AS keep_rate, r.n_docs_in,
+         |  coalesce(k.n_docs_kept, 0) AS n_docs_kept,
+         |  coalesce(k.n_tok_kept, 0) AS n_tok_kept
+         |FROM rates r LEFT JOIN kept k ON r.source = k.source""".stripMargin,
     "p44_bloom_prefilter" ->
       s"""WITH d AS (SELECT doc_id, sha256(text) AS content_hash,
          |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_new

@@ -450,6 +450,32 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.toSeq == Seq((4L, 0, 0)))
   }
 
+  test("p45 Simpson diversity matches hand counts, no logs anywhere") {
+    val rows = run("p45_diversity_score").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ch"), r.getAs[Double]("char_simpson"),
+          r.getAs[Long]("n_tok"), r.getAs[Double]("token_simpson")))).toMap
+    // doc 3: 49 chars with sum(cnt^2)=165; 10 tokens, "the" twice
+    assert(rows(3L) == ((49L, 0.931279, 10L, 0.88)))
+    // docs 0/1: 29 tokens all distinct -> 1 - 29/841
+    assert(rows(0L)._4 == 0.965517)
+  }
+
+  test("p46 mixture sampling caps every mini source, admits by hash") {
+    val rows = run("p46_mixture_sample").collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("keep_rate"), r.getAs[Long]("n_docs_in"),
+          r.getAs[Long]("n_docs_kept"), r.getAs[Long]("n_tok_kept")))).toMap
+    // shares: src0 58/105, src1 29/105, src2 10/105, src3 8/105 — all
+    // above the 5% cap, so every keep_rate is cap/share < 1
+    assert(rows("src0") == ((0.090517, 2L, 0L, 0L)))
+    assert(rows("src1") == ((0.181034, 1L, 0L, 0L)))
+    // only doc 3 hashes under its source's threshold (re-derived:
+    // h60("mix:3") % 1e6 = 470143 < floor(0.525 * 1e6))
+    assert(rows("src2") == ((0.525, 1L, 1L, 10L)))
+    assert(rows("src3") == ((0.65625, 1L, 0L, 0L)))
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -1310,9 +1310,14 @@ object Pipeline extends QueryModule {
     * (dims rows) packed into two broadcast arrays; the quantized corpus
     * is checkpointed because the probe and corpus sides both read it —
     * at production scale it is the persisted quantized index. */
-  private def p42AnnQuantized: Q = (s, d) => {
+  /** Quantized vector table shared by p42 (quantized ANN) and p47
+    * (centroid build): per-dimension corpus min/max packed into two
+    * broadcast arrays, then every vector mapped to int8 codes in one
+    * pass. Checkpointed because consumers read it from multiple join
+    * sides — at production scale this is the persisted quantized index. */
+  private def quantizedVectors(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
     val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i").agg(min(col("x").cast(DoubleType)).as("mn"),
         max(col("x").cast(DoubleType)).as("mx"))
@@ -1326,13 +1331,18 @@ object Pipeline extends QueryModule {
         least(lit(127L),
           floor((x.cast(DoubleType) - mn) * lit(255.0) / (mx - mn)) -
             lit(128L)))
-    val q = e.crossJoin(broadcast(stats))
+    e.crossJoin(broadcast(stats))
       .withColumn("qv", transform(col("v"), (x, i) =>
         quant(x, element_at(col("mns"), i + 1),
           element_at(col("mxs"), i + 1))))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-      .select("vec_id", "v", "nrm", "qv")
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("qv"),
+        col("mns"), col("mxs"))
       .localCheckpoint(false)
+  }
+
+  private def p42AnnQuantized: Q = (s, d) => {
+    val q = quantizedVectors(s, d)
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("qv").as("qpv"))
@@ -1502,6 +1512,33 @@ object Pipeline extends QueryModule {
         coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"))
   }
 
+  /** Per-label centroid build over the QUANTIZED codes — the codebook
+    * training step the IVF path (p20/p33) consumes. Averaging raw floats
+    * distributed-style is order-DEPENDENT (float partial sums differ by
+    * merge order, so no two runs — or engines — agree bit-for-bit);
+    * averaging the int8 codes is two exact integer aggregates per
+    * (label, dim) cell, map-side combinable and identical on any
+    * partitioning, the same reason the money pipeline sums decimals.
+    * The dequantized float centroid is derived from the integer mean by
+    * one fixed arithmetic chain per cell. One explode + one keyed agg —
+    * linear, no pairwise work. */
+  private def p47QuantizedCentroids: Q = (s, d) => {
+    val rows = quantizedVectors(s, d)
+      .select(col("label"), col("mns"), col("mxs"),
+        posexplode(col("qv")).as(Seq("i", "cq")))
+      .select(col("label"), col("i"), col("cq"),
+        element_at(col("mns"), col("i") + 1).as("mn"),
+        element_at(col("mxs"), col("i") + 1).as("mx"))
+    val centroidQ = col("s").cast(DoubleType) / col("n").cast(DoubleType)
+    rows.groupBy("label", "i")
+      .agg(count(lit(1)).as("n"), sum(col("cq")).as("s"),
+        min(col("mn")).as("mn"), min(col("mx")).as("mx"))
+      .select(col("label"), col("i").as("dim"), col("n"),
+        round(centroidQ, 6).as("centroid_q"),
+        round(col("mn") + (centroidQ + lit(128.0)) *
+          (col("mx") - col("mn")) / lit(255.0), 6).as("centroid"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1551,6 +1588,7 @@ object Pipeline extends QueryModule {
     "p44_bloom_prefilter" -> p44BloomPrefilter,
     "p45_diversity_score" -> p45DiversityScore,
     "p46_mixture_sample" -> p46MixtureSample,
+    "p47_quantized_centroids" -> p47QuantizedCentroids,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -1601,6 +1639,31 @@ object Pipeline extends QueryModule {
        |WHERE CAST(ninter AS DOUBLE) / (na + nb - ninter)
        |  >= $JaccardThreshold""".stripMargin
 
+  // Scalar-quantization CTEs (twin of `quantizedVectors`) shared by the
+  // p42 and p47 oracles: per-dim min/max lists + int8 codes per vector.
+  // Callers prepend WITH and read `q` (vec_id, label, v, nrm, qv) and
+  // `sa` (mns, mxs).
+  private val sqlQuantCtes: String =
+    """e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+      |  FROM e, (SELECT unnest(generate_series(1,
+      |    (SELECT max(len(v)) FROM e))) AS i) dims
+      |  WHERE i <= len(v) GROUP BY i),
+      |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+      |  FROM st),
+      |q AS (
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+      |    list_transform(generate_series(1, len(v)), i ->
+      |      CASE WHEN mxs[i] = mns[i] THEN 0
+      |        ELSE least(127, CAST(floor((v[i] - mns[i]) * 255.0
+      |          / (mxs[i] - mns[i])) AS BIGINT) - 128) END) AS qv
+      |  FROM e, sa)""".stripMargin
+
   // Connected-component labels over p02's pair graph (transitive closure
   // + min-label per component) — the cluster CTE shared by the p32 and
   // p41 oracles. Callers prepend WITH RECURSIVE and read `lbl`.
@@ -1636,24 +1699,7 @@ object Pipeline extends QueryModule {
          |  COUNT(*) AS n_members
          |FROM r GROUP BY cluster_id""".stripMargin,
     "p42_ann_quantized" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |st AS (
-        |  SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
-        |  FROM e, (SELECT unnest(generate_series(1,
-        |    (SELECT max(len(v)) FROM e))) AS i) dims
-        |  WHERE i <= len(v) GROUP BY i),
-        |sa AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
-        |  FROM st),
-        |q AS (
-        |  SELECT vec_id, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-        |    list_transform(generate_series(1, len(v)), i ->
-        |      CASE WHEN mxs[i] = mns[i] THEN 0
-        |        ELSE least(127, CAST(floor((v[i] - mns[i]) * 255.0
-        |          / (mxs[i] - mns[i])) AS BIGINT) - 128) END) AS qv
-        |  FROM e, sa),
+      s"""WITH $sqlQuantCtes,
         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, qv AS qpv
         |  FROM q WHERE vec_id < 5),
         |c AS (
@@ -1674,6 +1720,18 @@ object Pipeline extends QueryModule {
         |  sim, qsim
         |FROM r
         |QUALIFY rnk <= 5""".stripMargin,
+    "p47_quantized_centroids" ->
+      s"""WITH $sqlQuantCtes,
+         |x AS (
+         |  SELECT label, i, qv[i] AS cq, mns[i] AS mn, mxs[i] AS mx
+         |  FROM q, sa, (SELECT unnest(generate_series(1,
+         |    (SELECT max(len(qv)) FROM q))) AS i) dims
+         |  WHERE i <= len(qv))
+         |SELECT label, CAST(i - 1 AS INT) AS dim, COUNT(*) AS n,
+         |  round(CAST(SUM(cq) AS DOUBLE) / COUNT(*), 6) AS centroid_q,
+         |  round(MIN(mn) + (CAST(SUM(cq) AS DOUBLE) / COUNT(*) + 128.0)
+         |    * (MIN(mx) - MIN(mn)) / 255.0, 6) AS centroid
+         |FROM x GROUP BY label, i""".stripMargin,
     "p43_vocab_oov" ->
       s"""WITH occ AS (
          |  SELECT doc_id, lang, source, unnest($sqlToks) AS term

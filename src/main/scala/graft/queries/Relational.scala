@@ -504,6 +504,25 @@ object Relational extends QueryModule {
       .agg(concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
         .as("prios"))
 
+  /** TPC-H Q18 shape (large-volume orders): aggregate the fact table per
+    * order, keep orders whose quantity total clears a threshold (HAVING
+    * over an exact decimal sum), then join BACK through orders and
+    * customer for the reporting columns. The agg runs FIRST, so the two
+    * reporting joins see only the qualifying keys — the decorrelated
+    * plan a correlated `IN (SELECT ... HAVING)` rewrites to, with AQE
+    * free to broadcast the shrunken agg side at any scale. */
+  private def q52BigOrders: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > 150)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("sq").cast(DoubleType).as("tot_qty"))
+  }
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -616,6 +635,7 @@ object Relational extends QueryModule {
     "q49_except_all" -> q49ExceptAll,
     "q50_ntile" -> q50Ntile,
     "q51_listagg" -> q51ListAgg,
+    "q52_big_orders" -> q52BigOrders,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -888,5 +908,15 @@ object Relational extends QueryModule {
         |  string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
         |    AS prios
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q52_big_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, SUM(${sqlDec("l_quantity")}) AS sq
+         |  FROM lineitem GROUP BY 1 HAVING SUM(${sqlDec("l_quantity")}) > 150)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  STRFTIME(o_orderdate, '%Y-%m-%d') AS order_date,
+         |  CAST(sq AS DOUBLE) AS tot_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
   )
 }

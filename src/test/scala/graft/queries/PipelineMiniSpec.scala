@@ -476,6 +476,22 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows("src3") == ((0.65625, 1L, 0L, 0L)))
   }
 
+  test("p47 quantized centroids average the int8 codes exactly") {
+    val rows = run("p47_quantized_centroids").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("centroid_q"),
+          r.getAs[Double]("centroid")))).toMap
+    assert(rows.size == 12) // 3 labels x 4 dims
+    // label 0 = vecs 0,1 with codes 127/114 on dim 0: mean 120.5,
+    // dequantized -1 + (120.5+128)*2/255 = 0.949020
+    assert(rows((0, 0)) == ((2L, 120.5, 0.94902)))
+    assert(rows((0, 1)) == ((2L, -115.5, 0.049020)))
+    // constant dims quantize to 0 and dequantize to the constant
+    assert(rows((0, 2)) == ((2L, 0.0, 0.0)))
+    // label 2 is the single vector 3: codes pass through
+    assert(rows((2, 0)) == ((1L, -128.0, -1.0)))
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -122,6 +122,38 @@ object Streams {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.queries.Pipeline.chunkRows(docs)
 
+  final case class KeptDoc(content_hash: String, doc_id: Long)
+
+  /** Streaming incremental dedup over a DOCUMENT stream — the continuous
+    * twin of batch p36: where p36 anti-joins a new batch against the
+    * persisted distinct-hash index, here the state store IS that index.
+    * Keyed by portable content hash via flatMapGroupsWithState, each key
+    * emits exactly one row ever — the first-seen doc (min doc_id within
+    * the microbatch, so a batch-internal duplicate pair also collapses
+    * deterministically); later arrivals update nothing downstream. State
+    * per key is one long, partitioned by hash across the cluster like
+    * any shuffle. (A production deployment of an unbounded hash space
+    * would add a state TTL or swap the state store for the persisted
+    * index of p36 — the semantics here are the bounded-corpus contract.) */
+  def dedupDocStream(docs: DataFrame): Dataset[KeptDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, KeptDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+          val minNew = rows.map(_._2).min
+          if (state.exists) Iterator.empty
+          else {
+            state.update(minNew)
+            Iterator.single(KeptDoc(hash, minNew))
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

@@ -158,6 +158,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocStream emits each content hash once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = dedupDocStream(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: B duplicates A within the batch -> min doc_id survives
+      in.addData((2L, "aaa"), (1L, "aaa"), (3L, "bbb"))
+      q.processAllAvailable()
+      // batch 2: another "aaa" is state-suppressed; "ccc" is new
+      in.addData((4L, "aaa"), (5L, "ccc"))
+      q.processAllAvailable()
+      val kept = spark.table("doc_dedup").collect()
+        .map(r => r.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("qualityGate filters a document stream with the batch expressions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

@@ -1539,6 +1539,48 @@ object Pipeline extends QueryModule {
           (col("mx") - col("mn")) / lit(255.0), 6).as("centroid"))
   }
 
+  private val HistBins = 32L
+
+  /** Mergeable-histogram quantiles over the document length distribution
+    * — the corpus-analytics scale pattern: an exact percentile needs a
+    * global sort of the column, but a fixed-bin histogram is a ≤32-cell
+    * map-side-combinable aggregate whose cells merge associatively
+    * across any number of partitions (or days, or clusters), and
+    * quantiles read off its CDF with error bounded by one bin width.
+    * Binning is pure INTEGER arithmetic (no float rounding to diverge
+    * between engines), and the exact percentiles ride along so the
+    * approximation error is visible in the output. The CDF window runs
+    * over the 32-row histogram, never the corpus. */
+  private def p48HistQuantiles: Q = (s, d) => {
+    val doc = Tables.documents(s, d).select(col("n_chars"))
+    val mm = doc.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+      count(lit(1)).as("n"))
+    val hist = doc.crossJoin(broadcast(mm))
+      .select(least(lit(HistBins - 1),
+        expr(s"(n_chars - mn) * $HistBins div (mx - mn + 1)")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(mm))
+    def edge(bin: Column): Column =
+      col("mn") + (bin + lit(1)).cast(DoubleType) *
+        (col("mx") - col("mn") + lit(1)).cast(DoubleType) / lit(HistBins.toDouble)
+    val p50 = cdf.filter(col("cum") * 2 >= col("n"))
+      .agg(min(col("b")).as("p50_bin"))
+    val p90 = cdf.filter(col("cum") * 10 >= col("n") * 9)
+      .agg(min(col("b")).as("p90_bin"))
+    val exact = doc.agg(
+      round(percentile(col("n_chars"), lit(0.5)), 4).as("p50_exact"),
+      round(percentile(col("n_chars"), lit(0.9)), 4).as("p90_exact"))
+    mm.crossJoin(p50).crossJoin(p90).crossJoin(exact)
+      .select(col("n"), col("mn"), col("mx"),
+        col("p50_bin"), round(edge(col("p50_bin")), 4).as("p50_approx"),
+        col("p50_exact"),
+        col("p90_bin"), round(edge(col("p90_bin")), 4).as("p90_approx"),
+        col("p90_exact"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1589,6 +1631,7 @@ object Pipeline extends QueryModule {
     "p45_diversity_score" -> p45DiversityScore,
     "p46_mixture_sample" -> p46MixtureSample,
     "p47_quantized_centroids" -> p47QuantizedCentroids,
+    "p48_hist_quantiles" -> p48HistQuantiles,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -1732,6 +1775,29 @@ object Pipeline extends QueryModule {
          |  round(MIN(mn) + (CAST(SUM(cq) AS DOUBLE) / COUNT(*) + 128.0)
          |    * (MIN(mx) - MIN(mn)) / 255.0, 6) AS centroid
          |FROM x GROUP BY label, i""".stripMargin,
+    "p48_hist_quantiles" ->
+      s"""WITH mm AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+         |    COUNT(*) AS n FROM documents),
+         |hist AS (
+         |  SELECT least(${HistBins - 1},
+         |      (n_chars - mn) * $HistBins // (mx - mn + 1)) AS b,
+         |    COUNT(*) AS c
+         |  FROM documents, mm GROUP BY 1),
+         |cdf AS (SELECT b, SUM(c) OVER (ORDER BY b) AS cum FROM hist),
+         |p50 AS (SELECT MIN(b) AS p50_bin FROM cdf, mm WHERE cum * 2 >= n),
+         |p90 AS (SELECT MIN(b) AS p90_bin FROM cdf, mm
+         |  WHERE cum * 10 >= n * 9),
+         |ex AS (SELECT round(quantile_cont(n_chars, 0.5), 4) AS p50_exact,
+         |  round(quantile_cont(n_chars, 0.9), 4) AS p90_exact
+         |  FROM documents)
+         |SELECT n, mn, mx, p50_bin,
+         |  round(mn + CAST(p50_bin + 1 AS DOUBLE)
+         |    * CAST(mx - mn + 1 AS DOUBLE) / $HistBins.0, 4) AS p50_approx,
+         |  p50_exact, p90_bin,
+         |  round(mn + CAST(p90_bin + 1 AS DOUBLE)
+         |    * CAST(mx - mn + 1 AS DOUBLE) / $HistBins.0, 4) AS p90_approx,
+         |  p90_exact
+         |FROM mm, p50, p90, ex""".stripMargin,
     "p43_vocab_oov" ->
       s"""WITH occ AS (
          |  SELECT doc_id, lang, source, unnest($sqlToks) AS term

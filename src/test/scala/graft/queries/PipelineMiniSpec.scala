@@ -492,6 +492,19 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows((2, 0)) == ((1L, -128.0, -1.0)))
   }
 
+  test("p48 histogram quantiles bracket the exact percentiles") {
+    val r = run("p48_hist_quantiles").head
+    // n_chars = [147, 147, 147, 44, 60]: mn 44, mx 147, bin width
+    // (104/32); 147 lands in bin 31, so both quantiles read bin 31
+    // whose upper edge 44 + 32*104/32 = 148 brackets the exact 147
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("mn") == 44L && r.getAs[Long]("mx") == 147L)
+    assert(r.getAs[Long]("p50_bin") == 31L)
+    assert(r.getAs[Double]("p50_approx") == 148.0)
+    assert(r.getAs[Double]("p50_exact") == 147.0)
+    assert(r.getAs[Double]("p90_exact") == 147.0)
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

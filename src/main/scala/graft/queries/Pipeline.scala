@@ -1581,6 +1581,35 @@ object Pipeline extends QueryModule {
         col("p90_exact"))
   }
 
+  /** Semantic near-dup (SemDeDup-style): EMBEDDING-space candidates,
+    * TEXT-verified — the cross-modal composite modern curation runs.
+    * Candidate pairs come from p13's sign-bucketed cosine stage (never
+    * all-pairs), then each pair's linked documents (vec_id = doc_id)
+    * are checked by exact token Jaccard, so the output carries both the
+    * embedding similarity and whether the text agrees. The tiny pair
+    * list joins the token-set table un-hinted — AQE broadcasts it, and
+    * the corpus is scanned once for token sets, never shuffled on a
+    * pair key. */
+  private def p49SemanticNearDup: Q = (s, d) => {
+    val pairs = p13CosineNearDup(s, d)
+    val sets = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(tokens(col("text"))).as("tset"))
+    val jaccard = col("ninter").cast(DoubleType) /
+      (col("na") + col("nb") - col("ninter")).cast(DoubleType)
+    pairs
+      .join(sets.select(col("doc_id").as("vec_a"), col("tset").as("ta")),
+        "vec_a")
+      .join(sets.select(col("doc_id").as("vec_b"), col("tset").as("tb")),
+        "vec_b")
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("sim"),
+        size(array_intersect(col("ta"), col("tb"))).as("ninter"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("sim"),
+        round(jaccard, 6).as("jaccard"),
+        (jaccard >= lit(JaccardThreshold)).cast(IntegerType)
+          .as("text_confirmed"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1632,6 +1661,7 @@ object Pipeline extends QueryModule {
     "p46_mixture_sample" -> p46MixtureSample,
     "p47_quantized_centroids" -> p47QuantizedCentroids,
     "p48_hist_quantiles" -> p48HistQuantiles,
+    "p49_semantic_neardup" -> p49SemanticNearDup,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -1706,6 +1736,24 @@ object Pipeline extends QueryModule {
       |        ELSE least(127, CAST(floor((v[i] - mns[i]) * 255.0
       |          / (mxs[i] - mns[i])) AS BIGINT) - 128) END) AS qv
       |  FROM e, sa)""".stripMargin
+
+  // p13's full oracle text, shared with p49 (which text-verifies p13's
+  // embedding-bucketed candidate pairs).
+  private val sqlP13: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+      |  array_to_string(list_transform(generate_series(1, 4),
+      |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  FROM e)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_sum(list_transform(generate_series(1, len(a.v)),
+      |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS sim
+      |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+      |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.40""".stripMargin
 
   // Connected-component labels over p02's pair graph (transitive closure
   // + min-label per component) — the cluster CTE shared by the p32 and
@@ -2014,21 +2062,25 @@ object Pipeline extends QueryModule {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,
-    "p13_cosine_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-        |  array_to_string(list_transform(generate_series(1, 4),
-        |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |  FROM e)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_sum(list_transform(generate_series(1, len(a.v)),
-        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS sim
-        |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
-        |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.40""".stripMargin,
+    "p13_cosine_neardup" -> sqlP13,
+    "p49_semantic_neardup" ->
+      s"""WITH pairs AS ($sqlP13),
+         |sets AS (SELECT doc_id,
+         |    list_distinct($sqlToks) AS tset FROM documents),
+         |j AS (
+         |  SELECT p.vec_a AS doc_a, p.vec_b AS doc_b, p.sim,
+         |    len(list_intersect(a.tset, b.tset)) AS ninter,
+         |    len(a.tset) AS na, len(b.tset) AS nb
+         |  FROM pairs p
+         |  JOIN sets a ON p.vec_a = a.doc_id
+         |  JOIN sets b ON p.vec_b = b.doc_id)
+         |SELECT doc_a, doc_b, sim,
+         |  round(CAST(ninter AS DOUBLE) / CAST(na + nb - ninter AS DOUBLE),
+         |    6) AS jaccard,
+         |  CAST(CASE WHEN CAST(ninter AS DOUBLE)
+         |      / CAST(na + nb - ninter AS DOUBLE) >= $JaccardThreshold
+         |    THEN 1 ELSE 0 END AS INT) AS text_confirmed
+         |FROM j""".stripMargin,
     "p15_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type = 'click'),

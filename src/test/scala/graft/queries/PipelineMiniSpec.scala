@@ -505,6 +505,15 @@ class PipelineMiniSpec extends SparkSpec {
     assert(r.getAs[Double]("p90_exact") == 147.0)
   }
 
+  test("p49 semantic near-dup text-confirms the identical linked docs") {
+    val rows = run("p49_semantic_neardup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"), r.getAs[Int]("text_confirmed")))
+    // p13 pairs (0,1) and (2,16); vec 16 has no linked document, so
+    // only the exact-dup text pair survives and confirms at jaccard 1
+    assert(rows.toSeq == Seq((0L, 1L, 1.0, 1)))
+  }
+
   test("p11 sessionization splits on the >10-minute gap") {
     val sessions = run("p11_events_sessions")
       .filter(col("user_id") === 7).orderBy("sess").collect()

@@ -26,6 +26,7 @@ object Bench {
     "p01_exact_dedup",    // content-hash dedup over documents
     "p02_minhash_neardup",// banded MinHash LSH + exact Jaccard verify
     "p04_ann_cosine_topk",// brute-force cosine top-k (ANN baseline)
+    "p42_ann_quantized",  // int8-quantized scan + exact re-rank (ANN fast path)
     "p06_text_stats",     // per-doc text analysis (pure map)
     "p11_events_sessions",// sessionization window over events
     "p15_asof_join",      // as-of join via tagged union + windowed last

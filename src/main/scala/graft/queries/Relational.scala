@@ -523,6 +523,19 @@ object Relational extends QueryModule {
         col("sq").cast(DoubleType).as("tot_qty"))
   }
 
+  /** Top-3 customers per nation through the NATIVE per-key top-k
+    * operator (graft.plans.TopKPerKey: logical node + strategy +
+    * two-phase bounded-heap physical exec, injected via
+    * GraftExtensions) — the whole-operator extension tier of the
+    * custom-operator ladder, gated here against the same DuckDB oracle
+    * as any built-in. The plan is heap → one hash exchange of ≤
+    * tasks×keys×k rows → heap; no sort, no window (plan-asserted in
+    * TopKPerKeySpec). */
+  private def q53TopkNative: Q = (s, d) =>
+    graft.plans.TopKPerKey.topK(
+      Tables.customer(s, d).select("c_nationkey", "c_custkey", "c_acctbal"),
+      Seq("c_nationkey"), Seq("c_acctbal" -> false, "c_custkey" -> true), 3)
+
   /** Exact continuous percentiles per group (median + p90). Spark's
     * `percentile` is the exact sort-based aggregate; DuckDB's
     * quantile_cont matches its interpolation; outputs rounded so the
@@ -636,6 +649,7 @@ object Relational extends QueryModule {
     "q50_ntile" -> q50Ntile,
     "q51_listagg" -> q51ListAgg,
     "q52_big_orders" -> q52BigOrders,
+    "q53_topk_native" -> q53TopkNative,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -918,5 +932,9 @@ object Relational extends QueryModule {
          |FROM big
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q53_topk_native" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC) <= 3""".stripMargin,
   )
 }

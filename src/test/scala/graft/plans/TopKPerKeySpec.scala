@@ -1,0 +1,79 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.plans.TopKPerKey.topK
+
+/** The native per-key top-k operator: exact agreement with the window
+  * form it replaces, the two-phase plan shape, and bounded shuffles. */
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def customers = Tables.customer(spark, sf)
+    .select("c_nationkey", "c_custkey", "c_acctbal")
+
+  private def windowForm(k: Int) = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customers.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  private def nativeForm(k: Int) = topK(customers, Seq("c_nationkey"),
+    Seq("c_acctbal" -> false, "c_custkey" -> true), k)
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("native top-k returns exactly the window form's rows") {
+    Seq(1, 3, 10).foreach { k =>
+      assert(asSet(nativeForm(k)) == asSet(windowForm(k)), s"k=$k")
+    }
+  }
+
+  test("keys with fewer than k rows pass through whole") {
+    val big = nativeForm(Int.MaxValue / 2)
+    assert(asSet(big) == asSet(customers))
+  }
+
+  test("plans two heap phases around one exchange - no sort, no window") {
+    val plan = nativeForm(3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial") &&
+      plan.contains("TopKPerKeyFinal"), s"missing phases:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly the one hash exchange:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Sort"),
+      s"regressed to sort/window:\n$plan")
+  }
+
+  test("agrees with the window form on adversarial generated data") {
+    // many duplicate order values force tiebreak-dependent admission
+    val df = (1 to 500)
+      .map(i => (i % 7L, i.toLong, (i % 3).toDouble))
+      .toDF("c_nationkey", "c_custkey", "c_acctbal")
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+    val got = topK(df, Seq("c_nationkey"),
+      Seq("c_acctbal" -> false, "c_custkey" -> true), 5)
+    assert(asSet(got) == asSet(expect))
+  }
+
+  test("multi-key grouping and ascending order work") {
+    val df = (1 to 200)
+      .map(i => (i % 4L, i % 2L, i.toLong, i.toDouble))
+      .toDF("a", "b", "id", "v")
+    val w = Window.partitionBy(col("a"), col("b"))
+      .orderBy(col("v").asc, col("id").asc)
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(_.toSeq).toSet
+    val got = topK(df, Seq("a", "b"),
+      Seq("v" -> true, "id" -> true), 3)
+      .collect().map(_.toSeq).toSet
+    assert(got == expect)
+  }
+}

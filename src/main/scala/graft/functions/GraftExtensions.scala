@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDotLong)
     // whole-operator extension: the native per-key top-k planner rule
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // and its optimizer rewrite: window row_number<=k patterns with the
+    // rank column dropped plan through the heap operator automatically
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }
 

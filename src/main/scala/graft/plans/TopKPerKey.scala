@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.PlanBridge
 
@@ -71,9 +71,13 @@ case class TopKPerKeyExec(
     if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
   // the final pass needs all rows of a key co-located; the partial pass
-  // runs wherever the data already is (that is the point of it)
+  // runs wherever the data already is (that is the point of it). With no
+  // keys (a GLOBAL top-k — e.g. a constant partition key the optimizer
+  // folded away) the final pass needs the single-partition distribution,
+  // and the partials have already capped each task's contribution at k.
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning

@@ -42,6 +42,19 @@ class TopKRewriteRuleSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("the SQL subquery form (Spark has no QUALIFY) also re-plans") {
+    Tables.customer(spark, sf).createOrReplaceTempView("topk_customer")
+    val df = spark.sql(
+      """SELECT c_nationkey, c_custkey, c_acctbal FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM topk_customer) WHERE rn <= 3""".stripMargin)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerKeyFinal"),
+      s"SQL path did not re-plan:\n$physical")
+    assert(df.count() == pattern(3).count())
+  }
+
   test("a kept rank column disqualifies the rewrite") {
     val df = Tables.customer(spark, sf)
       .select("c_nationkey", "c_custkey", "c_acctbal")

@@ -106,6 +106,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("salted top-k phases picked up the heap operator rewrite") {
+    // TopKRewriteRule re-plans the row_number<=k+drop pattern; these
+    // queries wrote the standard window form and must now run the
+    // bounded-heap operator instead of sorting whole partitions
+    Seq("p04_ann_cosine_topk", "p43_vocab_oov", "p30_stratified_sample")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("TopKPerKeyPartial"),
+          s"$q lost the heap rewrite:\n$p")
+      }
+  }
+
   test("UNION ALL is pure concatenation — no exchange, no aggregate") {
     val p = plan("q48_union_all")
     assert(!p.contains("Exchange") && !p.contains("HashAggregate"),

@@ -1107,21 +1107,30 @@ object Pipeline extends QueryModule {
         size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
           .cast(LongType).as("n_bpe_tokens"))
 
-  /** Incremental dedup — the daily-ingest pattern: a new batch (a
-    * deterministic 10% hash slice standing in for today's arrivals) is
-    * deduped against the existing corpus with a hash-keyed anti-join,
-    * then within itself (min-id per content hash). Both shuffles are
-    * keyed on the content digest, and the existing side carries ONLY
-    * distinct hashes — at production scale that is the persisted
-    * dedup-index table, not a re-scan of all history. */
-  private def p36IncrementalDedup: Q = (s, d) => {
+  /** The incremental-ingest contract shared by p36 (exact anti-join
+    * dedup) and p44 (bloom prefilter): content-addressed docs, a
+    * deterministic 10% hash slice standing in for today's arrivals
+    * (`newBatch`), and the distinct content hashes of everything else
+    * (`existing` — at production scale the persisted dedup-index table,
+    * not a re-scan of all history). One definition so both operators
+    * measure the same workload. */
+  private def ingestSplit(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("is_new",
         h60(col("doc_id").cast(StringType)) % 10 === 9)
-    val existing = docs.filter(!col("is_new"))
-      .select(col("content_hash")).distinct()
-    docs.filter(col("is_new"))
+    (docs.filter(col("is_new")).drop("is_new"),
+      docs.filter(!col("is_new")).select(col("content_hash")).distinct())
+  }
+
+  /** Incremental dedup — the daily-ingest pattern: the [[ingestSplit]]
+    * new batch is deduped against the existing corpus with a hash-keyed
+    * anti-join, then within itself (min-id per content hash). Both
+    * shuffles are keyed on the content digest. */
+  private def p36IncrementalDedup: Q = (s, d) => {
+    val (newBatch, existing) = ingestSplit(s, d)
+    newBatch
       .join(existing, Seq("content_hash"), "left_anti")
       .groupBy("content_hash")
       .agg(min(col("doc_id")).as("keep_id"),
@@ -1232,12 +1241,19 @@ object Pipeline extends QueryModule {
   }
 
   private val HllM = 256
-  // alpha_m * m^2 * 2^53 — the numerator of the raw estimate over the
-  // integer register sum below; one Scala-folded double constant,
+  // Every other sketch constant derives from HllM so the Spark side and
+  // the interpolated oracle move together: p bucket bits, the max rho
+  // rank over the remaining 60-p hash bits, and 2^rhoMax — the
+  // fixed-point scale of the integer harmonic sum.
+  private val HllP = Integer.numberOfTrailingZeros(HllM)
+  private val HllRhoMax = 61 - HllP
+  private val HllPow: Long = 1L << HllRhoMax
+  // alpha_m * m^2 * 2^rhoMax — the numerator of the raw estimate over
+  // the integer register sum below; one Scala-folded double constant,
   // injected verbatim into the oracle so both engines divide by the
   // identical value.
   private val HllRawNum: Double =
-    0.7213 / (1.0 + 1.079 / HllM) * (HllM.toDouble * HllM) * 9007199254740992.0
+    0.7213 / (1.0 + 1.079 / HllM) * (HllM.toDouble * HllM) * HllPow.toDouble
 
   /** HyperLogLog distinct-count sketch over `events.user_id`, built from
     * portable hashes so the DuckDB twin reproduces the registers — and
@@ -1255,16 +1271,16 @@ object Pipeline extends QueryModule {
   private def p40HllDistinct: Q = (s, d) => {
     val regs = Tables.events(s, d)
       .select(h60(col("user_id").cast(StringType)).as("hv"))
-      .select(col("hv").bitwiseAND(lit(255L)).as("bucket"),
-        shiftright(col("hv"), 8).as("w"))
-      .withColumn("rho", when(col("w") === 0, lit(53))
+      .select(col("hv").bitwiseAND(lit((HllM - 1).toLong)).as("bucket"),
+        shiftright(col("hv"), HllP).as("w"))
+      .withColumn("rho", when(col("w") === 0, lit(HllRhoMax))
         .otherwise(bit_count(col("w").bitwiseAND(-col("w")) - 1) + 1))
       .groupBy("bucket").agg(max(col("rho")).as("mj"))
     val sketch = regs.agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)")).as("sp"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoMax - mj)")).as("sp"),
         count(lit(1)).as("nb"))
       .select((col("sp") + (lit(HllM.toLong) - col("nb")) *
-          lit(9007199254740992L)).as("s_int"),
+          lit(HllPow)).as("s_int"),
         (lit(HllM.toLong) - col("nb")).as("v"))
       .withColumn("raw", lit(HllRawNum) / col("s_int").cast(DoubleType))
       .withColumn("est", round(
@@ -1300,16 +1316,6 @@ object Pipeline extends QueryModule {
         count(lit(1)).as("n_members"))
   }
 
-  /** Int8 scalar quantization + quantized ANN with exact re-rank — the
-    * memory-bandwidth scale path for similarity search: the corpus scan
-    * reads 1-byte codes (4× less than float32), candidates are ranked by
-    * the INTEGER quantized dot product (bit-exact across engines — no
-    * float summation anywhere in the wide phase), and only the top-20
-    * survivors per probe fetch their float vectors for the exact cosine
-    * re-rank. Per-dimension min/max is one tiny two-level aggregation
-    * (dims rows) packed into two broadcast arrays; the quantized corpus
-    * is checkpointed because the probe and corpus sides both read it —
-    * at production scale it is the persisted quantized index. */
   /** Quantized vector table shared by p42 (quantized ANN) and p47
     * (centroid build): per-dimension corpus min/max packed into two
     * broadcast arrays, then every vector mapped to int8 codes in one
@@ -1341,20 +1347,35 @@ object Pipeline extends QueryModule {
       .localCheckpoint(false)
   }
 
+  /** Int8 scalar quantization + quantized ANN with exact re-rank — the
+    * memory-bandwidth scale path for similarity search: the corpus scan
+    * reads 1-byte codes (4× less than float32), candidates are ranked by
+    * the INTEGER quantized dot product (bit-exact across engines — no
+    * float summation anywhere in the wide phase), and only the top-20
+    * survivors per probe fetch their float vectors for the exact cosine
+    * re-rank. Per-dimension min/max is one tiny two-level aggregation
+    * (dims rows) packed into two broadcast arrays; the quantized corpus
+    * is checkpointed because the probe and corpus sides both read it —
+    * at production scale it is the persisted quantized index. */
   private def p42AnnQuantized: Q = (s, d) => {
     val q = quantizedVectors(s, d)
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("qv").as("qpv"))
     // native codegen'd integer loop (VectorDotLong) — the wide phase of
-    // the quantized scan must not pay interpreted-lambda dispatch
+    // the quantized scan must not pay interpreted-lambda dispatch. The
+    // candidate rows carry ONLY ids + the integer score: the int8 codes
+    // are the widest thing the scan-and-rank phases touch, so the 4×
+    // bandwidth saving of quantization is real in the plan, not just in
+    // the storage format.
     val qdot = vdotl(col("qpv"), col("qv"))
-    val cands = q.crossJoin(broadcast(probes))
+    val cands = q.select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(probes.select(col("probe_id"), col("qpv"))))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("pv"), col("v"),
-        col("pnrm"), col("nrm"), qdot.as("qsim"))
+      .select(col("probe_id"), col("vec_id"), qdot.as("qsim"))
     // same provably-lossless two-phase top-k as p04, keyed on the
-    // integer score; the exact re-rank then reads 20 rows per probe
+    // integer score; only the ≤20 survivors per probe then fetch their
+    // float vectors (survivor side broadcast — it is k×probes rows)
     val local = Window
       .partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
       .orderBy(col("qsim").desc, col("vec_id").asc)
@@ -1362,9 +1383,14 @@ object Pipeline extends QueryModule {
       .orderBy(col("qsim").desc, col("vec_id").asc)
     val rerank = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    cands
+    val survivors = cands
       .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 20)
       .withColumn("qrnk", row_number().over(global)).filter(col("qrnk") <= 20)
+      .select("probe_id", "vec_id", "qsim")
+    q.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(survivors), "vec_id")
+      .join(broadcast(probes.select(col("probe_id"), col("pv"),
+        col("pnrm"))), "probe_id")
       .withColumn("sim",
         round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6))
       .withColumn("rnk", row_number().over(rerank).cast(IntegerType))
@@ -1421,18 +1447,13 @@ object Pipeline extends QueryModule {
     * the exact check — is measurable from the output. Both joins are
     * un-hinted: AQE broadcasts the ≤8192-row bit table. */
   private def p44BloomPrefilter: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-      .withColumn("content_hash", sha2(col("text"), 256))
-      .withColumn("is_new",
-        h60(col("doc_id").cast(StringType)) % 10 === 9)
-    val existing = docs.filter(!col("is_new"))
-      .select("content_hash").distinct()
+    val (newBatch, existing) = ingestSplit(s, d)
     def positions(c: Column): Column = array((0 until BloomK).map(i =>
       h60Seeded(lit(i), c) % lit(BloomBits)): _*)
     val bits = existing
       .select(explode(positions(col("content_hash"))).as("pos")).distinct()
       .withColumn("present", lit(1))
-    val probes = docs.filter(col("is_new"))
+    val probes = newBatch
       .select(col("doc_id"), col("content_hash"),
         explode(positions(col("content_hash"))).as("pos"))
     val verdicts = probes.join(bits, Seq("pos"), "left_outer")
@@ -2439,16 +2460,16 @@ object Pipeline extends QueryModule {
     "p40_hll_distinct" ->
       s"""WITH h AS (
          |  SELECT ${sqlH60("CAST(user_id AS VARCHAR)")} AS hv FROM events),
-         |b AS (SELECT hv & 255 AS bucket, hv >> 8 AS w FROM h),
-         |r AS (SELECT bucket, MAX(CASE WHEN w = 0 THEN 53
+         |b AS (SELECT hv & ${HllM - 1} AS bucket, hv >> $HllP AS w FROM h),
+         |r AS (SELECT bucket, MAX(CASE WHEN w = 0 THEN $HllRhoMax
          |    ELSE CAST(bit_count((w & (0 - w)) - 1) AS INT) + 1 END) AS mj
          |  FROM b GROUP BY 1),
-         |s AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
-         |    + (256 - COUNT(*)) * CAST(9007199254740992 AS BIGINT) AS s_int,
-         |    256 - COUNT(*) AS v
+         |s AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - mj)) AS BIGINT)
+         |    + ($HllM - COUNT(*)) * CAST($HllPow AS BIGINT) AS s_int,
+         |    $HllM - COUNT(*) AS v
          |  FROM r),
-         |e AS (SELECT round(CASE WHEN $HllRawNum / s_int <= 640.0 AND v > 0
-         |    THEN 256.0 * ln(256.0 / v)
+         |e AS (SELECT round(CASE WHEN $HllRawNum / s_int <= ${2.5 * HllM} AND v > 0
+         |    THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
          |    ELSE $HllRawNum / s_int END, 4) AS est FROM s),
          |x AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
          |SELECT n_exact, est AS hll_estimate,

@@ -1631,6 +1631,36 @@ object Pipeline extends QueryModule {
           .as("text_confirmed"))
   }
 
+  private val IntervalW = 600000000L // 10 min, microseconds
+
+  /** Interval-overlap join WITHOUT an equi key — the general range join
+    * that p16 cannot express (p16 rides the user_id equi key). Every
+    * purchase opens a [ts, ts+10min] window; the query counts ALL events
+    * from ANY user inside each window. Binning turns it into a keyed
+    * equi-join: both sides map to coarse buckets the width of the
+    * interval — a point lands in exactly one bucket, an interval in at
+    * most two — so candidate pairs exist only bucket-locally and the
+    * exact containment filter runs on candidates, never on
+    * |intervals|×|events|. Bucket arithmetic is integer `div` (no float
+    * division near bucket boundaries), the shuffle key is the bucket, and
+    * a skewed bucket salts like any keyed join. This is how Spark's own
+    * range-join hints bin under the hood — expressed here with public
+    * operators only. */
+  private def p50IntervalJoinBinned: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+    val iv = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("ts_us").as("lo"),
+        (col("ts_us") + IntervalW).as("hi"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"lo div $IntervalW"), expr(s"hi div $IntervalW"))))
+    val pts = ev.select(col("ts_us"),
+      expr(s"ts_us div $IntervalW").as("bucket"))
+    iv.join(pts, "bucket")
+      .filter(col("ts_us") >= col("lo") && col("ts_us") <= col("hi"))
+      .groupBy("p_event_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1683,6 +1713,7 @@ object Pipeline extends QueryModule {
     "p47_quantized_centroids" -> p47QuantizedCentroids,
     "p48_hist_quantiles" -> p48HistQuantiles,
     "p49_semantic_neardup" -> p49SemanticNearDup,
+    "p50_interval_join_binned" -> p50IntervalJoinBinned,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -2102,6 +2133,15 @@ object Pipeline extends QueryModule {
          |      / CAST(na + nb - ninter AS DOUBLE) >= $JaccardThreshold
          |    THEN 1 ELSE 0 END AS INT) AS text_confirmed
          |FROM j""".stripMargin,
+    "p50_interval_join_binned" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         |p AS (SELECT event_id AS p_event_id, ts_us AS lo,
+         |    ts_us + $IntervalW AS hi
+         |  FROM ev WHERE event_type = 'purchase')
+         |SELECT p_event_id, COUNT(*) AS n_overlap
+         |FROM p JOIN ev ON ev.ts_us BETWEEN p.lo AND p.hi
+         |GROUP BY 1""".stripMargin,
     "p15_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type = 'click'),

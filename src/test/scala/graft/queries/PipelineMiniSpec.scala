@@ -183,6 +183,16 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_follow") == 1L)
   }
 
+  test("p50 binned interval join counts cross-user overlap, not just same-user") {
+    // purchase (event 4, user 8) at t0 opens [t0, t0+10min]: catches
+    // itself plus user 7's events at t0 and t0+5min — p16's user-keyed
+    // form would see only the purchase itself
+    val rows = run("p50_interval_join_binned").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("p_event_id") == 4L)
+    assert(rows.head.getAs[Long]("n_overlap") == 3L)
+  }
+
   test("p19 split is exhaustive and deterministic") {
     def rows() = run("p19_train_val_split").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted

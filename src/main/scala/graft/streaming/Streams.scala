@@ -154,6 +154,50 @@ object Streams {
       }
   }
 
+  final case class TopKRow(event_type: String, rnk: Int, event_id: Long,
+      value: Double)
+
+  /** Streaming per-key top-k — the continuous twin of the native batch
+    * operator (graft.plans.TopKPerKey, gated as q53): the state store
+    * holds exactly what TopKPerKeyPartial's bounded heap holds — the
+    * best k (value DESC, event_id ASC tiebreak for a total order) rows
+    * per key — and each microbatch folds its rows into that heap one at
+    * a time, so per-key memory is k entries regardless of batch size or
+    * stream length. A key re-emits its ranked top-k ONLY when a batch
+    * actually changes it; an unchanged key adds zero output rows, which
+    * is what makes the operator usable as a continuously-maintained
+    * leaderboard materialization. */
+  def topEventsPerType(events: Dataset[Event], k: Int = 3)
+      : Dataset[TopKRow] = {
+    import events.sparkSession.implicits._
+    // best-first total order: value desc, then event_id asc
+    val better: ((Double, Long), (Double, Long)) => Boolean = (a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[List[(Double, Long)], TopKRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[Event],
+            state: GroupState[List[(Double, Long)]]) =>
+          val prev = state.getOption.getOrElse(Nil)
+          // fold each arrival into the k-bounded list (k is small; the
+          // insert is one linear pass, nothing beyond k entries is kept)
+          val next = batch.foldLeft(prev) { (top, e) =>
+            val entry = (e.value, e.event_id)
+            val (above, below) = top.span(better(_, entry))
+            (above ::: entry :: below).take(k)
+          }
+          if (next == prev) Iterator.empty
+          else {
+            state.update(next)
+            next.iterator.zipWithIndex.map { case ((v, id), i) =>
+              TopKRow(tpe, i + 1, id, v)
+            }
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

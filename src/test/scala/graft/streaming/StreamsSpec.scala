@@ -119,6 +119,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topEventsPerType maintains a ranked top-k and emits only on change") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = topEventsPerType(in.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 1.0), ev(2, 1, 7, "click", 5.0),
+        ev(3, 2, 8, "click", 3.0), ev(4, 3, 8, "view", 2.0))
+      q.processAllAvailable()
+      val batch1 = spark.table("topk")
+        .filter($"event_type" === "click")
+        .select("rnk", "event_id", "value").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch1 == Set((1, 2L, 5.0), (2, 3L, 3.0)))
+      val viewRows = spark.table("topk").filter($"event_type" === "view").count()
+      // a new arrival displaces rank 2; the untouched "view" key must
+      // emit NOTHING for this batch (change-detection contract)
+      in.addData(ev(5, 4, 9, "click", 4.0))
+      q.processAllAvailable()
+      val after = spark.table("topk")
+        .filter($"event_type" === "click").collect()
+      val last = after.map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"))).toSet
+      assert(last.contains((1, 2L, 5.0)) && last.contains((2, 5L, 4.0)))
+      assert(spark.table("topk").filter($"event_type" === "view").count()
+        == viewRows)
+      // below-threshold arrival: no click emission either
+      val clickRows = spark.table("topk").filter($"event_type" === "click").count()
+      in.addData(ev(6, 5, 9, "click", 0.5))
+      q.processAllAvailable()
+      assert(spark.table("topk").filter($"event_type" === "click").count()
+        == clickRows)
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates keyed state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -1661,6 +1661,44 @@ object Pipeline extends QueryModule {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Bigram-LM fluency score — the CCNet-family "does this read like the
+    * corpus" quality signal: each doc's score is the mean quantized
+    * conditional log-probability log2 p(w2|w1) over its adjacent token
+    * pairs, with the LM being the corpus's own bigram table (the
+    * stand-in for CCNet's external wiki LM; every bigram is in-model by
+    * construction, so no backoff branch). The quantization is the whole
+    * trick: log2 is taken as bit-length — length(bin(cnt)) — so the
+    * per-pair term (bitlen(bigram cnt) − bitlen(head-unigram cnt)) and
+    * the per-doc sum are EXACT INTEGERS on both engines, with one final
+    * division per doc; no libm log whose last-ULP rounding could split
+    * the hash gate. Shape: one pair explode, two map-side-combinable
+    * counts, two hash-keyed joins back, one keyed agg — all linear in
+    * corpus tokens, no pairwise work. */
+  private def p51LmFluency: Q = (s, d) => {
+    val pairs = docsBalanced(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val perDoc = pairs.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col("doc_id"),
+        (length(bin(col("cb"))) - length(bin(col("cu"))))
+          .cast(LongType).as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
+    Tables.documents(s, d).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("qsum").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("lm_score"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1714,6 +1752,7 @@ object Pipeline extends QueryModule {
     "p48_hist_quantiles" -> p48HistQuantiles,
     "p49_semantic_neardup" -> p49SemanticNearDup,
     "p50_interval_join_binned" -> p50IntervalJoinBinned,
+    "p51_lm_fluency" -> p51LmFluency,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -2142,6 +2181,24 @@ object Pipeline extends QueryModule {
          |SELECT p_event_id, COUNT(*) AS n_overlap
          |FROM p JOIN ev ON ev.ts_us BETWEEN p.lo AND p.hi
          |GROUP BY 1""".stripMargin,
+    "p51_lm_fluency" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |pr AS (
+         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+         |  FROM t, (SELECT unnest(generate_series(1, len(t) - 1)) AS i)),
+         |uni AS (SELECT w1, COUNT(*) AS cu FROM pr GROUP BY 1),
+         |bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pr GROUP BY 1, 2),
+         |per AS (
+         |  SELECT pr.doc_id, COUNT(*) AS n_bigrams,
+         |    SUM(CAST(length(bin(bi.cb)) - length(bin(uni.cu)) AS BIGINT))
+         |      AS qsum
+         |  FROM pr
+         |  JOIN bi ON pr.w1 = bi.w1 AND pr.w2 = bi.w2
+         |  JOIN uni ON pr.w1 = uni.w1
+         |  GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+         |  round(CAST(qsum AS DOUBLE) / n_bigrams, 6) AS lm_score
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
     "p15_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type = 'click'),

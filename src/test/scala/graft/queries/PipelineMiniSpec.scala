@@ -193,6 +193,19 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_overlap") == 3L)
   }
 
+  test("p51 LM fluency: identical docs tie, ambiguous heads score below unique") {
+    val r = run("p51_lm_fluency").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1),
+        Option(x.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(r(0L) == r(1L)) // exact duplicates score identically
+    // doc 3's two "the ..." bigrams split the head count (cu=2, cb=1 →
+    // quantized log2 p = -1 each); every doc-4 bigram is unique with a
+    // unique head (0 each)
+    assert(r(3L)._2.get < 0.0)
+    assert(r(4L)._2.get == 0.0)
+    assert(r(3L)._1 == 9L) // 10 tokens → 9 bigrams
+  }
+
   test("p19 split is exhaustive and deterministic") {
     def rows() = run("p19_train_val_split").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted

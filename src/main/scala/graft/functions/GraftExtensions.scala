@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDot)
     ext.injectFunction(GraftExtensions.vectorDotLong)
+    ext.injectFunction(GraftExtensions.simHashAgg)
     // whole-operator extension: the native per-key top-k planner rule
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // and its optimizer rewrite: window row_number<=k patterns with the
@@ -30,6 +31,15 @@ object GraftExtensions {
       require(children.length == 2,
         s"vector_dot requires exactly 2 arguments, got ${children.length}")
       VectorDot(children.head, children(1))
+    })
+
+  val simHashAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash_agg"),
+    new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"simhash_agg requires exactly 1 argument, got ${children.length}")
+      SimHashAgg(children.head)
     })
 
   val vectorDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

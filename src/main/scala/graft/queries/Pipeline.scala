@@ -214,22 +214,37 @@ object Pipeline extends QueryModule {
     * from background (≥6). Two map-side explodes (features × 32 bit
     * positions) then two keyed reductions on doc_id — linear in corpus
     * size, no pairwise work at all. */
-  private def simhashFp(s: SparkSession, d: String): DataFrame = {
-    // Features are per-doc DISTINCT shingles; the dedup runs on the
-    // 60-bit shingle id (collision-equivalent to deduping the strings,
-    // same negligible-collision contract as p02's verify stage) so the
-    // fast codegen'd shingle build can emit duplicates.
-    val votes = shingleRows(s, d, ShingleW)
+  private def simhashFp(s: SparkSession, d: String): DataFrame =
+    simhashFeatures(s, d)
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("hv")).as("simhash"))
+
+  /** Per-doc DISTINCT shingle-feature hashes; the dedup runs on the
+    * 60-bit shingle id (collision-equivalent to deduping the strings,
+    * same negligible-collision contract as p02's verify stage) so the
+    * fast codegen'd shingle build can emit duplicates. Consumed by the
+    * native [[graft.functions.SimHashAgg]] — 32 counter updates per
+    * feature ROW, one keyed shuffle of 32-counter partials — instead of
+    * the declarative features×32 explode + two keyed shuffles
+    * (retained in [[simhashFpExplode]] as the A/B baseline; both forms
+    * are bit-identical to the DuckDB oracle). */
+  private[graft] def simhashFeatures(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d, ShingleW)
       .select(col("doc_id"), h60(col("shingle")).as("hv"))
       .dropDuplicates("doc_id", "hv")
+
+  /** The pre-SimHashAgg declarative form, kept as the A/B benchmark
+    * baseline (graft.tools.SimHashBench) and cross-checked equal in
+    * SimHashAggSpec. */
+  private[graft] def simhashFpExplode(s: SparkSession, d: String): DataFrame =
+    simhashFeatures(s, d)
       .select(col("doc_id"), col("hv"),
         explode(sequence(lit(0), lit(31))).as("j"))
       .groupBy("doc_id", "j")
       .agg(sum(expr("2 * (shiftright(hv, j) & 1) - 1")).as("s"))
-    votes.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), j)" +
         " ELSE CAST(0 AS BIGINT) END")).as("simhash"))
-  }
 
   private def p03SimhashFingerprint: Q = (s, d) => simhashFp(s, d)
 

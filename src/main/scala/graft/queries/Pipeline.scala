@@ -1714,6 +1714,49 @@ object Pipeline extends QueryModule {
           .as("lm_score"))
   }
 
+  private val ContainProbeK = 4
+  private val ContainDfCap = 1000L
+  private val ContainThreshold = 0.9
+
+  /** Containment dedup — the pair class Jaccard-LSH structurally MISSES:
+    * a short doc quoted wholesale inside a long one has tiny Jaccard
+    * (so p02's MinHash bands rarely collide) but containment
+    * |A∩B|/|A| ≈ 1. Blocking therefore cannot use MinHash: instead each
+    * doc probes with its [[ContainProbeK]] smallest shingle ids — if
+    * A ⊆ B, A's minimum shingle IS in B's set, so the pair surfaces
+    * unless that shingle is corpus-hot — against the full shingle index
+    * with hot shingles (df > [[ContainDfCap]], boilerplate-grade) dropped,
+    * mirroring p02's bucket cap. Candidate volume is Σ_shingle df×probes
+    * over rare shingles only, never pairwise; the candidate id list then
+    * broadcasts back onto the set table for the exact directional
+    * verify, like p02's verify stage. */
+  private def p52ContainmentDedup: Q = (s, d) => {
+    val sh = simhashFeatures(s, d) // distinct (doc_id, 60-bit shingle id)
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("hv")).as("st"))
+      .select(col("doc_id"), col("st"), size(col("st")).cast(LongType).as("n"),
+        slice(array_sort(col("st")), 1, ContainProbeK).as("probes"))
+      .localCheckpoint(false)
+    val rare = sh.groupBy("hv").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainDfCap).select("hv")
+    val index = sh.join(rare, "hv")
+    val cand = sets
+      .select(col("doc_id").as("doc_a"), explode(col("probes")).as("hv"))
+      .join(index.select(col("hv"), col("doc_id").as("doc_b")), "hv")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("st").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("st").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("containment", round(
+        size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          col("na"), 6))
+      .filter(col("containment") >= ContainThreshold)
+      .select("doc_a", "doc_b", "na", "nb", "containment")
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1768,6 +1811,7 @@ object Pipeline extends QueryModule {
     "p49_semantic_neardup" -> p49SemanticNearDup,
     "p50_interval_join_binned" -> p50IntervalJoinBinned,
     "p51_lm_fluency" -> p51LmFluency,
+    "p52_containment_dedup" -> p52ContainmentDedup,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -2214,6 +2258,31 @@ object Pipeline extends QueryModule {
          |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
          |  round(CAST(qsum AS DOUBLE) / n_bigrams, 6) AS lm_score
          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin,
+    "p52_containment_dedup" ->
+      s"""WITH shs AS (
+         |  SELECT doc_id, ${sqlH60("shingle")} AS hv
+         |  FROM (SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
+         |        FROM (SELECT doc_id, $sqlToks AS t FROM documents))),
+         |sets AS (SELECT doc_id, list(DISTINCT hv) AS st,
+         |    CAST(len(st) AS BIGINT) AS n,
+         |    list_sort(st)[1:$ContainProbeK] AS probes
+         |  FROM shs GROUP BY doc_id),
+         |rare AS (SELECT hv FROM shs GROUP BY hv
+         |  HAVING COUNT(*) <= $ContainDfCap),
+         |idx AS (SELECT s.hv, s.doc_id FROM shs s JOIN rare USING (hv)),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS doc_a, idx.doc_id AS doc_b
+         |  FROM (SELECT doc_id, unnest(probes) AS hv FROM sets) p
+         |  JOIN idx USING (hv)
+         |  WHERE idx.doc_id != p.doc_id)
+         |SELECT c.doc_a, c.doc_b, a.n AS na, b.n AS nb,
+         |  round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / a.n, 6)
+         |    AS containment
+         |FROM cand c
+         |JOIN sets a ON a.doc_id = c.doc_a
+         |JOIN sets b ON b.doc_id = c.doc_b
+         |WHERE round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / a.n, 6)
+         |  >= $ContainThreshold""".stripMargin,
     "p15_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type = 'click'),

@@ -206,6 +206,17 @@ class PipelineMiniSpec extends SparkSpec {
     assert(r(3L)._1 == 9L) // 10 tokens → 9 bigrams
   }
 
+  test("p52 containment: identical docs score 1.0, near-dup 26/27, others absent") {
+    val rows = run("p52_containment_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // docs 0/1/2 are mutual high-containment (27 4-token shingles,
+    // >=26 shared); docs 3/4 share no shingles with anything
+    assert(rows.keySet == Set((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L),
+      (1L, 2L), (2L, 1L)))
+    assert(rows((0L, 1L)) == 1.0 && rows((1L, 0L)) == 1.0)
+    assert(rows((2L, 0L)) == math.rint(26.0 / 27.0 * 1e6) / 1e6)
+  }
+
   test("p19 split is exhaustive and deterministic") {
     def rows() = run("p19_train_val_split").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted

@@ -1757,6 +1757,50 @@ object Pipeline extends QueryModule {
       .select("doc_a", "doc_b", "na", "nb", "containment")
   }
 
+  private val KmeansK = 8
+
+  /** Two Lloyd iterations of k-means over the int8-quantized embedding
+    * codes — the clustering step of cluster-based curation (SemDeDup
+    * family: cluster first, then dedup/prune within cells). Everything
+    * is INTEGER-exact on both engines, which a float k-means can never
+    * be: distances are integer squared-L2 on the codes (expanded to
+    * three native `vector_dot_long` calls), argmin ties break to the
+    * smallest cell id via a min-join (no engine-specific arg_min
+    * semantics), and the centroid update is an element-wise integer
+    * floor-mean (sum − pmod(sum, n)) div n. Per iteration: one
+    * broadcast of K tiny centroids × one corpus scan, one keyed argmin
+    * agg, one posexplode + (cell, dim)-keyed agg — linear in N×K×dims,
+    * the textbook distributed-Lloyd shape; iterations are a driver-side
+    * loop over DataFrames, state never leaves the cluster. */
+  private def p53KmeansCells: Q = (s, d) => {
+    val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
+      .localCheckpoint(false)
+    def sqdist(a: Column, b: Column): Column =
+      vdotl(a, a) - lit(2L) * vdotl(a, b) + vdotl(b, b)
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = qq.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"),
+          sqdist(col("qv"), col("cv")).as("d2"))
+      val best = scored.groupBy("vec_id").agg(min(col("d2")).as("d2"))
+      scored.join(best, Seq("vec_id", "d2"))
+        .groupBy("vec_id", "d2").agg(min(col("cell")).as("cell"))
+    }
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(qq, "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("j", "x")))
+        .groupBy("cell", "j")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("m", expr("(sx - pmod(sx, n)) div n"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+          p => p.getField("m")).as("cv"))
+    val c0 = qq.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cell"), col("qv").as("cv"))
+    val a2 = assign(update(assign(c0)))
+    a2.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("sum_sqdist"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1812,6 +1856,7 @@ object Pipeline extends QueryModule {
     "p50_interval_join_binned" -> p50IntervalJoinBinned,
     "p51_lm_fluency" -> p51LmFluency,
     "p52_containment_dedup" -> p52ContainmentDedup,
+    "p53_kmeans_cells" -> p53KmeansCells,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -2283,6 +2328,38 @@ object Pipeline extends QueryModule {
          |JOIN sets b ON b.doc_id = c.doc_b
          |WHERE round(CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) / a.n, 6)
          |  >= $ContainThreshold""".stripMargin,
+    "p53_kmeans_cells" ->
+      s"""WITH $sqlQuantCtes,
+         |qq AS (SELECT vec_id, qv FROM q),
+         |dims AS (SELECT unnest(generate_series(1,
+         |    (SELECT max(len(qv)) FROM qq))) AS i),
+         |c0 AS (SELECT vec_id AS cell, qv AS cv FROM qq
+         |  WHERE vec_id < $KmeansK),
+         |s1 AS (SELECT v.vec_id, c.cell,
+         |    list_sum(list_transform(generate_series(1, len(v.qv)),
+         |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
+         |  FROM qq v, c0 c),
+         |b1 AS (SELECT vec_id, MIN(d2) AS d2 FROM s1 GROUP BY 1),
+         |a1 AS (SELECT s1.vec_id, s1.d2, MIN(s1.cell) AS cell
+         |  FROM s1 JOIN b1 ON s1.vec_id = b1.vec_id AND s1.d2 = b1.d2
+         |  GROUP BY 1, 2),
+         |u1 AS (SELECT a1.cell, i AS j, SUM(qq.qv[i]) AS sx, COUNT(*) AS n
+         |  FROM a1 JOIN qq ON a1.vec_id = qq.vec_id, dims
+         |  WHERE i <= len(qq.qv) GROUP BY 1, 2),
+         |c1 AS (SELECT cell,
+         |    list((sx - ((sx % n) + n) % n) // n ORDER BY j) AS cv
+         |  FROM u1 GROUP BY 1),
+         |s2 AS (SELECT v.vec_id, c.cell,
+         |    list_sum(list_transform(generate_series(1, len(v.qv)),
+         |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
+         |  FROM qq v, c1 c),
+         |b2 AS (SELECT vec_id, MIN(d2) AS d2 FROM s2 GROUP BY 1),
+         |a2 AS (SELECT s2.vec_id, s2.d2, MIN(s2.cell) AS cell
+         |  FROM s2 JOIN b2 ON s2.vec_id = b2.vec_id AND s2.d2 = b2.d2
+         |  GROUP BY 1, 2)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(d2) AS BIGINT) AS sum_sqdist
+         |FROM a2 GROUP BY 1""".stripMargin,
     "p15_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type = 'click'),

@@ -217,6 +217,18 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows((2L, 0L)) == math.rint(26.0 / 27.0 * 1e6) / 1e6)
   }
 
+  test("p53 k-means: mini vectors keep their own cells, v16 joins cell 2") {
+    // init: vec_ids 0-3 seed their own cells; v16's nearest seed is v2,
+    // so cell 2 becomes {2, 16} and its updated centroid moves — the
+    // other cells are singletons sitting exactly on their centroid
+    val rows = run("p53_kmeans_cells").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.view.mapValues(_._1).toMap ==
+      Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(rows(0L)._2 == 0L && rows(1L)._2 == 0L && rows(3L)._2 == 0L)
+    assert(rows(2L)._2 > 0L)
+  }
+
   test("p19 split is exhaustive and deterministic") {
     def rows() = run("p19_train_val_split").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted

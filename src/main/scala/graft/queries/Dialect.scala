@@ -111,6 +111,23 @@ object Dialect extends QueryModule {
         |  SELECT 1 FROM lineitem l
         |  WHERE l.l_suppkey = s.s_suppkey
         |    AND l.l_quantity = 50 AND l.l_discount > 0.09)""".stripMargin,
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact table —
+    // suppliers who were the ONLY supplier with a returned item in a
+    // finished multi-supplier order (receipt/commit dates are not in the
+    // driver schema; returnflag carries the "at fault" role)
+    "s16_sql_exists_pair" ->
+      """SELECT l1.l_suppkey, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY l1.l_suppkey""".stripMargin,
     "s15_sql_cte_window" ->
       """WITH ranked AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -118,6 +118,30 @@ class PlanShapeSpec extends SparkSpec {
       }
   }
 
+  test("p50's interval join is bucket-keyed, never a range nested loop") {
+    val p = plan("p50_interval_join_binned")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"p50 plans an all-pairs range join:\n$p")
+  }
+
+  test("p52's candidate and verify joins are keyed") {
+    val p = plan("p52_containment_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"p52 plans a nested loop:\n$p")
+  }
+
+  test("p53 broadcasts only the K-row centroid side") {
+    // the crossJoin against K centroids must be a broadcast nested loop
+    // (that IS the distributed-Lloyd shape); the argmin and update joins
+    // must stay keyed. Every BNLJ node must build a broadcast side.
+    val p = plan("p53_kmeans_cells")
+    assert(!p.contains("CartesianProduct"), s"p53 plans a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"p53 lost the centroid broadcast:\n$p")
+  }
+
   test("UNION ALL is pure concatenation — no exchange, no aggregate") {
     val p = plan("q48_union_all")
     assert(!p.contains("Exchange") && !p.contains("HashAggregate"),

@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDot)
     ext.injectFunction(GraftExtensions.vectorDotLong)
     ext.injectFunction(GraftExtensions.simHashAgg)
+    ext.injectFunction(GraftExtensions.hash60)
     // whole-operator extension: the native per-key top-k planner rule
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // and its optimizer rewrite: window row_number<=k patterns with the
@@ -31,6 +32,15 @@ object GraftExtensions {
       require(children.length == 2,
         s"vector_dot requires exactly 2 arguments, got ${children.length}")
       VectorDot(children.head, children(1))
+    })
+
+  val hash60: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hash60"),
+    new ExpressionInfo(classOf[Hash60].getName, "hash60"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"hash60 requires exactly 1 argument, got ${children.length}")
+      Hash60(children.head)
     })
 
   val simHashAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

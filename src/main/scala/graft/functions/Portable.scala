@@ -16,9 +16,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
   */
 object Portable {
 
-  /** 60-bit hash of a string: first 15 hex digits of md5, base-16→10.
-    * DuckDB twin: `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`. */
-  def h60(c: Column): Column =
+  /** 60-bit hash of a string: first 15 hex digits of md5, base-16→10 —
+    * computed by the native [[Hash60]] expression (digest → bits, no
+    * hex-string round trip). DuckDB twin:
+    * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`. */
+  def h60(c: Column): Column = Hash60.h60native(c)
+
+  /** The declarative string form of [[h60]] — the exact shape of the
+    * DuckDB twin — kept as the equivalence-test baseline (Hash60Spec). */
+  def h60String(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded hash family for MinHash: h_i(s) = h60(i || ':' || s). */

@@ -138,6 +138,39 @@ object Dialect extends QueryModule {
         |FROM ranked WHERE rk <= 2""".stripMargin,
   )
 
+  /** ANSI cases whose oracle needs engine-specific function spellings
+    * (here: `date_format` vs `STRFTIME`) — (Spark SQL, DuckDB SQL).
+    * s17 proves Spark 4's recursive CTE support end-to-end: a month
+    * spine unfolded recursively from the data's own min/max, then a
+    * left join that keeps empty months. */
+  val ansiPairs: Map[String, (String, String)] = Map(
+    "s17_sql_recursive_spine" -> (
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+        |  WHERE m < (SELECT CAST(DATE_TRUNC('MONTH', MAX(o_orderdate))
+        |    AS DATE) FROM orders))
+        |SELECT date_format(m, 'yyyy-MM') AS month,
+        |  COUNT(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) = m
+        |GROUP BY m""".stripMargin,
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        |  WHERE m < (SELECT CAST(DATE_TRUNC('month', MAX(o_orderdate))
+        |    AS DATE) FROM orders))
+        |SELECT STRFTIME(m, '%Y-%m') AS month,
+        |  COUNT(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON CAST(DATE_TRUNC('month', o_orderdate) AS DATE) = m
+        |GROUP BY m""".stripMargin),
+  )
+
   val queries: Map[String, Q] =
     cases.map { case (name, (dialectSql, _)) =>
       name -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -145,8 +178,12 @@ object Dialect extends QueryModule {
     } ++ ansiCases.map { case (name, sql) =>
       name -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.sql.SparkSqlRunner.run(s, d, sql)): (String, Q)
+    } ++ ansiPairs.map { case (name, (sparkSql, _)) =>
+      name -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.sql.SparkSqlRunner.run(s, d, sparkSql)): (String, Q)
     }
 
   val oracleSql: Map[String, String] =
-    cases.map { case (name, (_, oracle)) => name -> oracle } ++ ansiCases
+    cases.map { case (name, (_, oracle)) => name -> oracle } ++ ansiCases ++
+      ansiPairs.map { case (name, (_, oracle)) => name -> oracle }
 }

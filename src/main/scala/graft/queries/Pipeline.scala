@@ -1801,6 +1801,26 @@ object Pipeline extends QueryModule {
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("sum_sqdist"))
   }
 
+  /** Trailing-interval sliding aggregate — the per-EVENT "activity in
+    * the last 10 minutes" signal (rate limiting, burst detection) that
+    * tumbling windows (p10) quantize away: a RANGE frame over the
+    * microsecond timestamp gives every event its own exact trailing
+    * window. One keyed shuffle on user_id; frame state per partition is
+    * the in-frame rows only (bounded by the interval × per-user event
+    * rate), and both engines evaluate the identical integer frame
+    * bounds. */
+  private def p54SlidingWindow: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing",
+        sum(graft.Exact.dec(col("value"))).over(w).cast(DoubleType))
+      .select("event_id", "user_id", "ts_us", "n_trailing", "sum_trailing")
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1857,6 +1877,7 @@ object Pipeline extends QueryModule {
     "p51_lm_fluency" -> p51LmFluency,
     "p52_containment_dedup" -> p52ContainmentDedup,
     "p53_kmeans_cells" -> p53KmeansCells,
+    "p54_sliding_window" -> p54SlidingWindow,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -2360,6 +2381,14 @@ object Pipeline extends QueryModule {
          |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
          |  CAST(SUM(d2) AS BIGINT) AS sum_sqdist
          |FROM a2 GROUP BY 1""".stripMargin,
+    "p54_sliding_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER w AS n_trailing,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+        |    AS sum_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "p15_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type = 'click'),

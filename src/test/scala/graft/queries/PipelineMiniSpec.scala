@@ -229,6 +229,15 @@ class PipelineMiniSpec extends SparkSpec {
     assert(rows(2L)._2 > 0L)
   }
 
+  test("p54 trailing 10-min window counts exactly the in-range events") {
+    val r = run("p54_sliding_window").collect()
+      .map(x => x.getLong(0) -> (x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((1L, 1.25)))  // first event: only itself
+    assert(r(2L) == ((2L, 3.75)))  // +5min: event 1 still in range
+    assert(r(3L) == ((1L, 0.75)))  // +25min: 20-min gap evicts both
+    assert(r(4L) == ((1L, 9.99)))  // other user: own window
+  }
+
   test("p19 split is exhaustive and deterministic") {
     def rows() = run("p19_train_val_split").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted

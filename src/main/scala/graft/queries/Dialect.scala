@@ -144,26 +144,29 @@ object Dialect extends QueryModule {
     * spine unfolded recursively from the data's own min/max, then a
     * left join that keeps empty months. */
   val ansiPairs: Map[String, (String, String)] = Map(
+    // the recursion carries the stop bound as a COLUMN: a scalar
+    // subquery in the step term would re-scan the fact table once per
+    // iteration (measured 13.9 s → 1.8 s at sf0.1 for 80 months)
     "s17_sql_recursive_spine" -> (
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE)
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT CAST(DATE_TRUNC('MONTH', MIN(o_orderdate)) AS DATE),
+        |    CAST(DATE_TRUNC('MONTH', MAX(o_orderdate)) AS DATE)
         |  FROM orders
         |  UNION ALL
-        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
-        |  WHERE m < (SELECT CAST(DATE_TRUNC('MONTH', MAX(o_orderdate))
-        |    AS DATE) FROM orders))
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE), hi FROM months
+        |  WHERE m < hi)
         |SELECT date_format(m, 'yyyy-MM') AS month,
         |  COUNT(o_orderkey) AS n_orders
         |FROM months LEFT JOIN orders
         |  ON CAST(DATE_TRUNC('MONTH', o_orderdate) AS DATE) = m
         |GROUP BY m""".stripMargin,
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE)
+      """WITH RECURSIVE months(m, hi) AS (
+        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS DATE),
+        |    CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS DATE)
         |  FROM orders
         |  UNION ALL
-        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-        |  WHERE m < (SELECT CAST(DATE_TRUNC('month', MAX(o_orderdate))
-        |    AS DATE) FROM orders))
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months
+        |  WHERE m < hi)
         |SELECT STRFTIME(m, '%Y-%m') AS month,
         |  COUNT(o_orderkey) AS n_orders
         |FROM months LEFT JOIN orders

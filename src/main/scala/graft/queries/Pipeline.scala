@@ -1700,10 +1700,13 @@ object Pipeline extends QueryModule {
         element_at(col("t"), col("i") + 1).as("w2"))
     val uni = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val perDoc = pairs.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
-      .select(col("doc_id"),
+    // the per-pair term joins into the (much smaller) bigram model table
+    // first, so the full occurrence table pays ONE keyed join, not two
+    val model = bi.join(uni, "w1")
+      .select(col("w1"), col("w2"),
         (length(bin(col("cb"))) - length(bin(col("cu"))))
           .cast(LongType).as("q"))
+    val perDoc = pairs.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qsum"))
     Tables.documents(s, d).select("doc_id")

@@ -52,6 +52,41 @@ class PipelineInvariantSpec extends SparkSpec {
     }
   }
 
+  test("p50: every purchase window contains at least itself") {
+    val rows = run("p50_interval_join_binned").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_overlap") >= 1L))
+  }
+
+  test("p51: quantized log-probs are non-positive; identical docs tie") {
+    val rows = run("p51_lm_fluency").collect()
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) assert(r.getAs[Double]("lm_score") <= 0.0)
+      assert(r.getAs[Long]("n_bigrams") >= 0L)
+    }
+  }
+
+  test("p52: containment lies in (0,1] and never pairs a doc with itself") {
+    run("p52_containment_dedup").collect().foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0)
+      assert(r.getAs[Long]("doc_a") != r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("p53: cells partition the vector corpus exactly") {
+    val total = run("p53_kmeans_cells").collect()
+      .map(_.getAs[Long]("n_members")).sum
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(total == n)
+  }
+
+  test("p54: trailing counts are >= 1 and the sum covers the event itself") {
+    run("p54_sliding_window").collect().foreach { r =>
+      assert(r.getAs[Long]("n_trailing") >= 1L)
+    }
+  }
+
   test("p42: per-probe re-ranked sims are descending with dense ranks") {
     val byProbe = run("p42_ann_quantized").collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),

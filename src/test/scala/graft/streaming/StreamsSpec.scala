@@ -119,6 +119,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-to-parquet sink resumes exactly-once from its checkpoint") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val root = JFiles.createTempDirectory("graft-stream-sink")
+    val (src, out, chk) = (s"$root/src", s"$root/out", s"$root/chk")
+    JFiles.createDirectories(Paths.get(src))
+    // two arrival batches in the deploy layout (long-nanos ts)
+    def drop(name: String, ids: Seq[Long]): Unit = {
+      val tmp = s"$root/tmp-$name"
+      spark.range(0, 1).sparkSession.createDataFrame(
+        ids.map(i => (i, 1700000000000000000L + i, 7L, "click", 1.0,
+          """{"k":1}"""))).toDF(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(tmp)
+      val part = Paths.get(tmp).toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      JFiles.move(part, Paths.get(s"$src/$name.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    def runOnce(): Unit = {
+      val q = fileStream(spark, src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000))
+      assert(q.exception.isEmpty)
+    }
+    drop("b1", Seq(1L, 2L, 3L))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+    drop("b2", Seq(4L, 5L))
+    runOnce()
+    // restart processed ONLY the new file: 5 rows total, no b1 re-ingest
+    val back = spark.read.parquet(out)
+    assert(back.count() == 5)
+    assert(back.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("topEventsPerType maintains a ranked top-k and emits only on change") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -1,0 +1,48 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+
+/** Graceful-degradation contract: every operator must run (not crash)
+  * on EMPTY tables with the production schema — the daily-incremental
+  * deployment regularly sees empty arrival slices, and an operator that
+  * throws on zero rows poisons the whole pipeline run. Global-aggregate
+  * queries may legitimately return their one summary row; everything
+  * else must return zero rows. */
+object EmptyInputSpec {
+  lazy val dir: String = {
+    val spark = graft.SparkSpec.spark
+    val d = Files.createTempDirectory("graft-empty").toString
+    Tables.names.foreach { t =>
+      spark.read.parquet(s"${graft.SparkSpec.Sf}/$t.parquet")
+        .limit(0).write.parquet(s"$d/$t.parquet")
+    }
+    d
+  }
+}
+
+class EmptyInputSpec extends SparkSpec {
+
+  // representative slice of every operator family: dedup, LSH, ANN,
+  // quantized, text, events, windows, joins, sketches, SQL front ends
+  private val names = Seq(
+    "p01_exact_dedup", "p02_minhash_neardup", "p03_simhash_fingerprint",
+    "p04_ann_cosine_topk", "p11_events_sessions", "p15_asof_join",
+    "p28_token_shards", "p32_dup_clusters", "p36_incremental_dedup",
+    "p40_hll_distinct", "p42_ann_quantized", "p43_vocab_oov",
+    "p50_interval_join_binned", "p51_lm_fluency", "p52_containment_dedup",
+    "p53_kmeans_cells", "p54_sliding_window",
+    "q19_agg_group", "q30_top_revenue", "q53_topk_native",
+    "s08_sql_agg_groupby", "s15_sql_cte_window")
+
+  names.foreach { name =>
+    test(s"$name runs on empty tables") {
+      val df = Relational.queries.orElse(Pipeline.queries)
+        .orElse(Dialect.queries)(name)(spark, EmptyInputSpec.dir)
+      val n = df.count()
+      // global aggregates produce a single summary row; nothing else may
+      assert(n <= 1, s"$name returned $n rows on empty input")
+    }
+  }
+}

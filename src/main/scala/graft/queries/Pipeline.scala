@@ -1824,6 +1824,34 @@ object Pipeline extends QueryModule {
       .select("event_id", "user_id", "ts_us", "n_trailing", "sum_trailing")
   }
 
+  /** Duplicate-graph neighborhood analysis — the structural signal a
+    * curation pipeline reads per node of the p02 near-dup graph before
+    * deciding cluster handling: degree and distinct ≤2-hop neighborhood
+    * size separate tight cliques (2-hop ≈ degree: delete all but one)
+    * from template chains and stars (2-hop ≫ degree: the cluster is a
+    * family, review the template). One mid-keyed self-join of the
+    * symmetric edge list — Σ deg(mid)² work, bounded by p02's LSH
+    * bucket cap, never corpus-pairwise — then two exact counting
+    * aggregations. */
+  private def p55DupGraphHops: Q = (s, d) => {
+    val pairs = p02MinhashNearDup(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().localCheckpoint(false)
+    val within2 = edges.select(col("doc_a").as("src"), col("doc_b").as("mid"))
+      .join(edges.select(col("doc_a").as("mid"), col("doc_b").as("dst")),
+        "mid")
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .union(edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("doc_a").as("src"))
+      .agg(count(lit(1)).as("degree"))
+    within2.groupBy("src").agg(count(lit(1)).as("n_within2"))
+      .join(deg, "src")
+      .select(col("src").as("doc_id"), col("degree"), col("n_within2"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1881,6 +1909,7 @@ object Pipeline extends QueryModule {
     "p52_containment_dedup" -> p52ContainmentDedup,
     "p53_kmeans_cells" -> p53KmeansCells,
     "p54_sliding_window" -> p54SlidingWindow,
+    "p55_dup_graph_hops" -> p55DupGraphHops,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -2384,6 +2413,34 @@ object Pipeline extends QueryModule {
          |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
          |  CAST(SUM(d2) AS BIGINT) AS sum_sqdist
          |FROM a2 GROUP BY 1""".stripMargin,
+    "p55_dup_graph_hops" ->
+      s"""WITH p AS ($sqlP02),
+         |e AS (SELECT doc_a, doc_b FROM p
+         |  UNION SELECT doc_b, doc_a FROM p),
+         |th AS (
+         |  SELECT a.doc_a AS src, b.doc_b AS dst
+         |  FROM e a JOIN e b ON a.doc_b = b.doc_a
+         |  WHERE a.doc_a != b.doc_b
+         |  UNION
+         |  SELECT doc_a, doc_b FROM e),
+         |deg AS (SELECT doc_a AS src, COUNT(*) AS degree FROM e GROUP BY 1)
+         |SELECT th.src AS doc_id, deg.degree, COUNT(*) AS n_within2
+         |FROM th JOIN deg ON th.src = deg.src
+         |GROUP BY 1, 2""".stripMargin,
+    "p55_dup_graph_hops" ->
+      s"""WITH p AS ($sqlP02),
+         |e AS (SELECT doc_a, doc_b FROM p
+         |  UNION SELECT doc_b, doc_a FROM p),
+         |th AS (
+         |  SELECT a.doc_a AS src, b.doc_b AS dst
+         |  FROM e a JOIN e b ON a.doc_b = b.doc_a
+         |  WHERE a.doc_a != b.doc_b
+         |  UNION
+         |  SELECT doc_a, doc_b FROM e),
+         |deg AS (SELECT doc_a AS src, COUNT(*) AS degree FROM e GROUP BY 1)
+         |SELECT th.src AS doc_id, deg.degree, COUNT(*) AS n_within2
+         |FROM th JOIN deg ON th.src = deg.src
+         |GROUP BY 1, 2""".stripMargin,
     "p54_sliding_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  COUNT(*) OVER w AS n_trailing,

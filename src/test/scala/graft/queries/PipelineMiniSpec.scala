@@ -238,6 +238,15 @@ class PipelineMiniSpec extends SparkSpec {
     assert(r(4L) == ((1L, 9.99)))  // other user: own window
   }
 
+  test("p55 dup-graph hops: the planted triangle is a clique (2-hop == degree)") {
+    val rows = run("p55_dup_graph_hops").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    rows.values.foreach { case (deg, w2) =>
+      assert(deg == 2L && w2 == 2L) // clique: nothing new at hop 2
+    }
+  }
+
   test("p19 split is exhaustive and deterministic") {
     def rows() = run("p19_train_val_split").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted

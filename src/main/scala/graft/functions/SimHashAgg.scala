@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * any aggregate — and eval packs the counter signs into the
   * fingerprint. Semantics are bit-identical to the explode form (and so
   * to the DuckDB oracle): vote = ±1 per bit per DISTINCT feature, tie
-  * (counter 0) sets the bit.
+  * (counter 0) sets the bit, and a group with NO non-null input packs
+  * to 0 (the explode form's NULL votes fall through its CASE to 0) —
+  * the buffer's 33rd slot counts inputs to tell that apart from a
+  * genuine all-ties group.
   *
   * The reference's aggregates are all scalar fold-style
   * (/root/reference/src/qp/operators/Aggregate.java analogue per
@@ -42,7 +45,8 @@ case class SimHashAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a bigint argument, got ${child.dataType.sql}")
 
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](Bits)
+  // slots 0-31: bit counters; slot 32: non-null input count
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Bits + 1)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -53,17 +57,19 @@ case class SimHashAgg(
         buf(j) += 2L * ((hv >>> j) & 1L) - 1L
         j += 1
       }
+      buf(Bits) += 1L
     }
     buf
   }
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
     var j = 0
-    while (j < Bits) { b1(j) += b2(j); j += 1 }
+    while (j <= Bits) { b1(j) += b2(j); j += 1 }
     b1
   }
 
   override def eval(buf: Array[Long]): Any = {
+    if (buf(Bits) == 0L) return 0L
     var fp = 0L
     var j = 0
     while (j < Bits) {
@@ -74,17 +80,17 @@ case class SimHashAgg(
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(Bits * 8)
+    val bb = ByteBuffer.allocate((Bits + 1) * 8)
     var j = 0
-    while (j < Bits) { bb.putLong(buf(j)); j += 1 }
+    while (j <= Bits) { bb.putLong(buf(j)); j += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new Array[Long](Bits)
+    val buf = new Array[Long](Bits + 1)
     var j = 0
-    while (j < Bits) { buf(j) = bb.getLong(); j += 1 }
+    while (j <= Bits) { buf(j) = bb.getLong(); j += 1 }
     buf
   }
 

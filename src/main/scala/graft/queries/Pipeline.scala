@@ -1698,6 +1698,11 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"),
         element_at(col("t"), col("i")).as("w1"),
         element_at(col("t"), col("i") + 1).as("w2"))
+    // `pairs` is read by three consumers (uni, bi, the occurrence join)
+    // but deliberately NOT checkpointed: the recompute is pure codegen
+    // map work (split + element_at) and A/B timing showed the
+    // materialization costs more than it saves (1.51 s vs 1.59 s at
+    // sf0.1) — unlike p02/p52, whose reused subtrees contain a SHUFFLE
     val uni = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     // the per-pair term joins into the (much smaller) bigram model table
@@ -1734,7 +1739,11 @@ object Pipeline extends QueryModule {
     * broadcasts back onto the set table for the exact directional
     * verify, like p02's verify stage. */
   private def p52ContainmentDedup: Q = (s, d) => {
-    val sh = simhashFeatures(s, d) // distinct (doc_id, 60-bit shingle id)
+    // distinct (doc_id, 60-bit shingle id), materialized once: the set
+    // agg, the df count, and the index side all read it (the p02
+    // signature-table pattern — without this the corpus-wide explode +
+    // dedup shuffle runs three times)
+    val sh = simhashFeatures(s, d).localCheckpoint(false)
     val sets = sh.groupBy("doc_id")
       .agg(collect_set(col("hv")).as("st"))
       .select(col("doc_id"), col("st"), size(col("st")).cast(LongType).as("n"),
@@ -2413,20 +2422,6 @@ object Pipeline extends QueryModule {
          |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
          |  CAST(SUM(d2) AS BIGINT) AS sum_sqdist
          |FROM a2 GROUP BY 1""".stripMargin,
-    "p55_dup_graph_hops" ->
-      s"""WITH p AS ($sqlP02),
-         |e AS (SELECT doc_a, doc_b FROM p
-         |  UNION SELECT doc_b, doc_a FROM p),
-         |th AS (
-         |  SELECT a.doc_a AS src, b.doc_b AS dst
-         |  FROM e a JOIN e b ON a.doc_b = b.doc_a
-         |  WHERE a.doc_a != b.doc_b
-         |  UNION
-         |  SELECT doc_a, doc_b FROM e),
-         |deg AS (SELECT doc_a AS src, COUNT(*) AS degree FROM e GROUP BY 1)
-         |SELECT th.src AS doc_id, deg.degree, COUNT(*) AS n_within2
-         |FROM th JOIN deg ON th.src = deg.src
-         |GROUP BY 1, 2""".stripMargin,
     "p55_dup_graph_hops" ->
       s"""WITH p AS ($sqlP02),
          |e AS (SELECT doc_a, doc_b FROM p

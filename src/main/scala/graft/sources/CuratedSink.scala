@@ -25,7 +25,10 @@ object CuratedSink {
   def write(df: DataFrame, outDir: String,
       maxRecordsPerFile: Long = 1000000L): Unit =
     df.repartition(col("lang"), col("source"))
-      .sortWithinPartitions("doc_id")
+      // the partition columns lead the sort: the planned write REQUIRES
+      // child ordering on them and would otherwise insert its own sort
+      // above this one, wasting a pass and losing the doc_id order
+      .sortWithinPartitions("lang", "source", "doc_id")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("lang", "source")

@@ -44,13 +44,15 @@ class SimHashAggSpec extends SparkSpec {
     assert(onePart == manyPart)
   }
 
-  test("null inputs are skipped, empty-ish groups still evaluate") {
+  test("null inputs are skipped; an all-null group packs to 0 like the explode form") {
     val fp = Seq((1L, Some(7L)), (1L, None), (2L, None))
       .toDF("doc_id", "hv")
       .groupBy("doc_id").agg(simhashAgg($"hv").as("fp"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(fp(1L) == 7L) // the one real feature wins every voted bit
-    assert(fp(2L) == 0xFFFFFFFFL) // all-null group: all ties -> all ones
+    // the explode form's NULL votes fall through CASE to 0 — the input
+    // counter distinguishes this from a genuine all-ties group
+    assert(fp(2L) == 0L)
   }
 
   test("simhash_agg is callable from SQL via the session extension") {

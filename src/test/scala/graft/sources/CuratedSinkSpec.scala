@@ -18,13 +18,16 @@ class CuratedSinkSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName)
     assert(langDirs.nonEmpty && langDirs.forall(_.startsWith("lang=")))
 
-    // every data file respects the record bound
+    // every data file respects the record bound AND its rows arrive in
+    // doc_id order (the sortWithinPartitions contract, per file)
     val files = Files.walk(Paths.get(s"$dir/out")).iterator()
     var checked = 0
     files.forEachRemaining { p =>
       if (p.toString.endsWith(".parquet")) {
-        val n = spark.read.parquet(p.toString).count()
-        assert(n <= 10L, s"$p has $n records")
+        val ids = spark.read.parquet(p.toString)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        assert(ids.length <= 10, s"$p has ${ids.length} records")
+        assert(ids == ids.sorted, s"$p is not doc_id-ordered")
         checked += 1
       }
     }

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Session, SparkEntry, Tables}
+
+/** Scaling-evidence probe: blow the driver tables up N× (shifted ids,
+  * half-exact / half-perturbed document copies so every dedup family
+  * gets real work, shifted users so per-user event volume stays
+  * constant) and time representative operators at 1× and N×. A plan
+  * that holds should scale near-linearly in input for the linear ops
+  * and near-linearly in clusters for the pair ops — superlinear growth
+  * here is the local smoke signal of a shape that dies at 100 TB.
+  *
+  *   sbt "runMain graft.tools.ScaleProbe <sfDir> [mult] [workDir]"
+  */
+object ScaleProbe {
+  private val Queries = Seq(
+    "p01_exact_dedup", "p02_minhash_neardup", "p37_span_dedup",
+    "p39_inverted_index", "p43_vocab_oov", "p51_lm_fluency",
+    "p04_ann_cosine_topk", "p42_ann_quantized", "p11_events_sessions",
+    "p54_sliding_window")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val work = args.lift(2).getOrElse("/tmp/graft-scaleprobe")
+    val spark = Session.local()
+    build(spark, sfDir, mult, work)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(name: String, dir: String): Double = {
+      val q = SparkEntry.queries(name)
+      time(q(spark, dir).write.mode("overwrite").format("noop").save())
+    }
+    println(f"SCALEPROBE mult=$mult")
+    Queries.foreach { name =>
+      run(name, sfDir) // warmup + 1x
+      val t1 = (1 to 2).map(_ => run(name, sfDir)).min
+      val tn = (1 to 2).map(_ => run(name, work)).min
+      println(f"SCALE $name%-24s t1=$t1%6.2f t$mult=$tn%6.2f " +
+        f"ratio=${tn / t1}%5.2f (linear=$mult.0)")
+    }
+    spark.stop()
+  }
+
+  /** Writes mult× copies of documents / embeddings / events with
+    * disjoint id spaces per copy. Document copy k keeps the text for
+    * even k (exact dups) and perturbs the tail token for odd k
+    * (near-dups), so exact-hash, MinHash, and span dedup all see real
+    * duplicate structure at scale. */
+  def build(spark: SparkSession, sfDir: String, mult: Int,
+      work: String): Unit = {
+    def blow(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(k => f(df, k)).reduce(_ unionAll _)
+
+    val docs = Tables.documents(spark, sfDir)
+    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    blow(docs, (d, k) => d
+      .withColumn("doc_id", col("doc_id") + lit(k * maxDoc))
+      .withColumn("text",
+        if (k % 2 == 0) col("text")
+        else concat(col("text"), lit(s" scaleprobe$k"))))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/documents.parquet")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    blow(emb, (d, k) =>
+      if (k == 0) d
+      else d.filter(col("vec_id") >= 16) // keep ONE copy of the codebook ids
+        .withColumn("vec_id", col("vec_id") + lit(k * maxVec)))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/embeddings.parquet")
+
+    // events: raw read (ts stays a nanos long exactly like the driver
+    // layout); shifted users keep per-user volume constant
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val maxEv = ev.agg(max("event_id")).head.getLong(0) + 1
+    val maxUser = ev.agg(max("user_id")).head.getLong(0) + 1
+    blow(ev, (d, k) => d
+      .withColumn("event_id", col("event_id") + lit(k * maxEv))
+      .withColumn("user_id", col("user_id") + lit(k * maxUser)))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/events.parquet")
+
+    // small relational tables pass through untouched for catalog reads
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode(SaveMode.Overwrite).parquet(s"$work/$t.parquet")
+    }
+  }
+}

@@ -141,7 +141,14 @@ object Pipeline extends QueryModule {
     * Duplicate shingles within a doc are emitted; consumers must be
     * multiset-safe (min / collect_set are). */
   private def shingleRows(s: SparkSession, d: String, w: Int): DataFrame =
-    docsBalanced(s, d)
+    shingleRowsOf(docsBalanced(s, d), w)
+
+  /** The same shingle build over ANY (doc_id, text) DataFrame — shared
+    * with the streaming decontamination gate, which feeds a document
+    * STREAM through it (every expression here is stateless, so the
+    * transform is streaming-legal as-is). */
+  private[graft] def shingleRowsOf(docs: DataFrame, w: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"),
         explode(when(size(col("t")) >= w,
@@ -1189,7 +1196,7 @@ object Pipeline extends QueryModule {
           .otherwise(0.0).as("dup_span_frac"))
   }
 
-  private val DecontamW = 5
+  private[graft] val DecontamW = 5
   private val EvalSliceMod = 20L
   private val EvalSliceRem = 3L
 

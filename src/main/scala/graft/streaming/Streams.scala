@@ -154,6 +154,25 @@ object Streams {
       }
   }
 
+  /** Stream-static decontamination gate — the continuous twin of batch
+    * p38: arriving documents are shingled with the SAME expressions
+    * (graft.queries.Pipeline.shingleRowsOf, [[graft.functions.Portable]]
+    * hashes) and joined against the STATIC eval-set gram index — the
+    * persisted artifact the batch job builds. The whole transform is
+    * stateless (explode + hash + inner join against a static side that
+    * AQE broadcasts per microbatch), so no watermark or state store is
+    * involved. Emits one row per (doc, matching gram) occurrence —
+    * within-doc duplicate grams hit more than once; consumers that need
+    * per-doc verdicts aggregate downstream. */
+  def contaminationHits(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    import graft.functions.Portable.h60
+    graft.queries.Pipeline
+      .shingleRowsOf(docs, graft.queries.Pipeline.DecontamW)
+      .select(col("doc_id"), h60(col("shingle")).as("hv"))
+      .join(evalGrams.select("hv"), "hv")
+      .select("doc_id", "hv")
+  }
+
   final case class TopKRow(event_type: String, rnk: Int, event_id: Long,
       value: Double)
 

@@ -159,6 +159,31 @@ class StreamsSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("contaminationHits flags a streamed doc containing an eval gram") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Portable.h60
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta"
+    val evalGrams = graft.queries.Pipeline.shingleRowsOf(
+      Seq((99L, evalDoc)).toDF("doc_id", "text"),
+      graft.queries.Pipeline.DecontamW)
+      .select(h60($"shingle").as("hv")).distinct()
+    val in = MemoryStream[(Long, String)]
+    val q = contaminationHits(
+      in.toDF().toDF("doc_id", "text"), evalGrams)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // quotes 5 consecutive eval tokens -> one 5-gram hit
+        (1L, "intro alpha beta gamma delta epsilon outro"),
+        (2L, "completely unrelated clean text with many words here"))
+      q.processAllAvailable()
+      val hits = spark.table("contam").select("doc_id").collect()
+        .map(_.getLong(0)).toSeq
+      assert(hits == Seq(1L))
+    } finally q.stop()
+  }
+
   test("topEventsPerType maintains a ranked top-k and emits only on change") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

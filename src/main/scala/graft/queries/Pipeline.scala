@@ -1868,6 +1868,30 @@ object Pipeline extends QueryModule {
       .select(col("src").as("doc_id"), col("degree"), col("n_within2"))
   }
 
+  // Both patterns live in the RE2 ∩ Java-regex common subset (no
+  // backrefs, no lookaround), like BpeTokenRe — the precondition for
+  // the DuckDB twin masking identically.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII redaction — the scrubbing pass a training-data pipeline runs
+    * before anything else sees the text: emails and phone-shaped
+    * numbers are replaced with type tags, and the per-doc match counts
+    * ride along for the compliance report. Pure map-side
+    * (codegen'd regexp_replace / regexp_extract_all after the input
+    * rebalance, no shuffle at all); the driver corpus contains no
+    * planted PII, so the gate proves the no-false-positive side and the
+    * mini proves the masking side. */
+  private def p56PiiRedact: Q = (s, d) =>
+    docsBalanced(s, d)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>").as("clean_text"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast(LongType).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+          .cast(LongType).as("n_phones"))
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -1926,6 +1950,7 @@ object Pipeline extends QueryModule {
     "p53_kmeans_cells" -> p53KmeansCells,
     "p54_sliding_window" -> p54SlidingWindow,
     "p55_dup_graph_hops" -> p55DupGraphHops,
+    "p56_pii_redact" -> p56PiiRedact,
   )
 
   // DuckDB twins. Shared SQL fragments:
@@ -2443,6 +2468,16 @@ object Pipeline extends QueryModule {
          |SELECT th.src AS doc_id, deg.degree, COUNT(*) AS n_within2
          |FROM th JOIN deg ON th.src = deg.src
          |GROUP BY 1, 2""".stripMargin,
+    "p56_pii_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')
+         |    AS clean_text,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+         |    AS n_phones
+         |FROM documents""".stripMargin,
     "p54_sliding_window" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  COUNT(*) OVER w AS n_trailing,

@@ -247,6 +247,22 @@ class PipelineMiniSpec extends SparkSpec {
     }
   }
 
+  test("p56 masks planted emails and phones, counts them, leaves clean text") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (0L, "contact me at jo.doe+x@corp.example.org or 555-123-4567 ok",
+        "en", "s", 1L),
+      (1L, "no pii here just words", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val r = Pipeline.queries("p56_pii_redact")(spark, d).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(0L) == (("contact me at <EMAIL> or <PHONE> ok", 1L, 1L)))
+    assert(r(1L) == (("no pii here just words", 0L, 0L)))
+  }
+
   test("p19 split is exhaustive and deterministic") {
     def rows() = run("p19_train_val_split").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted

@@ -128,6 +128,23 @@ object Dialect extends QueryModule {
         |      AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_returnflag = 'R')
         |GROUP BY l1.l_suppkey""".stripMargin,
+    // TPC-H Q15 shape: aggregate view + equality against its own MAX —
+    // the revenue sum is exact decimal cast once to double, so the
+    // max-equality can never split on a ULP between engines
+    "s18_sql_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2))
+        |         - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin,
     "s15_sql_cte_window" ->
       """WITH ranked AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * partials merge by vector addition — map-side combine applies like
   * any aggregate — and eval packs the counter signs into the
   * fingerprint. Semantics are bit-identical to the explode form (and so
-  * to the DuckDB oracle): vote = ±1 per bit per DISTINCT feature, tie
+  * to the DuckDB oracle): vote = ±1 per bit per input ROW — the
+  * aggregate itself has multiset semantics, and per-DISTINCT-feature
+  * voting is the CALLER's responsibility (`Pipeline.simhashFeatures`
+  * dropDuplicates upstream; any other caller of the SQL-registered
+  * `simhash_agg` must dedup likewise if it wants set semantics). Tie
   * (counter 0) sets the bit, and a group with NO non-null input packs
   * to 0 (the explode form's NULL votes fall through its CASE to 0) —
   * the buffer's 33rd slot counts inputs to tell that apart from a

@@ -32,7 +32,16 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   *    partial winners into the exact per-key top-k.
   *
   * Memory per task is keys-in-task × k rows — the operator never
-  * materializes or sorts a full partition. The caller's sort order must
+  * materializes or sorts a full partition. On a high-cardinality key
+  * that bound is itself a heap risk, so the PARTIAL pass caps its map
+  * at `graft.topk.partialKeyCap` keys (default 262144) and passes rows
+  * of any further key through unreduced — a correctness-safe no-op
+  * (the final pass computes the exact top-k either way), trading
+  * shuffle volume for bounded map-task memory. The FINAL pass cannot
+  * cap (it must hold every key it owns), so `TopKRewriteRule` also
+  * honors `graft.topk.rewrite.enabled=false` to keep Spark's spillable
+  * sort-based WindowExec where per-partition key cardinality is known
+  * to be extreme. The caller's sort order must
   * be TOTAL (include a tiebreak column) for the result set to be
   * deterministic; rows are emitted in no particular order, exactly like
   * any other unsorted relational result.
@@ -87,28 +96,40 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    // partial-pass key cap: beyond this many distinct keys in one map
+    // task, further keys' rows pass through unreduced (no-op is exact);
+    // the final pass must hold all its keys, so no cap there
+    val keyCap =
+      if (partial) conf.getConfString("graft.topk.partialKeyCap", "262144").toInt
+      else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ord = RowOrdering.create(sortOrder, schema)
       // max-heap under the sort order: head = the row that sorts LAST
       // among the kept k (the current worst), so admission is one compare
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      val passedThrough = iter.flatMap { row =>
         val key = keyProj(row)
         heaps.get(key) match {
           case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            h += row.copy()
-            heaps.put(key.copy(), h)
+            if (heaps.size < keyCap) {
+              val h = mutable.PriorityQueue.empty[InternalRow](ord)
+              h += row.copy()
+              heaps.put(key.copy(), h)
+              Iterator.empty
+            } else Iterator.single(row) // map full: emit unreduced
           case Some(h) =>
             if (h.size < limit) h += row.copy()
             else if (ord.compare(row, h.head) < 0) {
               h.dequeue()
               h += row.copy()
             }
+            Iterator.empty
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      // `++` is by-name: the heap drain only starts after the input is
+      // exhausted, so every reduced row is in its final heap by then
+      passedThrough ++ heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 

@@ -31,6 +31,12 @@ import org.apache.spark.sql.types.IntegerType
   * form is equally nondeterministic — a total order (tiebreak column)
   * makes both exact, which is the same contract the window pattern
   * already carries.
+  *
+  * Opt-out: `graft.topk.rewrite.enabled=false` leaves every window
+  * top-k on Spark's spillable sort-based WindowExec — the escape hatch
+  * for partitions whose key cardinality makes even the final pass's
+  * keys × k heap rows a memory risk (see the cap discussion on
+  * [[TopKPerKeyExec]]).
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
@@ -47,7 +53,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("graft.topk.rewrite.enabled", "true").toBoolean) plan
+    else applyRewrite(plan)
+
+  private def applyRewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projList,
         Filter(cond,
           Window(Seq(alias @ Alias(

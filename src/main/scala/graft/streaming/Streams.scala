@@ -204,8 +204,14 @@ object Streams {
           // insert is one linear pass, nothing beyond k entries is kept)
           val next = batch.foldLeft(prev) { (top, e) =>
             val entry = (e.value, e.event_id)
-            val (above, below) = top.span(better(_, entry))
-            (above ::: entry :: below).take(k)
+            // at-least-once sources can redeliver an event; an entry
+            // already on the ≤k-element list must not occupy a second
+            // slot (it would evict a genuine distinct top-k member)
+            if (top.contains(entry)) top
+            else {
+              val (above, below) = top.span(better(_, entry))
+              (above ::: entry :: below).take(k)
+            }
           }
           if (next == prev) Iterator.empty
           else {

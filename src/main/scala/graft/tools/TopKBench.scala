@@ -25,14 +25,32 @@ object TopKBench {
     def nativeForm = TopKPerKey.topK(li, Seq("l_partkey"),
       Seq("l_extendedprice" -> false, "l_orderkey" -> true,
         "l_linenumber" -> true), 3)
+    // Session.local() registers GraftExtensions, so with the rewrite
+    // rule live the "window" arm would silently re-plan into the native
+    // operator and the A/B would compare native vs native. Disable the
+    // rewrite around every window-arm plan/run and ASSERT the executed
+    // plan really contains WindowExec.
+    def withRewriteOff[A](f: => A): A = {
+      spark.conf.set("graft.topk.rewrite.enabled", "false")
+      try f finally spark.conf.set("graft.topk.rewrite.enabled", "true")
+    }
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    def runWindow(): Unit = withRewriteOff {
+      val df = windowForm
+      run(df)
+      val executed = df.queryExecution.executedPlan
+      require(executed.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"window arm was rewritten away — A/B invalid:\n$executed")
+    }
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    require(nativeForm.count() == windowForm.count(), "row count mismatch")
-    run(windowForm); run(nativeForm) // warmup
-    val tw = (1 to reps).map(_ => time(run(windowForm))).min
+    require(nativeForm.count() == withRewriteOff(windowForm.count()),
+      "row count mismatch")
+    runWindow(); run(nativeForm) // warmup
+    val tw = (1 to reps).map(_ => time(runWindow())).min
     val tn = (1 to reps).map(_ => time(run(nativeForm))).min
     println(f"TOPK window=$tw%.3f native=$tn%.3f speedup=${tw / tn}%.2fx")
     spark.stop()

@@ -62,6 +62,18 @@ class TopKPerKeySpec extends SparkSpec {
     assert(asSet(got) == asSet(expect))
   }
 
+  test("partial-pass key cap passes overflow rows through without losing exactness") {
+    // cap of 1: every map task reduces only its first-seen key and must
+    // pass every other key's rows through unreduced — the final pass
+    // still owes the exact answer
+    spark.conf.set("graft.topk.partialKeyCap", "1")
+    try {
+      Seq(1, 3).foreach { k =>
+        assert(asSet(nativeForm(k)) == asSet(windowForm(k)), s"k=$k capped")
+      }
+    } finally spark.conf.unset("graft.topk.partialKeyCap")
+  }
+
   test("multi-key grouping and ascending order work") {
     val df = (1 to 200)
       .map(i => (i % 4L, i % 2L, i.toLong, i.toDouble))

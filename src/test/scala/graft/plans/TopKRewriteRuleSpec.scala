@@ -55,6 +55,17 @@ class TopKRewriteRuleSpec extends SparkSpec {
     assert(df.count() == pattern(3).count())
   }
 
+  test("graft.topk.rewrite.enabled=false keeps the spillable window plan") {
+    spark.conf.set("graft.topk.rewrite.enabled", "false")
+    try {
+      val physical = pattern(3).queryExecution.executedPlan.toString
+      assert(!physical.contains("TopKPerKey"),
+        s"rewrite fired despite opt-out:\n$physical")
+      assert(physical.contains("Window"),
+        s"expected the window plan back:\n$physical")
+    } finally spark.conf.set("graft.topk.rewrite.enabled", "true")
+  }
+
   test("a kept rank column disqualifies the rewrite") {
     val df = Tables.customer(spark, sf)
       .select("c_nationkey", "c_custkey", "c_acctbal")

@@ -220,6 +220,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("topEventsPerType ignores an at-least-once redelivery of a kept event") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = topEventsPerType(in.toDS(), k = 2)
+      .writeStream.format("memory").queryName("topk_redeliver")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 5.0), ev(2, 1, 7, "click", 3.0))
+      q.processAllAvailable()
+      // redeliver the rank-1 event alongside a genuinely new rank-2
+      // arrival: the duplicate must NOT occupy a second slot (which
+      // would evict the new distinct member)
+      in.addData(ev(1, 0, 7, "click", 5.0), ev(3, 2, 7, "click", 4.0))
+      q.processAllAvailable()
+      val top = spark.table("topk_redeliver").collect()
+        .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("value"))).toSet
+      assert(top.contains((1, 1L, 5.0)) && top.contains((2, 3L, 4.0)),
+        s"redelivery displaced a distinct member: $top")
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates keyed state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

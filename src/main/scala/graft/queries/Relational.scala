@@ -595,6 +595,26 @@ object Relational extends QueryModule {
       Priorities.map(col).toArray, "o_orderpriority", "n")
       .filter(col("n") > 0)
 
+  /** The reference's own on-disk table format read through the
+    * DataSourceV2 source (graft.sources.TextTableProvider): customer is
+    * laid out as sharded tab-delimited text + `.det` sidecar — the
+    * RandomDB/ConvertTxtToTbl layout (/root/reference/src/RandomDB.java:32-111,
+    * ConvertTxtToTbl.java:16-75) — then scanned back with the filter and
+    * projection PUSHED INTO THE V2 SCAN (plan-asserted in TextTableSpec:
+    * ReadSchema = 2 columns, PushedFilters carries both comparisons).
+    * The oracle reads the parquet twin, so the hash match proves the
+    * text path is byte-faithful, not just shaped right. */
+  private def q54Dsv2TextScan: Q = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-txt-gate/" +
+      "customer-" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.sources.TextTables.write(
+      Tables.customer(s, d).select(col("c_custkey").cast(IntegerType),
+        col("c_name"), col("c_nationkey"), col("c_mktsegment")), dir)
+    graft.sources.TextTables.read(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") >= 10)
+      .select("c_custkey", "c_name")
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -650,6 +670,7 @@ object Relational extends QueryModule {
     "q51_listagg" -> q51ListAgg,
     "q52_big_orders" -> q52BigOrders,
     "q53_topk_native" -> q53TopkNative,
+    "q54_dsv2_text_scan" -> q54Dsv2TextScan,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -932,6 +953,10 @@ object Relational extends QueryModule {
          |FROM big
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q54_dsv2_text_scan" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10""".stripMargin,
     "q53_topk_native" ->
       """SELECT c_nationkey, c_custkey, c_acctbal FROM customer
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey

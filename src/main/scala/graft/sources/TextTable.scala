@@ -1,0 +1,363 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataType, FloatType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 read path for the reference's text table format: a
+  * directory (or single file) of tab-delimited data rows plus a `.det`
+  * schema sidecar — the layout `RandomDB` emits and `ConvertTxtToTbl`
+  * serializes (/root/reference/src/RandomDB.java:32-111,
+  * /root/reference/src/ConvertTxtToTbl.java:16-75). Where the
+  * reference's `Scan` re-reads one Java-serialized `.tbl` file
+  * sequentially on a single thread
+  * (/root/reference/src/qp/operators/Scan.java:19-109), this source
+  * plans ONE INPUT PARTITION PER DATA FILE — a sharded table written by
+  * [[TextTables.write]] scans in parallel across executors — and
+  * participates in Catalyst's V2 pushdown negotiation:
+  *
+  *  - column pruning ([[SupportsPushDownRequiredColumns]]): only the
+  *    columns a query touches are converted; a 2-column projection over
+  *    a 40-column table parses positions, not values (the reference has
+  *    no pruning at all — intermediate tuples carry every column,
+  *    SURVEY §4.1);
+  *  - filter pushdown ([[SupportsPushDownFilters]]): the six reference
+  *    comparison ops (`Select.java:130-220`) on INT/STRING/REAL columns
+  *    are evaluated during the scan, before row materialization, and
+  *    reported in the plan (`PushedFilters: [...]`).
+  *
+  * The `.det` sidecar grammar (RandomDB.java:54-111): two header lines
+  * (column count, tuple byte size), then one line per column —
+  * `<colname> <INTEGER|STRING|REAL> <range> <PK|FK|NK> <bytes>`; only
+  * name and type matter for reading, the rest is generator/statistics
+  * input and is ignored here. Types map INT→IntegerType, STRING→
+  * StringType, REAL→FloatType exactly as the reference's three-type
+  * system (Attribute.java:11-13).
+  *
+  * Splitting granularity is the FILE, not a byte range: text rows have
+  * no block structure to align ranges to without a first scan, and the
+  * write path already shards into as many part files as there were
+  * tasks, which is the parallelism that matters. (A 100 TB deployment
+  * would ingest to parquet once via [[Ingest.csvToParquet]] and scan
+  * that; this source exists so the reference's own on-disk layout is a
+  * first-class, pruning-aware table.)
+  */
+class TextTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-txt"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TextTables.schemaAt(TextTables.pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TextTable(schema,
+      TextTables.pathOf(new CaseInsensitiveStringMap(properties)))
+}
+
+private[sources] class TextTable(tableSchema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_txt(`$path`)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TextScanBuilder(tableSchema, path)
+}
+
+private[sources] class TextScanBuilder(fullSchema: StructType, path: String)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // Accept exactly the comparisons the evaluator handles; anything else
+  // stays with Spark (returned as not-pushed). Accepted filters are
+  // fully applied in the reader, so they are not re-evaluated upstream.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) =
+      filters.partition(f => TextFilters.supports(f, fullSchema))
+    pushed = sup
+    unsup
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = TextScan(fullSchema, required, pushed, path)
+}
+
+private[sources] case class TextScan(
+    fullSchema: StructType,
+    required: StructType,
+    filters: Array[Filter],
+    path: String) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftTextScan path: $path, " +
+      s"ReadSchema: ${required.catalogString}, " +
+      s"PushedFilters: [${filters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    TextTables.dataFiles(path).map(f => TextFilePartition(f): InputPartition)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TextReaderFactory(fullSchema.fields.map(f => f.name -> f.dataType),
+      required.fieldNames.map(fullSchema.fieldIndex),
+      filters)
+}
+
+private[sources] case class TextFilePartition(file: String)
+    extends InputPartition
+
+private[sources] case class TextReaderFactory(
+    cols: Array[(String, DataType)],
+    requiredIdx: Array[Int],
+    filters: Array[Filter]) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new TextPartitionReader(p.asInstanceOf[TextFilePartition].file,
+      cols, requiredIdx, filters)
+}
+
+/** Streams one data file line by line: split on tabs, coerce by declared
+  * type (Integer/Float parse, mirroring ConvertTxtToTbl.java:56-66),
+  * apply the pushed filters on the typed values, then materialize ONLY
+  * the pruned columns into the output row. */
+private[sources] class TextPartitionReader(
+    file: String,
+    cols: Array[(String, DataType)],
+    requiredIdx: Array[Int],
+    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val in: BufferedReader = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(new Configuration())
+    new BufferedReader(
+      new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+  }
+  private val predicate = TextFilters.compile(filters, cols)
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val parts = line.split("\t", -1)
+        val typed = new Array[Any](cols.length)
+        var i = 0
+        while (i < cols.length) {
+          // trailing-tab tolerant (RandomDB emits one per field)
+          val raw = if (i < parts.length) parts(i).trim else ""
+          typed(i) = cols(i)._2 match {
+            case IntegerType => raw.toInt
+            case FloatType   => raw.toFloat
+            case _           => raw
+          }
+          i += 1
+        }
+        if (predicate(typed)) {
+          val out = new Array[Any](requiredIdx.length)
+          var j = 0
+          while (j < requiredIdx.length) {
+            out(j) = typed(requiredIdx(j)) match {
+              case s: String => UTF8String.fromString(s)
+              case v         => v
+            }
+            j += 1
+          }
+          row = new GenericInternalRow(out)
+          return true
+        }
+      }
+      line = in.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+/** The pushed-filter evaluator: the six reference comparison operators
+  * over the three reference types, on already-typed values. No nulls
+  * exist in the format (SURVEY §1.2), so null semantics never arise. */
+private[sources] object TextFilters {
+
+  def supports(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(c, v)            => comparable(c, v, schema)
+    case GreaterThan(c, v)        => comparable(c, v, schema)
+    case GreaterThanOrEqual(c, v) => comparable(c, v, schema)
+    case LessThan(c, v)           => comparable(c, v, schema)
+    case LessThanOrEqual(c, v)    => comparable(c, v, schema)
+    case _                        => false
+  }
+
+  private def comparable(c: String, v: Any, schema: StructType): Boolean =
+    schema.fieldNames.contains(c) && (v match {
+      case _: Int | _: Float | _: String => true
+      case _                             => false
+    })
+
+  def compile(filters: Array[Filter],
+      cols: Array[(String, DataType)]): Array[Any] => Boolean = {
+    val idx = cols.map(_._1).zipWithIndex.toMap
+    def cmp(c: String, v: Any): Array[Any] => Int = {
+      val i = idx(c)
+      r => (r(i), v) match {
+        case (a: Int, b: Int)       => java.lang.Integer.compare(a, b)
+        case (a: Float, b: Float)   => java.lang.Float.compare(a, b)
+        case (a: String, b: String) => a.compareTo(b)
+        case (a, b) => throw new IllegalArgumentException(
+          s"type mismatch comparing $a to $b on column $c")
+      }
+    }
+    val compiled: Array[Array[Any] => Boolean] = filters.map {
+      case EqualTo(c, v)            => val k = cmp(c, v); r => k(r) == 0
+      case GreaterThan(c, v)        => val k = cmp(c, v); r => k(r) > 0
+      case GreaterThanOrEqual(c, v) => val k = cmp(c, v); r => k(r) >= 0
+      case LessThan(c, v)           => val k = cmp(c, v); r => k(r) < 0
+      case LessThanOrEqual(c, v)    => val k = cmp(c, v); r => k(r) <= 0
+      case f => throw new IllegalArgumentException(s"unsupported filter $f")
+    }
+    r => compiled.forall(_(r))
+  }
+}
+
+/** Driver-side helpers: locate/parse the `.det` sidecar, enumerate data
+  * files, and the write path that lays a DataFrame out in the
+  * reference's format (sharded data files + one sidecar). */
+object TextTables {
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-txt requires a path")
+    p
+  }
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+
+  /** Data files of a table path: for a directory, every visible file
+    * that is not the sidecar (the csv writer's `part-*` shards and any
+    * `*.txt`); for a single file, just it. Sorted for deterministic
+    * partition numbering. */
+  def dataFiles(path: String): Array[String] = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (f.getFileStatus(p).isDirectory)
+      f.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filter { q =>
+          val n = q.getName
+          !n.endsWith(".det") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .map(_.toString).sorted
+    else Array(path)
+  }
+
+  /** The sidecar for a table path: `<dir>/schema.det` (or the single
+    * `.det` file present) for a directory, `<file-minus-ext>.det` for a
+    * single data file. */
+  def sidecarOf(path: String): Path = {
+    val p = new Path(path)
+    val f = fs(p)
+    if (f.getFileStatus(p).isDirectory) {
+      val dets = f.listStatus(p).filter(_.getPath.getName.endsWith(".det"))
+      require(dets.nonEmpty, s"no .det schema sidecar in $path")
+      dets.map(_.getPath).minBy(_.getName)
+    } else {
+      val name = p.getName
+      val base = if (name.contains('.')) name.substring(0, name.lastIndexOf('.'))
+        else name
+      new Path(p.getParent, base + ".det")
+    }
+  }
+
+  /** Parse a `.det` sidecar into a StructType. Header lines (bare
+    * integers: column count, tuple size) are skipped; each remaining
+    * line contributes `<colname> <type>` (extra generator fields
+    * ignored). */
+  def schemaAt(path: String): StructType = {
+    val side = sidecarOf(path)
+    val in = new BufferedReader(new InputStreamReader(
+      fs(side).open(side), StandardCharsets.UTF_8))
+    try {
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(_.nonEmpty).toList
+      val fields = lines.filterNot(_.matches("\\d+")).map { line =>
+        val toks = line.split("\\s+")
+        require(toks.length >= 2, s"bad .det line: $line")
+        StructField(toks(0), toks(1) match {
+          case "INTEGER" => IntegerType
+          case "STRING"  => StringType
+          case "REAL"    => FloatType
+          case t => throw new IllegalArgumentException(
+            s"unknown .det type $t (line: $line)")
+        }, nullable = false)
+      }
+      require(fields.nonEmpty, s"empty .det sidecar $side")
+      StructType(fields)
+    } finally in.close()
+  }
+
+  /** Lay `df` out as a graft-txt table at `dir`: tab-delimited sharded
+    * data files (a distributed write — each task owns one shard, the
+    * parallel twin of RandomDB's single `.txt`) plus the `schema.det`
+    * sidecar with the reference's header lines. Only the reference's
+    * three column types are allowed. */
+  def write(df: DataFrame, dir: String): Unit = {
+    df.schema.fields.foreach { f =>
+      require(Seq(IntegerType, StringType, FloatType).contains(f.dataType),
+        s"graft-txt supports INTEGER/STRING/REAL only; ${f.name} is ${f.dataType}")
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .option("sep", "\t").option("header", "false")
+      .option("emptyValue", "").csv(dir)
+    val side = new Path(dir, "schema.det")
+    val out = fs(side).create(side, true)
+    try {
+      val detType: DataType => String = {
+        case IntegerType => "INTEGER"
+        case StringType  => "STRING"
+        case FloatType   => "REAL"
+        case t => throw new IllegalArgumentException(t.toString)
+      }
+      // header: column count, then a nominal tuple byte size mirroring
+      // the reference layout (INT/REAL 4 bytes, STRING 2x a nominal 10)
+      val sizes = df.schema.fields.map(f =>
+        if (f.dataType == StringType) 20 else 4)
+      val body = (Seq(df.schema.length.toString, sizes.sum.toString) ++
+        df.schema.fields.zip(sizes).map { case (f, sz) =>
+          s"${f.name} ${detType(f.dataType)} 0 NK $sz"
+        }).mkString("", "\n", "\n")
+      out.write(body.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** Read a graft-txt table through the V2 source. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-txt").load(dir)
+}

@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSpec, Tables}
+
+/** The DSv2 text-table source: round-trip fidelity against the parquet
+  * original, column-pruning and filter pushdown reaching the scan (plan-
+  * asserted, not just result-asserted), file-granular parallelism, and
+  * the `.det` sidecar grammar including the reference's own testcase
+  * sidecars. */
+class TextTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-txt-spec").toString
+
+  private def customerCols = Tables.customer(spark, sf)
+    .select(col("c_custkey").cast(IntegerType),
+      col("c_name"), col("c_nationkey").cast(IntegerType),
+      col("c_mktsegment"))
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail(s"no BatchScan in:\n${df.queryExecution.executedPlan}"))
+
+  test("round-trips a table byte-for-byte against the parquet original") {
+    val dir = tmp()
+    TextTables.write(customerCols, dir)
+    val back = TextTables.read(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      customerCols.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toSeq).toSet ==
+      customerCols.collect().map(_.toSeq).toSet)
+  }
+
+  test("REAL (float) columns survive the text round-trip") {
+    val dir = tmp()
+    val df = Seq((1, 1.5f, "a"), (2, -0.25f, "b"), (3, 1234.5625f, "c"))
+      .toDF("id", "v", "s")
+    TextTables.write(df, dir)
+    val back = TextTables.read(spark, dir)
+    assert(back.schema("v").dataType == FloatType)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+
+  test("column pruning reaches the scan: ReadSchema is the projection only") {
+    val dir = tmp()
+    TextTables.write(customerCols, dir)
+    val df = TextTables.read(spark, dir).select("c_custkey")
+    val scan = scanOf(df)
+    assert(scan.scan.readSchema().fieldNames.toSeq == Seq("c_custkey"),
+      s"unpruned read schema: ${scan.scan.readSchema()}")
+    assert(df.count() == customerCols.count())
+  }
+
+  test("comparison filters push into the scan and filter correctly") {
+    val dir = tmp()
+    TextTables.write(customerCols, dir)
+    val df = TextTables.read(spark, dir)
+      .filter(col("c_nationkey") >= 10 && col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("GreaterThanOrEqual(c_nationkey,10)") &&
+      desc.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"filters not pushed: $desc")
+    val expect = customerCols
+      .filter(col("c_nationkey") >= 10 && col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    assert(df.collect().map(_.toSeq).toSet ==
+      expect.collect().map(_.toSeq).toSet)
+  }
+
+  test("an unsupported filter stays with Spark and results remain exact") {
+    val dir = tmp()
+    TextTables.write(customerCols, dir)
+    // IsNotNull and string EndsWith are not in the pushdown set
+    val df = TextTables.read(spark, dir)
+      .filter(col("c_name").endsWith("1") && col("c_custkey") < 500)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("LessThan(c_custkey,500)"), desc)
+    assert(!desc.contains("EndsWith"), desc)
+    val expect = customerCols
+      .filter(col("c_name").endsWith("1") && col("c_custkey") < 500)
+    assert(df.collect().map(_.toSeq).toSet ==
+      expect.collect().map(_.toSeq).toSet)
+  }
+
+  test("a sharded table scans with one partition per data file") {
+    val dir = tmp()
+    TextTables.write(customerCols.repartition(4), dir)
+    val nFiles = TextTables.dataFiles(dir).length
+    assert(nFiles >= 2, s"expected a sharded layout, got $nFiles file(s)")
+    val back = TextTables.read(spark, dir)
+    assert(back.rdd.getNumPartitions == nFiles)
+    assert(back.count() == customerCols.count())
+  }
+
+  test("parses the reference's own .det sidecars (header lines, extra fields)") {
+    val schema = TextTables.schemaAt("/root/reference/testcases/CUSTOMER.det")
+    assert(schema == StructType(Seq(
+      StructField("cid", IntegerType, nullable = false),
+      StructField("gender", IntegerType, nullable = false),
+      StructField("firstname", StringType, nullable = false),
+      StructField("lastname", StringType, nullable = false),
+      StructField("address", StringType, nullable = false))))
+  }
+
+  test("single-file table with a sibling .det reads too") {
+    val dir = tmp()
+    val data = new java.io.File(dir, "MINI.txt")
+    val side = new java.io.File(dir, "MINI.det")
+    Files.write(data.toPath,
+      "1\talpha\t1.5\n2\tbeta\t-0.5\n".getBytes("UTF-8"))
+    Files.write(side.toPath,
+      "3\n28\nid INTEGER 10 PK 4\nname STRING 5 NK 10\nscore REAL 2 NK 4\n"
+        .getBytes("UTF-8"))
+    val back = spark.read.format("graft-txt").load(data.toString)
+    assert(back.collect().map(_.toSeq).toSet ==
+      Set(Seq(1, "alpha", 1.5f), Seq(2, "beta", -0.5f)))
+  }
+}

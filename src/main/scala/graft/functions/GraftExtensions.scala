@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDot)
     ext.injectFunction(GraftExtensions.vectorDotLong)
     ext.injectFunction(GraftExtensions.simHashAgg)
+    ext.injectFunction(GraftExtensions.hllAgg)
     ext.injectFunction(GraftExtensions.hash60)
     // whole-operator extension: the native per-key top-k planner rule
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
@@ -50,6 +51,15 @@ object GraftExtensions {
       require(children.length == 1,
         s"simhash_agg requires exactly 1 argument, got ${children.length}")
       SimHashAgg(children.head)
+    })
+
+  val hllAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_agg"),
+    new ExpressionInfo(classOf[HllAgg].getName, "hll_agg"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"hll_agg requires exactly 1 argument, got ${children.length}")
+      HllAgg(children.head)
     })
 
   val vectorDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

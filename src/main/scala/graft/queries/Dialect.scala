@@ -145,6 +145,54 @@ object Dialect extends QueryModule {
         |SELECT s_suppkey, s_name, total_revenue
         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin,
+    // TPC-H Q2 shape: correlated minimum-cost supplier — for each
+    // EUROPE-sourced part of one size, the supplier(s) hitting the
+    // region-wide MINIMUM price, via a correlated scalar subquery that
+    // re-joins the same supplier→nation→region chain. (The driver
+    // schema has no partsupp; lineitem is the part↔supplier fact and
+    // l_extendedprice its cost. The comparison is an EQUALITY against a
+    // MIN of stored doubles — no arithmetic — so it cannot split on a
+    // ULP between engines.)
+    "s19_sql_min_cost_supplier" ->
+      """SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+        |  l.l_extendedprice AS min_price
+        |FROM part p, supplier s, nation n, region r, lineitem l
+        |WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |  AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE' AND p.p_size = 15
+        |  AND l.l_extendedprice = (
+        |    SELECT MIN(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p.p_partkey
+        |      AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')""".stripMargin,
+    // TPC-H Q11 shape: HAVING over a fraction of a grand total via an
+    // uncorrelated scalar subquery — parts whose NATION_7-sourced value
+    // exceeds 1/10000 of that nation's total. Both sides of the
+    // comparison stay EXACT decimals (the fraction is applied as an
+    // integer multiply on the left, never a decimal divide), so the
+    // threshold can never flip on summation order; the reported value
+    // is cast to double once at output.
+    "s20_sql_value_fraction" ->
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_quantity AS DECIMAL(12,2))) * 10000 > (
+        |  SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(l2.l_quantity AS DECIMAL(12,2)))
+        |  FROM lineitem l2
+        |  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        |  WHERE n2.n_name = 'NATION_7')""".stripMargin,
     "s15_sql_cte_window" ->
       """WITH ranked AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

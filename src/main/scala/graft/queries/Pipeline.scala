@@ -1892,9 +1892,34 @@ object Pipeline extends QueryModule {
         size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
           .cast(LongType).as("n_phones"))
 
+  /** Grouped HLL distinct counting through the REUSABLE native
+    * aggregate (graft.functions.HllAgg, SQL-registered as `hll_agg`) —
+    * the TypedImperativeAggregate generalization of p40's declarative
+    * register build: distinct users per event_type in ONE keyed
+    * shuffle of 256-byte mergeable sketches, where the declarative
+    * form needs a (group, bucket) aggregation plus a second keyed
+    * pass. Property-tested bit-identical to p40's formulation
+    * (HllAggPropertySpec); the oracle rebuilds the registers per group
+    * in SQL, so the hash match proves the native buffer arithmetic,
+    * not just the shape. */
+  private def p57HllGroups: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val est = ev
+      .select(col("event_type"), h60(col("user_id").cast(StringType)).as("hv"))
+      .groupBy("event_type")
+      .agg(graft.functions.HllAgg.hllAgg(col("hv")).as("hll_estimate"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, "event_type")
+      .select(col("event_type"), col("n_exact"), col("hll_estimate"),
+        round(abs(col("hll_estimate") - col("n_exact")) / col("n_exact"), 6)
+          .as("rel_err"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p57_hll_groups" -> p57HllGroups,
     "p01_exact_dedup" -> p01ExactDedup,
     "p02_minhash_neardup" -> p02MinhashNearDup,
     "p03_simhash_fingerprint" -> p03SimhashFingerprint,
@@ -2841,6 +2866,30 @@ object Pipeline extends QueryModule {
          |SELECT r.term, df.df AS df, r.rk, r.doc_id, r.tf
          |FROM r JOIN df ON r.term = df.term
          |WHERE r.rk <= $PostingsK""".stripMargin,
+    "p57_hll_groups" ->
+      s"""WITH h AS (
+         |  SELECT event_type, ${sqlH60("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events),
+         |b AS (SELECT event_type, hv & ${HllM - 1} AS bucket,
+         |    hv >> $HllP AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |    MAX(CASE WHEN w = 0 THEN $HllRhoMax
+         |      ELSE CAST(bit_count((w & (0 - w)) - 1) AS INT) + 1 END) AS mj
+         |  FROM b GROUP BY 1, 2),
+         |s AS (SELECT event_type,
+         |    CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoMax - mj)) AS BIGINT)
+         |      + ($HllM - COUNT(*)) * CAST($HllPow AS BIGINT) AS s_int,
+         |    $HllM - COUNT(*) AS v
+         |  FROM r GROUP BY 1),
+         |e AS (SELECT event_type,
+         |    round(CASE WHEN $HllRawNum / s_int <= ${2.5 * HllM} AND v > 0
+         |      THEN ${HllM.toDouble} * ln(${HllM.toDouble} / v)
+         |      ELSE $HllRawNum / s_int END, 4) AS est FROM s),
+         |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT x.event_type, n_exact, est AS hll_estimate,
+         |  round(abs(est - n_exact) / n_exact, 6) AS rel_err
+         |FROM e JOIN x ON e.event_type = x.event_type""".stripMargin,
     "p40_hll_distinct" ->
       s"""WITH h AS (
          |  SELECT ${sqlH60("CAST(user_id AS VARCHAR)")} AS hv FROM events),

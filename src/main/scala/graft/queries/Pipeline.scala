@@ -609,6 +609,63 @@ object Pipeline extends QueryModule {
         length(col("col")).cast(IntegerType).as("frame_len"))
   }
 
+  /** REAL bytes through the multimodal path: each document's payload is
+    * a VALID 8-bit-PCM WAV — "RIFF" magic, little-endian chunk sizes, a
+    * 16-byte fmt block whose sample rate varies per doc, a "data" chunk
+    * of the text's utf-8 bytes — built and then PARSED BACK entirely
+    * with binary expressions (byte slicing + hex + base-16 conv for the
+    * LE integers; nothing text-typed touches the payload between build
+    * and parse). The PCM section then rides the mapPartitions decode
+    * plumbing ([[graft.operators.MultimodalDecode]]), whose per-frame
+    * mean-sample output the oracle reproduces from hex pairs. This is
+    * the upgrade of p08/p14's utf-8 stand-in to actual non-text bytes:
+    * LE header fields round-trip through the byte encoding, so a
+    * byte-order or off-by-one bug anywhere in the binary path flips the
+    * hash. Build and parse are one map; the only shuffle is the keyed
+    * header↔frames join. */
+  private def p58WavRealBytes: Q = (s, d) => {
+    // little-endian n-byte encoding of a non-negative int column
+    def le(v: Column, nBytes: Int): Column = {
+      val h = lpad(hex(v), nBytes * 2, "0")
+      unhex(concat((0 until nBytes).map(i =>
+        substring(h, (nBytes - 1 - i) * 2 + 1, 2)): _*))
+    }
+    def tag(t: String): Column = encode(lit(t), "UTF-8")
+    val data = encode(col("text"), "UTF-8")
+    val len = length(data)
+    val rate = (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000)
+      .cast(IntegerType)
+    val wav = docsBalanced(s, d).select(col("doc_id"),
+      concat(tag("RIFF"), le(len + 36, 4), tag("WAVE"),
+        tag("fmt "), le(lit(16), 4), le(lit(1), 2), le(lit(1), 2),
+        le(rate, 4), le(rate, 4), le(lit(1), 2), le(lit(8), 2),
+        tag("data"), le(len, 4), data).as("payload"))
+    // parse the header back from the opaque bytes (LE int at 1-based
+    // byte offset: hex pairs reassembled most-significant first)
+    def leInt(startByte: Int, nBytes: Int): Column = {
+      val h = hex(substring(col("payload"), startByte, nBytes))
+      conv(concat((0 until nBytes).reverse.map(i =>
+        substring(h, i * 2 + 1, 2)): _*), 16, 10).cast(IntegerType)
+    }
+    val parsed = wav.select(col("doc_id"), col("payload"),
+      lower(hex(substring(col("payload"), 1, 4))).as("riff_hex"),
+      lower(hex(substring(col("payload"), 9, 4))).as("wave_hex"),
+      leInt(25, 4).as("sample_rate"),
+      leInt(41, 4).as("data_len"))
+    val frames = graft.operators.MultimodalDecode.decodeFrames(
+      parsed.select(col("doc_id"),
+        col("payload").substr(lit(45), col("data_len")).as("payload")))
+      .toDF()
+    parsed.select("doc_id", "riff_hex", "wave_hex", "sample_rate", "data_len")
+      .join(frames.select(col("doc_id"), col("frame_idx"), col("luma")),
+        "doc_id")
+      .select(col("doc_id"), col("frame_idx").cast(IntegerType).as("frame_idx"),
+        col("riff_hex"), col("wave_hex"), col("sample_rate"), col("data_len"),
+        least(lit(16), col("data_len") - col("frame_idx") * 16)
+          .cast(IntegerType).as("frame_len"),
+        round(col("luma"), 6).as("mean_sample"))
+  }
+
   /** Deterministic train/val/test split: each doc's bucket comes from the
     * portable content-independent hash of its id — 80/10/10, stable across
     * runs, engines, and cluster sizes (no RNG, no sampling drift), which
@@ -1343,7 +1400,7 @@ object Pipeline extends QueryModule {
     * broadcast arrays, then every vector mapped to int8 codes in one
     * pass. Checkpointed because consumers read it from multiple join
     * sides — at production scale this is the persisted quantized index. */
-  private def quantizedVectors(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quantizedVectors(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
     val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
@@ -1920,6 +1977,7 @@ object Pipeline extends QueryModule {
 
   val queries: Map[String, Q] = Map(
     "p57_hll_groups" -> p57HllGroups,
+    "p58_wav_real_bytes" -> p58WavRealBytes,
     "p01_exact_dedup" -> p01ExactDedup,
     "p02_minhash_neardup" -> p02MinhashNearDup,
     "p03_simhash_fingerprint" -> p03SimhashFingerprint,
@@ -2336,6 +2394,55 @@ object Pipeline extends QueryModule {
         |FROM documents""".stripMargin,
     // DuckDB 1.0 lacks blob substr; the docs are ASCII so slicing the
     // varchar yields the same bytes (and the same md5) as the binary slice.
+    "p58_wav_real_bytes" -> {
+      // little-endian n-byte blob of a non-negative integer expression
+      def le(v: String, nBytes: Int): String = {
+        val h = s"lpad(hex($v), ${nBytes * 2}, '0')"
+        "unhex(" + (0 until nBytes)
+          .map(i => s"substr($h, ${(nBytes - 1 - i) * 2 + 1}, 2)")
+          .mkString(" || ") + ")"
+      }
+      // byte value at 1-based byte position `pos` of hex string `ph`
+      def b(pos: String): String =
+        s"((strpos('0123456789ABCDEF', substr(ph, 2*($pos)-1, 1))-1)*16" +
+          s" + strpos('0123456789ABCDEF', substr(ph, 2*($pos), 1))-1)"
+      def leVal(start: Int): String =
+        (0 until 4).map(i => s"${1L << (8 * i)}*${b((start + i).toString)}")
+          .mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, encode(text) AS data,
+         |    octet_length(encode(text)) AS len,
+         |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    encode('RIFF') || ${le("len + 36", 4)} || encode('WAVE')
+         |      || encode('fmt ') || ${le("16", 4)} || ${le("1", 2)}
+         |      || ${le("1", 2)} || ${le("rate", 4)} || ${le("rate", 4)}
+         |      || ${le("1", 2)} || ${le("8", 2)} || encode('data')
+         |      || ${le("len", 4)} || data AS payload
+         |  FROM d),
+         |h AS (SELECT doc_id, hex(payload) AS ph FROM p),
+         |hdr AS (SELECT doc_id, ph,
+         |    lower(substr(ph, 1, 8)) AS riff_hex,
+         |    lower(substr(ph, 17, 8)) AS wave_hex,
+         |    CAST(${leVal(25)} AS INTEGER) AS sample_rate,
+         |    CAST(${leVal(41)} AS INTEGER) AS data_len
+         |  FROM h),
+         |fr AS (SELECT doc_id, ph, riff_hex, wave_hex, sample_rate, data_len,
+         |    CAST(u.k AS INT) AS frame_idx,
+         |    CAST(LEAST(16, data_len - u.k*16) AS INT) AS frame_len
+         |  FROM hdr,
+         |    UNNEST(generate_series(0,
+         |      CAST(CEIL(data_len/16.0) AS BIGINT)-1)) AS u(k))
+         |SELECT doc_id, frame_idx, riff_hex, wave_hex, sample_rate,
+         |  data_len, frame_len,
+         |  round(CAST(list_aggregate(list_transform(
+         |      generate_series(1, frame_len),
+         |      j -> ${b("44 + frame_idx*16 + j")}), 'sum') AS DOUBLE)
+         |    / frame_len, 6) AS mean_sample
+         |FROM fr""".stripMargin
+    },
     "p14_frame_sample" ->
       """SELECT doc_id, CAST(u.k AS INT) AS frame_idx,
         |  md5(substr(text, u.k*16+1, 16)) AS frame_md5,

@@ -223,6 +223,80 @@ object Streams {
       }
   }
 
+  final case class AnnMatch(probe_id: Long, rnk: Int, vec_id: Long,
+      qsim: Long)
+
+  /** Streaming ANN probe scoring against the STATIC quantized index —
+    * the continuous twin of p42's scan phase (graft.queries.Pipeline
+    * .quantizedVectors / p42_ann_quantized) composed with the bounded
+    * per-key heap state of the native top-k (q53 / topEventsPerType):
+    *
+    *  - arriving probe vectors are quantized with the INDEX's own
+    *    per-dimension min/max (one broadcast row, so stream and index
+    *    codes live on the same integer grid);
+    *  - each microbatch scores probes against the quantized corpus with
+    *    the same codegen'd integer dot product (`vector_dot_long`) the
+    *    batch scan uses — candidates carry only ids + the integer
+    *    score, preserving the 4× bandwidth story;
+    *  - each probe's best-k matches live in the state store as a
+    *    k-bounded list (value desc, vec_id asc total order, duplicate
+    *    (vec_id) arrivals ignored), re-emitted ONLY when a batch
+    *    changes them — the leaderboard contract of topEventsPerType.
+    *
+    * The per-batch scan is the brute quantized pass (right for a
+    * broadcast-sized index; the IVF cell assignment of p20 is the
+    * composition point when the index outgrows a broadcast). State is
+    * k rows per probe, so a long-running stream holds probes × k ids —
+    * nothing scales with corpus size or stream length. */
+  def annProbeMatches(probes: DataFrame, index: DataFrame, k: Int = 3)
+      : Dataset[AnnMatch] = {
+    import probes.sparkSession.implicits._
+    import graft.functions.VectorDotLong.vdotl
+    val stats = index.select("mns", "mxs").limit(1)
+    def quant(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+        mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(127L),
+          floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)) - lit(128L)))
+    val scored = probes
+      .crossJoin(broadcast(stats))
+      .withColumn("qpv", transform(col("v"), (x, i) =>
+        quant(x, element_at(col("mns"), i + 1),
+          element_at(col("mxs"), i + 1))))
+      .crossJoin(broadcast(index.select(col("vec_id"), col("qv"))))
+      .select(col("probe_id"), col("vec_id"),
+        vdotl(col("qpv"), col("qv")).as("qsim"))
+      .as[(Long, Long, Long)]
+    // same fold as topEventsPerType: k-bounded list per probe, total
+    // order (qsim desc, vec_id asc), duplicates skipped, emit on change
+    val better: ((Long, Long), (Long, Long)) => Boolean = (a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    scored
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], AnnMatch](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (probe: Long, batch: Iterator[(Long, Long, Long)],
+            state: GroupState[List[(Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Nil)
+          val next = batch.foldLeft(prev) { (top, r) =>
+            val entry = (r._3, r._2) // (qsim, vec_id)
+            if (top.exists(_._2 == entry._2)) top
+            else {
+              val (above, below) = top.span(better(_, entry))
+              (above ::: entry :: below).take(k)
+            }
+          }
+          if (next == prev) Iterator.empty
+          else {
+            state.update(next)
+            next.iterator.zipWithIndex.map { case ((sim, id), i) =>
+              AnnMatch(probe, i + 1, id, sim)
+            }
+          }
+      }
+  }
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

@@ -242,6 +242,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annProbeMatches scores streamed probes against the static quantized index") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.functions.VectorDotLong.vdotl
+    val index = graft.queries.Pipeline.quantizedVectors(spark, sf)
+    // expected top-3 for a probe that IS an index vector: its quantized
+    // codes equal the index row's, so the integer scores are exactly
+    // the index-side qv dot products
+    def expectedFor(p: Long): Seq[(Int, Long, Long)] = index
+      .filter(col("vec_id") === p).select(col("qv").as("qpv"))
+      .crossJoin(broadcast(index.select(col("vec_id"), col("qv"))))
+      .select(col("vec_id"), vdotl(col("qpv"), col("qv")).as("qsim"))
+      .orderBy(col("qsim").desc, col("vec_id").asc).limit(3)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getLong(0), r.getLong(1)) }.toSeq
+    val probeVecs = index.filter(col("vec_id").isin(1L, 2L))
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = annProbeMatches(
+      in.toDF().toDF("probe_id", "v"), index, k = 3)
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, probeVecs(1L)))
+      q.processAllAvailable()
+      val got1 = spark.table("ann_stream").collect()
+        .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("qsim"))).toSet
+      assert(got1 == expectedFor(1L).toSet, s"probe 1 mismatch: $got1")
+      // a second probe emits only its own rows; probe 1 stays silent
+      val n1 = spark.table("ann_stream").count()
+      in.addData((2L, probeVecs(2L)))
+      q.processAllAvailable()
+      val probe2 = spark.table("ann_stream")
+        .filter(col("probe_id") === 2L).collect()
+        .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"),
+          r.getAs[Long]("qsim"))).toSet
+      assert(probe2 == expectedFor(2L).toSet, s"probe 2 mismatch: $probe2")
+      assert(spark.table("ann_stream").filter(col("probe_id") === 1L).count()
+        == n1, "probe 1 re-emitted without change")
+      // redelivering probe 1 changes nothing: every candidate is either
+      // already on the list or below its tail -> zero new rows
+      val nAll = spark.table("ann_stream").count()
+      in.addData((1L, probeVecs(1L)))
+      q.processAllAvailable()
+      assert(spark.table("ann_stream").count() == nAll,
+        "redelivered probe produced output")
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates keyed state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

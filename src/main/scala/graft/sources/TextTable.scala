@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, FloatType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -112,10 +112,28 @@ private[sources] case class TextScan(
     fullSchema: StructType,
     required: StructType,
     filters: Array[Filter],
-    path: String) extends Scan with Batch {
+    path: String) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Report the on-disk byte size (files are uncompressed text, so
+    * bytes ≈ data volume) — without this a V2 source reports
+    * `defaultSizeInBytes` and a broadcast-sized text table would never
+    * be broadcast by the join planner. Column pruning scales the
+    * estimate down by the projected fraction of columns, mirroring how
+    * the file-source relation sizes pruned scans. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val totalBytes: Long = TextTables.dataBytes(path)
+    private val frac: Double =
+      if (fullSchema.isEmpty) 1.0
+      else required.length.toDouble / fullSchema.length
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(
+        math.max(1L, (totalBytes * frac).toLong))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   override def description(): String =
     s"GraftTextScan path: $path, " +
@@ -276,6 +294,14 @@ object TextTables {
         }
         .map(_.toString).sorted
     else Array(path)
+  }
+
+  /** Total bytes of a table's data files (drives the scan's reported
+    * statistics). */
+  def dataBytes(path: String): Long = {
+    val p = new Path(path)
+    val f = fs(p)
+    dataFiles(path).map(q => f.getFileStatus(new Path(q)).getLen).sum
   }
 
   /** The sidecar for a table path: `<dir>/schema.det` (or the single

@@ -100,6 +100,22 @@ class TextTableSpec extends SparkSpec {
     assert(back.count() == customerCols.count())
   }
 
+  test("reported statistics let a small text table broadcast in a join") {
+    val dir = tmp()
+    TextTables.write(Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast(IntegerType), col("n_name")), dir)
+    val bytes = TextTables.dataBytes(dir)
+    assert(bytes > 0 && bytes < 64 * 1024, s"nation text size: $bytes")
+    // un-hinted join: the planner must see the true (tiny) size through
+    // SupportsReportStatistics and pick a broadcast join on its own
+    val joined = customerCols.join(TextTables.read(spark, dir),
+      col("c_nationkey") === col("n_nationkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small text side not broadcast:\n$plan")
+    assert(joined.count() == customerCols.count())
+  }
+
   test("parses the reference's own .det sidecars (header lines, extra fields)") {
     val schema = TextTables.schemaAt("/root/reference/testcases/CUSTOMER.det")
     assert(schema == StructType(Seq(

@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHashAgg)
     ext.injectFunction(GraftExtensions.hllAgg)
     ext.injectFunction(GraftExtensions.hash60)
+    // generator (UDTF) category: usable in LATERAL VIEW / generator position
+    ext.injectFunction(GraftExtensions.shingleRows)
     // whole-operator extension: the native per-key top-k planner rule
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     // and its optimizer rewrite: window row_number<=k patterns with the
@@ -42,6 +44,15 @@ object GraftExtensions {
       require(children.length == 1,
         s"hash60 requires exactly 1 argument, got ${children.length}")
       Hash60(children.head)
+    })
+
+  val shingleRows: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_rows"),
+    new ExpressionInfo(classOf[ShingleRows].getName, "shingle_rows"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"shingle_rows requires exactly 2 arguments, got ${children.length}")
+      ShingleRows(children.head, children(1))
     })
 
   val simHashAgg: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -1973,9 +1973,35 @@ object Pipeline extends QueryModule {
           .as("rel_err"))
   }
 
+  /** Per-language shingle vocabulary profile, rows produced by the
+    * native [[graft.functions.ShingleRows]] generator (the UDTF-category
+    * Catalyst extension) instead of the explode(sequence)+element_at
+    * build: totals via one map-side-combinable groupBy, the top shingle
+    * via the row_number()<=1 pattern TopKRewriteRule re-plans onto the
+    * bounded-heap operator. ShingleGenBench measured the generator at
+    * parity (0.96x) with the codegen'd explode form under the p02 sketch
+    * consumer at sf0.1 — digest+agg work dominates — so the generator is
+    * surfaced here and via SQL `shingle_rows(...)` while p02 keeps its
+    * measured form (PLANS.md). */
+  private def p59ShingleVocab: Q = (s, d) => {
+    val sh = docsBalanced(s, d)
+      .select(col("lang"), graft.functions.ShingleRows.shingleRows(col("text"), ShingleW))
+    val counts = sh.groupBy("lang", "shingle").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("lang")
+      .agg(sum("cnt").as("n_shingles"), count(lit(1)).as("n_distinct"))
+    val top = counts
+      .withColumn("rn", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("shingle"))))
+      .filter(col("rn") === 1).drop("rn")
+    totals.join(top, "lang")
+      .select(col("lang"), col("n_shingles"), col("n_distinct"),
+        col("shingle").as("top_shingle"), col("cnt").as("top_cnt"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
     "p58_wav_real_bytes" -> p58WavRealBytes,
     "p01_exact_dedup" -> p01ExactDedup,
@@ -2144,6 +2170,18 @@ object Pipeline extends QueryModule {
        |  FROM reach GROUP BY src)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "p59_shingle_vocab" ->
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (SELECT lang, array_to_string(tk[i:i+${ShingleW - 1}], ' ') AS shingle
+         |       FROM t, unnest(generate_series(1, len(tk)-${ShingleW - 1})) AS u(i)),
+         |c AS (SELECT lang, shingle, COUNT(*) AS cnt FROM sh GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_shingles,
+         |        COUNT(*) AS n_distinct FROM c GROUP BY 1),
+         |top AS (SELECT lang, shingle AS top_shingle, cnt AS top_cnt,
+         |        ROW_NUMBER() OVER (PARTITION BY lang
+         |          ORDER BY cnt DESC, shingle) AS rn FROM c)
+         |SELECT lang, n_shingles, n_distinct, top_shingle, top_cnt
+         |FROM tot JOIN top USING (lang) WHERE rn = 1""".stripMargin,
     "p32_dup_clusters" ->
       s"""WITH RECURSIVE $sqlClusterLabels
          |SELECT doc_id, cluster_id,

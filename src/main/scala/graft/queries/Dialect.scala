@@ -89,6 +89,80 @@ object Dialect extends QueryModule {
     * decimal sum divided once, so both engines compute the identical
     * double and the comparison can never flip on a last-ULP average. */
   val ansiCases: Map[String, String] = Map(
+    // TPC-H Q7 shape: bidirectional nation-pair shipping volume by ship
+    // year. Revenue stays exact decimal until one output cast; the year
+    // is cast to INT so both engines agree on the dtype.
+    "s21_sql_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(vol) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(YEAR(l_shipdate) AS INT) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2))
+        |         - CAST(l_discount AS DECIMAL(12,2))) AS vol
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    // TPC-H Q8 shape: one supplier nation's market share of an ASIA
+    // PROMO market by order year. Both operands of the share division
+    // are exact decimal sums cast to double ONCE, so the quotient is
+    // the same IEEE division in both engines — no rounding guard needed.
+    "s22_sql_market_share" ->
+      """SELECT o_year,
+        |  CAST(SUM(CASE WHEN supp_nation = 'NATION_9' THEN vol
+        |                ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2))
+        |         - CAST(l_discount AS DECIMAL(12,2))) AS vol,
+        |    n2.n_name AS supp_nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |) all_nations
+        |GROUP BY o_year""".stripMargin,
+    // TPC-H Q22 shape: dormant above-average customers by country code.
+    // The driver schema has no c_phone, so the code is c_nationkey
+    // itself; "no orders" would be empty here (every customer ordered),
+    // so dormancy is "no order in the data's final years". The
+    // above-average threshold avoids a cross-engine AVG: acctbal×count
+    // > sum, all exact decimals — the s20 integer-multiply trick.
+    "s23_sql_dormant_customers" ->
+      """SELECT CAST(c_nationkey AS INT) AS cntrycode, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (2, 5, 7, 11, 14, 17, 20)
+        |  AND CAST(c_acctbal AS DECIMAL(12,2)) * (
+        |    SELECT COUNT(*) FROM customer c2
+        |    WHERE c2.c_acctbal > 0
+        |      AND c2.c_nationkey IN (2, 5, 7, 11, 14, 17, 20))
+        |  > (SELECT SUM(CAST(c2.c_acctbal AS DECIMAL(12,2)))
+        |     FROM customer c2
+        |     WHERE c2.c_acctbal > 0
+        |       AND c2.c_nationkey IN (2, 5, 7, 11, 14, 17, 20))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
     "s10_sql_corr_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE c_acctbal > (

@@ -956,11 +956,11 @@ object Pipeline extends QueryModule {
     * at a scale where corpus/100 range rows overwhelm one task or the
     * broadcast, the same offset trick recurses on the range table for
     * another 100× per level. */
-  /** The p28 core over any (doc_id, text) frame — budget-parametric so
-    * the property suite can exercise multi-shard packing (token
-    * conservation, shard-size bounds) on small corpora. */
-  private[graft] def tokenShards(docs: DataFrame,
-      budget: Long = ShardTokens): DataFrame = {
+  /** (doc_id, n, cum): per-doc token counts with the GLOBAL inclusive
+    * running sum in doc_id order, via the range-offset distributed
+    * prefix sum described above — shared by both packing regimes (p28
+    * boundary-splitting shards, p60 whole-doc packs). */
+  private[graft] def docCumTokens(docs: DataFrame): DataFrame = {
     val perDoc = docs
       .select(col("doc_id"), size(tokens(col("text"))).cast(LongType).as("n"))
       .withColumn("rng", floor(col("doc_id") / lit(RangeDocs)))
@@ -969,16 +969,50 @@ object Pipeline extends QueryModule {
         sum(col("rn")).over(Window.orderBy("rng")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("rng", "off")
-    val cum = perDoc.join(broadcast(offsets), "rng")
+    perDoc.join(broadcast(offsets), "rng")
       .withColumn("cum", col("off") +
         sum(col("n")).over(Window.partitionBy("rng").orderBy("doc_id")))
-    cum.groupBy(((col("cum") - 1) / lit(budget)).cast(LongType)
+      .select("doc_id", "n", "cum")
+  }
+
+  /** The p28 core over any (doc_id, text) frame — budget-parametric so
+    * the property suite can exercise multi-shard packing (token
+    * conservation, shard-size bounds) on small corpora. */
+  private[graft] def tokenShards(docs: DataFrame,
+      budget: Long = ShardTokens): DataFrame =
+    docCumTokens(docs)
+      .groupBy(((col("cum") - 1) / lit(budget)).cast(LongType)
         .as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n")).as("total_tokens"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-  }
+
+  /** Whole-document sequence packing — the NO-SPLIT regime next to
+    * p28's boundary-splitting one: each doc lands entirely in the pack
+    * its starting offset falls in (`(cum−n) div budget`, i.e. greedy
+    * concatenation cut at the first doc boundary at/after each budget
+    * multiple). Training pipelines use this when documents must stay
+    * contiguous in a sequence; the price is overflow — the straddling
+    * doc's tail past the budget — reported per pack. Same distributed
+    * prefix sum as p28; a pack id is absent when one huge doc straddles
+    * its entire budget span. */
+  private[graft] def packWholeDocs(docs: DataFrame,
+      budget: Long = ShardTokens): DataFrame =
+    docCumTokens(docs)
+      .groupBy(((col("cum") - col("n")) / lit(budget)).cast(LongType)
+        .as("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        max(col("cum")).as("end_cum"))
+      .withColumn("overflow_tokens",
+        greatest(lit(0L), col("end_cum") - (col("pack") + 1) * lit(budget)))
+      .drop("end_cum")
+
+  private def p60PackWholeDocs: Q = (s, d) =>
+    packWholeDocs(Tables.documents(s, d))
 
   private def p28TokenShards: Q = (s, d) =>
     tokenShards(Tables.documents(s, d))
@@ -2001,6 +2035,7 @@ object Pipeline extends QueryModule {
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
     "p58_wav_real_bytes" -> p58WavRealBytes,
@@ -2170,6 +2205,21 @@ object Pipeline extends QueryModule {
        |  FROM reach GROUP BY src)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "p60_pack_whole_docs" ->
+      s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM n),
+         |g AS (SELECT CAST((cum-n)//$ShardTokens AS BIGINT) AS pack,
+         |    COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |    MAX(cum) AS end_cum
+         |  FROM c GROUP BY 1)
+         |SELECT pack, n_docs, n_tokens, first_doc, last_doc,
+         |  CAST(greatest(0, end_cum - (pack+1)*$ShardTokens) AS BIGINT)
+         |    AS overflow_tokens
+         |FROM g""".stripMargin,
     "p59_shingle_vocab" ->
       s"""WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
          |sh AS (SELECT lang, array_to_string(tk[i:i+${ShingleW - 1}], ' ') AS shingle

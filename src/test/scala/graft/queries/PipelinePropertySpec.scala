@@ -47,6 +47,38 @@ object PipelinePropertySpec extends Properties("Pipeline") {
       }
     }
 
+  property("whole-doc packs conserve docs+tokens, never split, bound overflow") =
+    forAll(docsGen, Gen.chooseNum(10L, 200L)) { (docs, budget) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val packs = Pipeline.packWholeDocs(docs.toDF("doc_id", "text"), budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1)
+      val tokLen = docs.map { case (_, t) => t.split(" ").length.toLong }
+      val totalTokens = tokLen.sum
+      val maxDoc = tokLen.max
+      packs.map(_._3).sum == totalTokens &&
+        packs.map(_._2).sum == docs.length.toLong &&
+        // no-split bound: a pack holds docs STARTING inside its budget
+        // span, so it exceeds the budget only by its last doc's tail
+        packs.forall(_._3 < budget + maxDoc) &&
+        packs.forall { case (pack, _, nTok, _, _, overflow) =>
+          overflow >= 0 && overflow < maxDoc &&
+            // overflow is exactly the tokens past the span end
+            (overflow == 0 || nTok > 0) &&
+            pack >= 0
+        } &&
+        // doc ranges of consecutive packs are contiguous: whole-doc
+        // packing never reorders, drops, or duplicates a document
+        packs.sliding(2).forall {
+          case Array((_, _, _, _, lastA, _), (_, _, _, firstB, _, _)) =>
+            firstB == lastA + 1
+          case _ => true
+        }
+    }
+
   property("shards conserve tokens, stay in order, and respect bounds") =
     forAll(docsGen, Gen.chooseNum(10L, 200L)) { (docs, budget) =>
       val spark = SparkSpec.spark

@@ -623,14 +623,26 @@ object Pipeline extends QueryModule {
     * byte-order or off-by-one bug anywhere in the binary path flips the
     * hash. Build and parse are one map; the only shuffle is the keyed
     * header↔frames join. */
+  // ---- binary-format helpers shared by p58 (WAV) and p61 (BMP) ----------
+
+  /** Little-endian n-byte encoding of a non-negative int column. */
+  private def le(v: Column, nBytes: Int): Column = {
+    val h = lpad(hex(v), nBytes * 2, "0")
+    unhex(concat((0 until nBytes).map(i =>
+      substring(h, (nBytes - 1 - i) * 2 + 1, 2)): _*))
+  }
+
+  private def tag(t: String): Column = encode(lit(t), "UTF-8")
+
+  /** Parse a little-endian int from `payload` at a 1-based byte offset:
+    * hex pairs reassembled most-significant first. */
+  private def leInt(payload: Column, startByte: Int, nBytes: Int): Column = {
+    val h = hex(substring(payload, startByte, nBytes))
+    conv(concat((0 until nBytes).reverse.map(i =>
+      substring(h, i * 2 + 1, 2)): _*), 16, 10).cast(IntegerType)
+  }
+
   private def p58WavRealBytes: Q = (s, d) => {
-    // little-endian n-byte encoding of a non-negative int column
-    def le(v: Column, nBytes: Int): Column = {
-      val h = lpad(hex(v), nBytes * 2, "0")
-      unhex(concat((0 until nBytes).map(i =>
-        substring(h, (nBytes - 1 - i) * 2 + 1, 2)): _*))
-    }
-    def tag(t: String): Column = encode(lit(t), "UTF-8")
     val data = encode(col("text"), "UTF-8")
     val len = length(data)
     val rate = (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000)
@@ -640,18 +652,12 @@ object Pipeline extends QueryModule {
         tag("fmt "), le(lit(16), 4), le(lit(1), 2), le(lit(1), 2),
         le(rate, 4), le(rate, 4), le(lit(1), 2), le(lit(8), 2),
         tag("data"), le(len, 4), data).as("payload"))
-    // parse the header back from the opaque bytes (LE int at 1-based
-    // byte offset: hex pairs reassembled most-significant first)
-    def leInt(startByte: Int, nBytes: Int): Column = {
-      val h = hex(substring(col("payload"), startByte, nBytes))
-      conv(concat((0 until nBytes).reverse.map(i =>
-        substring(h, i * 2 + 1, 2)): _*), 16, 10).cast(IntegerType)
-    }
+    // parse the header back from the opaque bytes
     val parsed = wav.select(col("doc_id"), col("payload"),
       lower(hex(substring(col("payload"), 1, 4))).as("riff_hex"),
       lower(hex(substring(col("payload"), 9, 4))).as("wave_hex"),
-      leInt(25, 4).as("sample_rate"),
-      leInt(41, 4).as("data_len"))
+      leInt(col("payload"), 25, 4).as("sample_rate"),
+      leInt(col("payload"), 41, 4).as("data_len"))
     val frames = graft.operators.MultimodalDecode.decodeFrames(
       parsed.select(col("doc_id"),
         col("payload").substr(lit(45), col("data_len")).as("payload")))
@@ -664,6 +670,70 @@ object Pipeline extends QueryModule {
         least(lit(16), col("data_len") - col("frame_idx") * 16)
           .cast(IntegerType).as("frame_len"),
         round(col("luma"), 6).as("mean_sample"))
+  }
+
+  /** REAL bytes, 2D edition: each document's payload is a VALID 24-bit
+    * uncompressed BMP — "BM" magic, 54-byte header with LE32 dims,
+    * pixel rows stored BOTTOM-UP and padded to 4-byte stride — built
+    * and parsed back entirely with binary expressions. Where p58's WAV
+    * exercised 1D little-endian header fields, this exercises the 2D
+    * plumbing a real image pipeline needs: computed row offsets off the
+    * parsed data-offset, stride = rowBytes rounded up to 4, the
+    * bottom-up row flip, and per-row means that must EXCLUDE the
+    * padding bytes. Width/height vary per doc so no constant folding
+    * can fake the parse. Build + parse + row explode are one map; no
+    * shuffle at all. */
+  private def p61BmpRealBytes: Q = (s, d) => {
+    val w = (lit(4) + pmod(col("doc_id"), lit(3))).cast(IntegerType)
+    val h = (lit(2) + pmod(col("doc_id"), lit(2))).cast(IntegerType)
+    val rowBytes = w * 3
+    val stride = ((rowBytes + 3) / 4).cast(IntegerType) * 4
+    def repeatCol(s: Column, n: Column) = call_function("repeat", s, n)
+    val padHex = repeatCol(lit("00"), stride - rowBytes)
+    // pixel bytes: the text's utf-8 hex, truncated/zero-padded to
+    // exactly height*rowBytes bytes (deterministic, oracle-computable)
+    val needHex = (h * rowBytes) * 2
+    val hx = lower(hex(encode(col("text"), "UTF-8")))
+    val pixHex = concat(hx.substr(lit(1), needHex),
+      repeatCol(lit("0"), greatest(lit(0), needHex - length(hx))))
+    // file rows bottom-up: file row r holds image row h-1-r, plus stride
+    // padding; binary-concat-folded into the pixel array
+    val fileRows = transform(sequence(lit(0), h - 1), r =>
+      unhex(concat(
+        pixHex.substr((h - 1 - r) * rowBytes * 2 + 1, rowBytes * 2),
+        padHex)))
+    val pixData = aggregate(fileRows,
+      lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
+    val bmp = docsBalanced(s, d).select(col("doc_id"),
+      concat(tag("BM"), le(lit(54) + h * stride, 4), le(lit(0), 4),
+        le(lit(54), 4),
+        le(lit(40), 4), le(w, 4), le(h, 4), le(lit(1), 2), le(lit(24), 2),
+        le(lit(0), 4), le(h * stride, 4), le(lit(2835), 4), le(lit(2835), 4),
+        le(lit(0), 4), le(lit(0), 4), pixData).as("payload"))
+    // parse back from the opaque bytes only
+    val p = col("payload")
+    val parsed = bmp.select(col("doc_id"), p,
+      lower(hex(substring(p, 1, 2))).as("magic"),
+      leInt(p, 11, 4).as("data_off"),
+      leInt(p, 19, 4).as("width"),
+      leInt(p, 23, 4).as("height"),
+      leInt(p, 29, 2).as("bpp"))
+    val rb = col("width") * 3
+    val st = ((rb + 3) / 4).cast(IntegerType) * 4
+    val rows = parsed
+      .select(col("doc_id"), p, col("magic"), col("data_off"),
+        col("width"), col("height"), col("bpp"),
+        explode(sequence(lit(0), col("height") - 1)).as("file_row"))
+      .withColumn("img_row", col("height") - 1 - col("file_row"))
+      .withColumn("rowhex", lower(hex(
+        p.substr(col("data_off") + col("file_row") * st + 1, rb))))
+    val byteVals = transform(sequence(lit(0), rb - 1), j =>
+      conv(col("rowhex").substr(j * 2 + 1, lit(2)), 16, 10)
+        .cast(LongType))
+    rows.select(col("doc_id"), col("img_row"), col("magic"),
+      col("width"), col("height"), col("bpp"),
+      round(aggregate(byteVals, lit(0L), (a, v) => a + v)
+        .cast(DoubleType) / rb, 6).as("row_mean"))
   }
 
   /** Deterministic train/val/test split: each doc's bucket comes from the
@@ -2035,6 +2105,7 @@ object Pipeline extends QueryModule {
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p61_bmp_real_bytes" -> p61BmpRealBytes,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -2205,6 +2276,30 @@ object Pipeline extends QueryModule {
        |  FROM reach GROUP BY src)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // rebuilds each image row's bytes from the text's hex directly; a
+    // byte-order, stride, offset, or row-flip bug on the Spark side
+    // (which PARSES them back out of the composed BMP) flips the hash
+    "p61_bmp_real_bytes" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 3 AS INT) AS width,
+        |    CAST(2 + doc_id % 2 AS INT) AS height,
+        |    lower(hex(text)) AS hx FROM documents),
+        |px AS (SELECT doc_id, width, height, width*3 AS rowbytes,
+        |    substr(hx, 1, height*width*6)
+        |      || repeat('0', greatest(0, height*width*6 - len(hx)))
+        |      AS pixhex
+        |  FROM p),
+        |rws AS (SELECT doc_id, width, height, rowbytes,
+        |    CAST(i AS INT) AS img_row,
+        |    substr(pixhex, i*rowbytes*2 + 1, rowbytes*2) AS rowhex
+        |  FROM px, unnest(generate_series(0, height-1)) u(i)),
+        |b AS (SELECT doc_id, img_row, width, height, rowbytes,
+        |    CAST('0x' || substr(rowhex, j*2+1, 2) AS BIGINT) AS bv
+        |  FROM rws, unnest(generate_series(0, rowbytes-1)) v(j))
+        |SELECT doc_id, img_row, '424d' AS magic, width, height,
+        |  CAST(24 AS INT) AS bpp,
+        |  round(CAST(SUM(bv) AS DOUBLE) / rowbytes, 6) AS row_mean
+        |FROM b GROUP BY doc_id, img_row, width, height, rowbytes""".stripMargin,
     "p60_pack_whole_docs" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
          |  FROM documents),

@@ -163,6 +163,63 @@ object Dialect extends QueryModule {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // JOIN with a non-key predicate in the ON clause (kept rows must
+    // still appear with count 0) feeding a second-level aggregation.
+    // Counts only; nothing float-sensitive.
+    "s24_sql_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
+    // TPC-H Q17 shape: small-quantity-order revenue — a correlated
+    // scalar AVG threshold per part. The 0.2·AVG comparison is applied
+    // as qty × 5 × count < sum with every operand an exact decimal or
+    // integer (the s20/s23 integer-multiply trick), so the predicate
+    // can never flip on a last-ULP average; the yearly average divides
+    // identical doubles by 7.0 once at output.
+    "s25_sql_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * (
+        |    SELECT COUNT(*) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)
+        |  < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+        |     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    // TPC-H Q18 shape: large-volume orders — IN over a groupBy-HAVING
+    // on the same fact table, then a three-table rollup keyed by the
+    // qualifying orders. Quantity sums stay exact decimal, cast to
+    // double once at output; o_orderdate is omitted from the output
+    // (cross-engine date dtypes diverge — see the verify recipe).
+    "s26_sql_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice""".stripMargin,
+    // TPC-H Q20 shape: suppliers of excess stock — a two-level nested
+    // IN chain (supplier ← qualifying lineitem group ← part name scan).
+    // The driver schema has no partsupp; lineitem is the part↔supplier
+    // fact and the excess threshold is a per-supplier shipped-quantity
+    // sum over the LIKE-selected parts, kept exact decimal.
+    "s27_sql_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (
+        |    SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        |  GROUP BY l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 2000)""".stripMargin,
     "s10_sql_corr_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer c
         |WHERE c_acctbal > (

@@ -2102,9 +2102,82 @@ object Pipeline extends QueryModule {
         col("shingle").as("top_shingle"), col("cnt").as("top_cnt"))
   }
 
+  /** Merge rounds learned by p62 — fixed so the oracle can unroll. */
+  private val BpeRounds = 3
+
+  /** BPE merge induction — tokenizer training over the corpus. Learns
+    * the first `BpeRounds` byte-pair-encoding merges: the word-frequency
+    * table is built once (the ONLY corpus-sized stage: one token explode
+    * into one keyed shuffle, then checkpointed), and every subsequent
+    * stage is vocab-bounded — exactly how production BPE trainers scale,
+    * since pair statistics over words×freq are identical to pair
+    * statistics over the raw corpus. Each round: adjacent-symbol pairs
+    * weighted by word frequency (one vocab-table pass + one keyed
+    * shuffle), the argmax pair by (count, pair) — a 1-row
+    * TakeOrderedAndProject broadcast, never a driver collect — and the
+    * merge applied as a left-to-right fold over each word's symbols
+    * (canonical greedy non-overlapping application: a fresh merge result
+    * never immediately re-merges as the LEFT side within the round).
+    * Words are restricted to lowercase-alpha length≥2 (single-symbol
+    * words carry no pairs and never influence merges). The fold seeds
+    * the accumulator with the first symbol so no index ever touches an
+    * empty array. Output: one row per round — the merged pair and its
+    * weighted count at selection time. The DuckDB oracle replays the
+    * identical fold via list_reduce over singleton-wrapped symbols
+    * (DuckDB 1.0's reduce has no initial-value form; element type =
+    * accumulator type = list makes the first element the seed). */
+  private def p62BpeMerges: Q = (s, d) =>
+    bpeLearnMerges(
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w").agg(count(lit(1)).as("freq")),
+      BpeRounds)
+
+  /** The p62 core over any (w, freq) word table — rounds-parametric so
+    * the property suite can check the learned merges against an
+    * in-memory canonical BPE trainer on arbitrary corpora. */
+  private[graft] def bpeLearnMerges(words: DataFrame, rounds: Int): DataFrame = {
+    val wf = words
+      .withColumn("l", split(col("w"), ""))
+      .select("freq", "l")
+      .localCheckpoint(false)
+    def winnerOf(syms: DataFrame): DataFrame = syms
+      .select(col("freq"),
+        explode(when(size(col("l")) >= 2,
+          sequence(lit(1), size(col("l")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("l"))
+      .select(col("freq"), element_at(col("l"), col("i")).as("a"),
+        element_at(col("l"), col("i") + 1).as("b"))
+      .groupBy("a", "b").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    def applyMerge(syms: DataFrame, win: DataFrame): DataFrame = syms
+      .crossJoin(broadcast(win))
+      .withColumn("l", expr(
+        """aggregate(
+          |  slice(l, 2, size(l) - 1),
+          |  array(element_at(l, 1)),
+          |  (acc, x) ->
+          |    CASE WHEN element_at(acc, size(acc)) = a AND x = b
+          |         THEN concat(slice(acc, 1, size(acc) - 1),
+          |                     array(concat(a, b)))
+          |         ELSE concat(acc, array(x)) END)""".stripMargin))
+      .select("freq", "l")
+    val (_, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
+      case ((syms, acc), r) =>
+        val win = winnerOf(syms).localCheckpoint(false)
+        (applyMerge(syms, win), acc :+ win.select(
+          lit(r).as("round"), col("a").as("left_sym"), col("b").as("right_sym"),
+          concat(col("a"), col("b")).as("merged"), col("cnt")))
+    }
+    winners.reduce(_ union _)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p62_bpe_merges" -> p62BpeMerges,
     "p61_bmp_real_bytes" -> p61BmpRealBytes,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
@@ -2315,6 +2388,31 @@ object Pipeline extends QueryModule {
          |  CAST(greatest(0, end_cum - (pack+1)*$ShardTokens) AS BIGINT)
          |    AS overflow_tokens
          |FROM g""".stripMargin,
+    "p62_bpe_merges" -> {
+      val round = (r: Int) => s"""
+         |p$r AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+         |  FROM sym${r - 1}, UNNEST(generate_series(1, len(l)-1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |w$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |sym$r AS (SELECT freq,
+         |    list_reduce(list_transform(l, s -> [s]), (acc, x) ->
+         |      CASE WHEN acc[len(acc)] = a AND x[1] = b
+         |           THEN list_concat(acc[1:len(acc)-1], [a || b])
+         |           ELSE list_concat(acc, x) END) AS l
+         |  FROM sym${r - 1}, w$r)"""
+      val selects = (1 to BpeRounds).map(r =>
+        s"""SELECT $r AS round, a AS left_sym, b AS right_sym,
+           |  a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM w$r"""
+          .stripMargin).mkString("\nUNION ALL ")
+      s"""WITH wf AS (
+         |  SELECT term AS w, COUNT(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  WHERE regexp_full_match(term, '[a-z]+') AND length(term) >= 2
+         |  GROUP BY 1),
+         |sym0 AS (SELECT freq, string_split(w, '') AS l FROM wf)""".stripMargin +
+        (1 to BpeRounds).map(r => "," + round(r).stripMargin).mkString +
+        "\n" + selects
+    },
     "p59_shingle_vocab" ->
       s"""WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
          |sh AS (SELECT lang, array_to_string(tk[i:i+${ShingleW - 1}], ' ') AS shingle

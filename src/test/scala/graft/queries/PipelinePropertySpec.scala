@@ -103,4 +103,55 @@ object PipelinePropertySpec extends Properties("Pipeline") {
           case _ => true
         }
     }
+
+  /** Word tables over a 3-letter alphabet: short words force heavy
+    * pair collisions, equal-symbol runs, and count ties — the cases
+    * where a non-canonical merge application would diverge. */
+  private val wordTableGen: Gen[List[(String, Long)]] = for {
+    n <- Gen.chooseNum(1, 25)
+    ws <- Gen.listOfN(n, Gen.chooseNum(1, 8)
+      .flatMap(Gen.listOfN(_, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+    fs <- Gen.listOfN(n, Gen.chooseNum(1L, 30L))
+  } yield ws.distinct.zip(fs)
+
+  /** Canonical single-threaded BPE trainer: overlapping adjacent-pair
+    * counts, argmax by (count DESC, pair ASC), leftmost non-overlapping
+    * merge application (scan-with-skip, equivalent to the seeded fold). */
+  private def refBpe(words: List[(String, Long)], rounds: Int)
+      : List[(Int, String, String, String, Long)] = {
+    var syms = words.map { case (w, f) => (w.split("").toList, f) }
+    val out = List.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((l, f) <- syms; Seq(x, y) <- l.sliding(2) if l.length >= 2)
+        counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toList
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+        out += ((r, a, b, a + b, c))
+        syms = syms.map { case (l, f) =>
+          (l.tail.foldLeft(List(l.head)) { (acc, x) =>
+            if (acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+          }, f)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  property("learned BPE merges = canonical trainer on arbitrary word tables") =
+    forAll(wordTableGen) { words =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val got = Pipeline.bpeLearnMerges(words.toDF("w", "freq"), 3)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4)))
+        .sortBy(_._1).toList
+      got == refBpe(words, 3)
+    }
 }

@@ -2174,9 +2174,40 @@ object Pipeline extends QueryModule {
     winners.reduce(_ union _)
   }
 
+  /** Corpus snapshot diff — the dataset-versioning primitive behind
+    * refreshed-crawl curation: classify every document across two corpus
+    * versions as added / removed / changed / unchanged and report the
+    * per-(lang, status) census. The two versions are deterministic views
+    * of the driver corpus (previous = doc_id≢0 mod 7, refreshed =
+    * doc_id≢0 mod 5 with every 11th doc's text amended), mirroring
+    * p36's hash-sliced batch derivation. Shape: contents reduce to one
+    * md5 digest per side at the scan (at 100 TB the digest would be a
+    * stored column — bytes never cross the shuffle), ONE doc_id-keyed
+    * full outer join, a map-side three-way classification, and a tiny
+    * keyed census aggregation. */
+  private def p63SnapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("lang").as("lang_a"),
+        md5(col("text")).as("h_a"))
+    val next = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"), col("lang").as("lang_b"),
+        md5(when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" updated")))
+          .otherwise(col("text"))).as("h_b"))
+    prev.join(next, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("lang", "status").agg(count(lit(1)).as("n_docs"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p63_snapshot_diff" -> p63SnapshotDiff,
     "p62_bpe_merges" -> p62BpeMerges,
     "p61_bmp_real_bytes" -> p61BmpRealBytes,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
@@ -2388,6 +2419,21 @@ object Pipeline extends QueryModule {
          |  CAST(greatest(0, end_cum - (pack+1)*$ShardTokens) AS BIGINT)
          |    AS overflow_tokens
          |FROM g""".stripMargin,
+    "p63_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, lang, md5(text) AS h FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |b AS (SELECT doc_id, lang,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' updated'
+        |             ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(a.lang, b.lang) AS lang,
+        |  CASE WHEN a.h IS NULL THEN 'added'
+        |       WHEN b.h IS NULL THEN 'removed'
+        |       WHEN a.h <> b.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  COUNT(*) AS n_docs
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     "p62_bpe_merges" -> {
       val round = (r: Int) => s"""
          |p$r AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt

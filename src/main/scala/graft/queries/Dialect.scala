@@ -163,6 +163,184 @@ object Dialect extends QueryModule {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+    // TPC-H Q1 shape: the pricing-summary scan — every aggregate stays
+    // an exact decimal sum (the disc-price/charge products widen scale,
+    // still exact); averages divide the identical double by the
+    // identical count once at output.
+    "s28_sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2))
+        |       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2))
+        |       - CAST(l_discount AS DECIMAL(12,2)))
+        |    * (CAST(1 AS DECIMAL(12,2))
+        |       + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // TPC-H Q3 shape: unshipped-order revenue. The driver schema has no
+    // o_shippriority; o_orderpriority rides along instead.
+    "s29_sql_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2))
+        |       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY o_orderkey, o_orderpriority""".stripMargin,
+    // TPC-H Q4 shape: order-priority checking via a correlated EXISTS
+    // with date arithmetic in the correlated predicate. The schema has
+    // no commit/receipt dates; "late" is a shipment >90 days after the
+    // order date.
+    "s30_sql_priority_check" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL '90' DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    // TPC-H Q5 shape: local-supplier volume — the SQL twin of the q31
+    // flagship (customer and supplier constrained to the same nation).
+    "s31_sql_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2))
+        |       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    // TPC-H Q6 shape: the forecasting-revenue-change scan. The discount
+    // band compares exact decimals against decimal literals.
+    "s32_sql_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // TPC-H Q9 shape: product-type profit by nation and year. No
+    // partsupp/supplycost in the driver schema, so profit is the
+    // discounted price; the year comes out of an inner subquery so the
+    // outer GROUP BY names a plain column (the s21 idiom).
+    "s33_sql_product_profit" ->
+      """SELECT nation, o_year,
+        |  CAST(SUM(vol) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2))
+        |         - CAST(l_discount AS DECIMAL(12,2))) AS vol
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%red%'
+        |) profit
+        |GROUP BY nation, o_year""".stripMargin,
+    // TPC-H Q10 shape: returned-item reporting. c_acctbal passes
+    // through as a group key untouched — no arithmetic, no cast needed.
+    "s34_sql_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2))
+        |       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin,
+    // TPC-H Q12 shape: priority counts by line class. The schema has no
+    // l_shipmode; l_returnflag is the grouping axis. Integer CASE sums
+    // are cast to BIGINT so DuckDB's HUGEINT sum and Spark's BIGINT sum
+    // land on the same dtype.
+    "s35_sql_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    // TPC-H Q14 shape: promo-revenue share. Both division operands are
+    // exact decimal sums cast to double once — the s22 pattern.
+    "s36_sql_promo_revenue" ->
+      """SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2))
+        |         - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE 0 END) AS DOUBLE) * 100
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2))
+        |       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    // TPC-H Q16 shape: supplier count by part attributes, with a NOT IN
+    // exclusion subquery. lineitem is the part↔supplier fact (no
+    // partsupp); negative account balance stands in for complaints.
+    "s37_sql_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+    // TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate
+    // mixing both join sides — the classic pushdown stress shape (each
+    // disjunct constrains part AND lineitem columns). No p_container;
+    // p_size bands stand in.
+    "s38_sql_or_of_ands_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2))
+        |       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity >= 1 AND l_quantity <= 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity >= 10 AND l_quantity <= 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
     // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
     // JOIN with a non-key predicate in the ON clause (kept rows must
     // still appear with count 0) feeding a second-level aggregation.

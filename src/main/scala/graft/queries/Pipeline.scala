@@ -164,14 +164,22 @@ object Pipeline extends QueryModule {
     * Jaccard via `array_intersect` of the carried shingle-id sets. Every
     * hash is portable (md5-based), so the DuckDB oracle reproduces the
     * identical candidate set and the identical output. */
-  private def p02MinhashNearDup: Q = (s, d) => {
-    // Sketch stage: one scan, one shingle explode, one keyed shuffle. One
-    // md5 per shingle row, split into the h1/h2 halves BEFORE the
-    // aggregation so the 12 min() update expressions are pure integer
-    // arithmetic — not 12 separate digest computations per row. min() is
-    // duplicate-insensitive, so the explode skips per-doc dedup; the
-    // 60-bit h1 doubles as the shingle id, making the verify stage
-    // intersect long arrays instead of shuffling full shingle strings.
+  /** The p02 sketch table (doc_id, sig, shset, n), checkpointed.
+    * Sketch stage: one scan, one shingle explode, one keyed shuffle. One
+    * md5 per shingle row, split into the h1/h2 halves BEFORE the
+    * aggregation so the 12 min() update expressions are pure integer
+    * arithmetic — not 12 separate digest computations per row. min() is
+    * duplicate-insensitive, so the explode skips per-doc dedup; the
+    * 60-bit h1 doubles as the shingle id, making the verify stage
+    * intersect long arrays instead of shuffling full shingle strings.
+    * Materialized once (the single-query analogue of writing the signature
+    * table between pipeline stages): the band explode and both sides of
+    * the candidate-pair join read the checkpoint, not a re-scan. The
+    * blocks live until the session stops — a per-doc-row footprint, the
+    * deliberate cost of not recomputing the sketch three times; a
+    * long-lived service would write/read a real signature table instead
+    * (which is exactly how p65 treats the existing-corpus side). */
+  private def minhashSig(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d, ShingleW)
       .withColumn("dg", md5(col("shingle")))
       .withColumn("h1", conv(substring(col("dg"), 1, 15), 16, 10).cast(LongType))
@@ -179,23 +187,25 @@ object Pipeline extends QueryModule {
     val aggs = (0 until NumHashes).map(i =>
       min(hashFamFrom(i, col("h1"), col("h2"))).as(s"m$i")) :+
       collect_set(col("h1")).as("shset")
-    // Materialized once (the single-query analogue of writing the signature
-    // table between pipeline stages): the band explode and both sides of
-    // the candidate-pair join read the checkpoint, not a re-scan. The
-    // blocks live until the session stops — a per-doc-row footprint, the
-    // deliberate cost of not recomputing the sketch three times; a
-    // long-lived service would write/read a real signature table instead.
-    val docs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"),
         col("shset"), size(col("shset")).as("n"))
       .localCheckpoint(false)
-    val bands = docs.select(col("doc_id"),
+  }
+
+  /** Band rows (doc_id, band, bkey) off a minhashSig table. */
+  private def bandRowsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
           b => concat_ws(",", transform(
             slice(col("sig"), b * BandRows + 1, lit(BandRows)),
             x => x.cast(StringType))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+
+  private def p02MinhashNearDup: Q = (s, d) => {
+    val docs = minhashSig(s, d)
+    val bands = bandRowsOf(docs)
     val cand = candidatePairs(bands, materialize = true)
     // Verify stage: exact Jaccard via array_intersect of the carried
     // shingle sets, computed only for candidate pairs; the tiny candidate
@@ -2134,6 +2144,19 @@ object Pipeline extends QueryModule {
         .groupBy("w").agg(count(lit(1)).as("freq")),
       BpeRounds)
 
+  /** Canonical leftmost non-overlapping merge of the cross-joined
+    * winner pair (a, b) into symbol list `l`, as a seeded fold — shared
+    * by the global (p62) and per-key (p64) BPE learners. */
+  private val BpeMergeFold =
+    """aggregate(
+      |  slice(l, 2, size(l) - 1),
+      |  array(element_at(l, 1)),
+      |  (acc, x) ->
+      |    CASE WHEN element_at(acc, size(acc)) = a AND x = b
+      |         THEN concat(slice(acc, 1, size(acc) - 1),
+      |                     array(concat(a, b)))
+      |         ELSE concat(acc, array(x)) END)""".stripMargin
+
   /** The p62 core over any (w, freq) word table — rounds-parametric so
     * the property suite can check the learned merges against an
     * in-memory canonical BPE trainer on arbitrary corpora. */
@@ -2154,15 +2177,7 @@ object Pipeline extends QueryModule {
       .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
     def applyMerge(syms: DataFrame, win: DataFrame): DataFrame = syms
       .crossJoin(broadcast(win))
-      .withColumn("l", expr(
-        """aggregate(
-          |  slice(l, 2, size(l) - 1),
-          |  array(element_at(l, 1)),
-          |  (acc, x) ->
-          |    CASE WHEN element_at(acc, size(acc)) = a AND x = b
-          |         THEN concat(slice(acc, 1, size(acc) - 1),
-          |                     array(concat(a, b)))
-          |         ELSE concat(acc, array(x)) END)""".stripMargin))
+      .withColumn("l", expr(BpeMergeFold))
       .select("freq", "l")
     val (_, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
       case ((syms, acc), r) =>
@@ -2172,6 +2187,100 @@ object Pipeline extends QueryModule {
           concat(col("a"), col("b")).as("merged"), col("cnt")))
     }
     winners.reduce(_ union _)
+  }
+
+  /** Per-language BPE merge induction — one tokenizer per language in a
+    * single distributed pass. The same vocab-bounded round structure as
+    * p62, but each round's argmax is PER KEY: a (key, pair)-keyed count
+    * shuffle, a per-key row_number argmax (which the TopK rewrite plans
+    * through the native bounded-heap operator), and the winners — at
+    * most one row per language — broadcast into a key-equi-join for the
+    * merge fold. No driver loop, no per-language job: 50 languages or
+    * 5000 cost the same three rounds. A language whose words run out of
+    * pairs simply stops producing winners (the inner join retires its
+    * vocabulary, mirrored in the oracle). */
+  private def p64BpeMergesByLang: Q = (s, d) =>
+    bpeLearnMergesBy(
+      Tables.documents(s, d)
+        .select(col("lang").as("g"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("g", "w").agg(count(lit(1)).as("freq")),
+      BpeRounds)
+      .select(col("g").as("lang"), col("round"), col("left_sym"),
+        col("right_sym"), col("merged"), col("cnt"))
+
+  /** The keyed BPE core over any (g, w, freq) word table — the per-key
+    * twin of `bpeLearnMerges`, rounds-parametric for the property
+    * suite. */
+  private[graft] def bpeLearnMergesBy(words: DataFrame, rounds: Int): DataFrame = {
+    val wf = words
+      .withColumn("l", split(col("w"), ""))
+      .select("g", "freq", "l")
+      .localCheckpoint(false)
+    def winnersOf(syms: DataFrame): DataFrame = syms
+      .select(col("g"), col("freq"),
+        explode(when(size(col("l")) >= 2,
+          sequence(lit(1), size(col("l")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("l"))
+      .select(col("g"), col("freq"), element_at(col("l"), col("i")).as("a"),
+        element_at(col("l"), col("i") + 1).as("b"))
+      .groupBy("g", "a", "b").agg(sum("freq").as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy("g")
+        .orderBy(col("cnt").desc, col("a"), col("b"))))
+      .filter(col("rn") === 1).drop("rn")
+    def applyMerge(syms: DataFrame, win: DataFrame): DataFrame = syms
+      .join(broadcast(win.select("g", "a", "b")), "g")
+      .withColumn("l", expr(BpeMergeFold))
+      .select("g", "freq", "l")
+    val (_, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
+      case ((syms, acc), r) =>
+        val win = winnersOf(syms).localCheckpoint(false)
+        (applyMerge(syms, win), acc :+ win.select(col("g"),
+          lit(r).as("round"), col("a").as("left_sym"), col("b").as("right_sym"),
+          concat(col("a"), col("b")).as("merged"), col("cnt")))
+    }
+    winners.reduce(_ union _)
+  }
+
+  /** Incremental NEAR-dedup — the fuzzy twin of p36's exact incremental
+    * path: an arriving batch (doc_id ≡ 0 mod 10) is checked against the
+    * EXISTING corpus's LSH band index without ever re-pairing the
+    * existing corpus with itself. At scale the existing side's sketch
+    * and band rows are a stored signature table (here both sides come
+    * off one checkpointed sketch build — the single-query analogue);
+    * the batch only shuffles on band key, the p02 hot-bucket cap
+    * applies to the union before the sides split (one policy, one
+    * count), candidates are cross-side only (new × existing, never
+    * new × new or existing × existing), and each verified batch doc
+    * reports its match count and best existing match (highest Jaccard,
+    * lowest doc_id tiebreak) through one per-new-doc window. */
+  private def p65IncrementalNearDedup: Q = (s, d) => {
+    val sig = minhashSig(s, d)
+    val isNew = pmod(col("doc_id"), lit(10)) === 0
+    val capped = capBuckets(bandRowsOf(sig)).localCheckpoint(false)
+    val cand = capped.filter(isNew)
+      .select(col("band"), col("bkey"), col("doc_id").as("new_id"))
+      .join(capped.filter(!isNew)
+        .select(col("band"), col("bkey"), col("doc_id").as("old_id")),
+        Seq("band", "bkey"))
+      .select("new_id", "old_id").distinct()
+    val scored = cand
+      .join(sig.select(col("doc_id").as("new_id"), col("shset").as("sa"),
+        col("n").as("na")), "new_id")
+      .join(sig.select(col("doc_id").as("old_id"), col("shset").as("sb"),
+        col("n").as("nb")), "old_id")
+      .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("ninter").cast(DoubleType) /
+        (col("na") + col("nb") - col("ninter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+    scored
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy("new_id")))
+      .withColumn("rn", row_number().over(Window.partitionBy("new_id")
+        .orderBy(col("jaccard").desc, col("old_id"))))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("n_dups"), col("old_id").as("best_old"),
+        col("jaccard").as("best_jaccard"))
   }
 
   /** Corpus snapshot diff — the dataset-versioning primitive behind
@@ -2207,6 +2316,8 @@ object Pipeline extends QueryModule {
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p65_incremental_neardup" -> p65IncrementalNearDedup,
+    "p64_bpe_by_lang" -> p64BpeMergesByLang,
     "p63_snapshot_diff" -> p63SnapshotDiff,
     "p62_bpe_merges" -> p62BpeMerges,
     "p61_bmp_real_bytes" -> p61BmpRealBytes,
@@ -2293,8 +2404,10 @@ object Pipeline extends QueryModule {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   // p02's full oracle text, shared with p32 (which clusters p02's pairs).
-  private val sqlP02: String =
-    s"""WITH sh AS (
+  /** The p02 sketch+bands CTE chain (sh, sig, bands) — shared with the
+    * incremental form p65. */
+  private val sqlMinhashBase: String =
+    s"""sh AS (
        |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
        |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
        |sig AS (SELECT doc_id, [$sqlSigList] AS sig,
@@ -2305,7 +2418,11 @@ object Pipeline extends QueryModule {
        |  SELECT doc_id, b AS band, array_to_string(list_transform(
        |    sig[b*$BandRows+1 : b*$BandRows+$BandRows],
        |    x -> CAST(x AS VARCHAR)), ',') AS bkey
-       |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b) bs),
+       |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b) bs)"""
+      .stripMargin
+
+  private val sqlP02: String =
+    s"""WITH $sqlMinhashBase,
        |$sqlCappedCand,
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b,
@@ -2419,6 +2536,60 @@ object Pipeline extends QueryModule {
          |  CAST(greatest(0, end_cum - (pack+1)*$ShardTokens) AS BIGINT)
          |    AS overflow_tokens
          |FROM g""".stripMargin,
+    "p65_incremental_neardup" ->
+      s"""WITH $sqlMinhashBase,
+         |capped AS (
+         |  SELECT doc_id, band, bkey FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+         |    FROM bands) t WHERE bsz <= $MaxBucket),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         |j AS (
+         |  SELECT c.new_id, c.old_id,
+         |    CAST(len(list_intersect(da.shset, db.shset)) AS DOUBLE)
+         |      / (da.n + db.n - len(list_intersect(da.shset, db.shset)))
+         |      AS jaccard
+         |  FROM cand c
+         |  JOIN sig da ON da.doc_id = c.new_id
+         |  JOIN sig db ON db.doc_id = c.old_id)
+         |SELECT new_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY new_id) AS BIGINT) AS n_dups,
+         |  old_id AS best_old, jaccard AS best_jaccard
+         |FROM j WHERE jaccard >= $JaccardThreshold
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY new_id
+         |  ORDER BY jaccard DESC, old_id) = 1""".stripMargin,
+    "p64_bpe_by_lang" -> {
+      val round = (r: Int) => s"""
+         |p$r AS (SELECT lang, l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+         |  FROM sym${r - 1}, UNNEST(generate_series(1, len(l)-1)) AS u(i)
+         |  GROUP BY 1, 2, 3),
+         |w$r AS (SELECT lang, a, b, cnt FROM p$r
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY cnt DESC, a, b) = 1),
+         |sym$r AS (SELECT lang, freq,
+         |    list_reduce(list_transform(l, s -> [s]), (acc, x) ->
+         |      CASE WHEN acc[len(acc)] = a AND x[1] = b
+         |           THEN list_concat(acc[1:len(acc)-1], [a || b])
+         |           ELSE list_concat(acc, x) END) AS l
+         |  FROM sym${r - 1} JOIN w$r USING (lang))"""
+      val selects = (1 to BpeRounds).map(r =>
+        s"""SELECT lang, $r AS round, a AS left_sym, b AS right_sym,
+           |  a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM w$r"""
+          .stripMargin).mkString("\nUNION ALL ")
+      s"""WITH wf AS (
+         |  SELECT lang, term AS w, COUNT(*) AS freq FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  WHERE regexp_full_match(term, '[a-z]+') AND length(term) >= 2
+         |  GROUP BY 1, 2),
+         |sym0 AS (SELECT lang, freq, string_split(w, '') AS l FROM wf)"""
+        .stripMargin +
+        (1 to BpeRounds).map(r => "," + round(r).stripMargin).mkString +
+        "\n" + selects
+    },
     "p63_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, lang, md5(text) AS h FROM documents
         |  WHERE doc_id % 7 <> 0),

@@ -154,4 +154,21 @@ object PipelinePropertySpec extends Properties("Pipeline") {
         .sortBy(_._1).toList
       got == refBpe(words, 3)
     }
+
+  property("per-key BPE merges = independent canonical trainers per key") =
+    forAll(wordTableGen, wordTableGen) { (wsX, wsY) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val tagged = wsX.map { case (w, f) => ("x", w, f) } ++
+        wsY.map { case (w, f) => ("y", w, f) }
+      val got = Pipeline.bpeLearnMergesBy(tagged.toDF("g", "w", "freq"), 3)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getLong(5)))
+        .sortBy(t => (t._1, t._2)).toList
+      val want = List("x" -> wsX, "y" -> wsY).flatMap { case (g, ws) =>
+        refBpe(ws, 3).map { case (r, a, b, m, c) => (g, r, a, b, m, c) }
+      }
+      got == want
+    }
 }

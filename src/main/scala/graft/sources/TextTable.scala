@@ -11,9 +11,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, FloatType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,13 +75,136 @@ class TextTableProvider extends TableProvider
 }
 
 private[sources] class TextTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_txt(`$path`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TextScanBuilder(tableSchema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TextWriteBuilder(info.schema(), path)
+}
+
+/** DSv2 write builder: append by default; `mode("overwrite")` arrives
+  * as [[SupportsTruncate.truncate]] (Spark plans it as
+  * OverwriteByExpression(true), legal because the table declares the
+  * TRUNCATE capability). */
+private[sources] class TextWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  // fail before any task launches, not inside an executor
+  schema.fields.foreach { f =>
+    require(Seq(IntegerType, StringType, FloatType).contains(f.dataType),
+      s"graft-txt supports INTEGER/STRING/REAL only; ${f.name} is ${f.dataType}")
+  }
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new TextWrite(schema, path, doTruncate)
+}
+
+/** Two-phase-commit batch write in the reference's text layout. Each
+  * task streams its rows to a DOT-PREFIXED temp file — invisible to
+  * concurrent readers because [[TextTables.dataFiles]] skips dot files —
+  * and its commit message carries (temp, final) names; task attempts are
+  * isolated by the (partitionId, taskId) pair in the temp name and the
+  * default commit coordinator admits one commit per partition. Job
+  * commit deletes the previous generation's data files when truncating,
+  * renames every temp into place, and writes the `.det` sidecar last;
+  * job abort deletes the temps and leaves the previous generation
+  * untouched. (Per-file rename commit, the FileOutputCommitter-v2
+  * trade-off: a driver death mid-commit can leave a mixed generation —
+  * the documented non-atomicity of path-based tables.) */
+private[sources] class TextWrite(schema: StructType, path: String,
+    truncate: Boolean) extends Write with BatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def toBatch: BatchWrite = this
+
+  override def description(): String =
+    s"GraftTextWrite path: $path, truncate: $truncate"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    TextWriterFactory(path, writeId, schema.fields.map(_.dataType))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val f = dir.getFileSystem(new Configuration())
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val committed = messages.collect { case m: TextFileCommitted => m }
+    if (truncate)
+      TextTables.dataFiles(path).foreach(q => f.delete(new Path(q), false))
+    committed.foreach { m =>
+      val dst = new Path(m.finalPath)
+      f.delete(dst, false) // idempotent re-commit of a retried job
+      require(f.rename(new Path(m.tempPath), dst),
+        s"rename ${m.tempPath} -> ${m.finalPath} failed")
+    }
+    TextTables.writeSidecar(schema, path)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = new Path(path).getFileSystem(new Configuration())
+    messages.collect { case m: TextFileCommitted => m }
+      .foreach(m => f.delete(new Path(m.tempPath), false))
+  }
+}
+
+private[sources] case class TextFileCommitted(tempPath: String,
+    finalPath: String) extends WriterCommitMessage
+
+private[sources] case class TextWriterFactory(path: String, writeId: String,
+    types: Array[DataType]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new TextDataWriter(path, writeId, partitionId, taskId, types)
+}
+
+/** Streams one task's rows to the temp shard, tab-delimited in schema
+  * order (Int/Float via toString — the exact strings the reader's
+  * toInt/toFloat round-trip; the format has no escaping, like the
+  * reference's, so strings must not contain tabs or newlines). */
+private[sources] class TextDataWriter(path: String, writeId: String,
+    partitionId: Int, taskId: Long,
+    types: Array[DataType]) extends DataWriter[InternalRow] {
+
+  private val finalName = f"part-$partitionId%05d-$writeId.txt"
+  private val tempPath = new Path(path, s".$finalName.t$taskId.tmp")
+  private val out = {
+    val f = tempPath.getFileSystem(new Configuration())
+    if (!f.exists(tempPath.getParent)) f.mkdirs(tempPath.getParent)
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      f.create(tempPath, true), StandardCharsets.UTF_8))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append('\t')
+      types(i) match {
+        case IntegerType => sb.append(row.getInt(i))
+        case FloatType   => sb.append(row.getFloat(i))
+        case _           => sb.append(row.getUTF8String(i).toString)
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    TextFileCommitted(tempPath.toString,
+      new Path(path, finalName).toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    tempPath.getFileSystem(new Configuration()).delete(tempPath, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 private[sources] class TextScanBuilder(fullSchema: StructType, path: String)
@@ -349,19 +473,18 @@ object TextTables {
     } finally in.close()
   }
 
-  /** Lay `df` out as a graft-txt table at `dir`: tab-delimited sharded
-    * data files (a distributed write — each task owns one shard, the
-    * parallel twin of RandomDB's single `.txt`) plus the `schema.det`
-    * sidecar with the reference's header lines. Only the reference's
-    * three column types are allowed. */
-  def write(df: DataFrame, dir: String): Unit = {
-    df.schema.fields.foreach { f =>
-      require(Seq(IntegerType, StringType, FloatType).contains(f.dataType),
-        s"graft-txt supports INTEGER/STRING/REAL only; ${f.name} is ${f.dataType}")
-    }
-    df.write.mode(SaveMode.Overwrite)
-      .option("sep", "\t").option("header", "false")
-      .option("emptyValue", "").csv(dir)
+  /** Lay `df` out as a graft-txt table at `dir` through the V2 write
+    * path: tab-delimited sharded data files (a distributed two-phase-
+    * commit write — each task owns one shard, the parallel twin of
+    * RandomDB's single `.txt`) plus the `schema.det` sidecar. Only the
+    * reference's three column types are allowed (enforced in
+    * [[TextWriteBuilder]] before any task launches). */
+  def write(df: DataFrame, dir: String): Unit =
+    df.write.format("graft-txt").mode(SaveMode.Overwrite).save(dir)
+
+  /** The `schema.det` sidecar with the reference's header lines —
+    * written by the V2 job commit, after the data files are in place. */
+  def writeSidecar(schema: StructType, dir: String): Unit = {
     val side = new Path(dir, "schema.det")
     val out = fs(side).create(side, true)
     try {
@@ -373,10 +496,10 @@ object TextTables {
       }
       // header: column count, then a nominal tuple byte size mirroring
       // the reference layout (INT/REAL 4 bytes, STRING 2x a nominal 10)
-      val sizes = df.schema.fields.map(f =>
+      val sizes = schema.fields.map(f =>
         if (f.dataType == StringType) 20 else 4)
-      val body = (Seq(df.schema.length.toString, sizes.sum.toString) ++
-        df.schema.fields.zip(sizes).map { case (f, sz) =>
+      val body = (Seq(schema.length.toString, sizes.sum.toString) ++
+        schema.fields.zip(sizes).map { case (f, sz) =>
           s"${f.name} ${detType(f.dataType)} 0 NK $sz"
         }).mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))

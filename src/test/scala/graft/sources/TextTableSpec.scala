@@ -126,6 +126,44 @@ class TextTableSpec extends SparkSpec {
       StructField("address", StringType, nullable = false))))
   }
 
+  test("V2 write: append adds a generation, overwrite replaces it") {
+    val dir = tmp()
+    val a = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    val b = Seq((3, "c")).toDF("id", "s")
+    a.write.format("graft-txt").mode("overwrite").save(dir)
+    b.write.format("graft-txt").mode("append").save(dir)
+    assert(TextTables.read(spark, dir).collect().map(_.toSeq).toSet ==
+      Set(Seq(1, "a"), Seq(2, "b"), Seq(3, "c")))
+    b.write.format("graft-txt").mode("overwrite").save(dir)
+    assert(TextTables.read(spark, dir).collect().map(_.toSeq).toSet ==
+      Set(Seq(3, "c")))
+  }
+
+  test("V2 write commit leaves no temp files and shards per input partition") {
+    val dir = tmp()
+    customerCols.repartition(4).write.format("graft-txt")
+      .mode("overwrite").save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    // (.crc siblings are the local filesystem's checksum files — dot-
+    // prefixed, so readers skip them like any uncommitted temp)
+    assert(!names.exists(_.endsWith(".tmp")),
+      s"uncommitted temps left behind: ${names.mkString(", ")}")
+    assert(names.count(_.startsWith("part-")) == 4,
+      s"expected 4 shards: ${names.mkString(", ")}")
+    assert(names.contains("schema.det"))
+    assert(TextTables.read(spark, dir).count() == customerCols.count())
+  }
+
+  test("V2 write rejects a non-reference column type before launching tasks") {
+    val dir = tmp()
+    val e = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "s")
+        .write.format("graft-txt").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage.contains("INTEGER/STRING/REAL"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("single-file table with a sibling .det reads too") {
     val dir = tmp()
     val data = new java.io.File(dir, "MINI.txt")

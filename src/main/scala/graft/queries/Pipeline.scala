@@ -35,11 +35,11 @@ object Pipeline extends QueryModule {
   // background at ≈0.5%, which the exact-Jaccard verify then discards.
   // Hashes are a quadratic family derived from one md5 per shingle
   // (Portable.hashFam), so extra hashes cost only integer arithmetic.
-  private val NumHashes = 12
-  private val BandRows = 2
-  private val NumBands = NumHashes / BandRows
-  private val ShingleW = 3
-  private val JaccardThreshold = 0.5
+  private[graft] val NumHashes = 12
+  private[graft] val BandRows = 2
+  private[graft] val NumBands = NumHashes / BandRows
+  private[graft] val ShingleW = 3
+  private[graft] val JaccardThreshold = 0.5
 
   /** LSH bucket-size cap: a band bucket larger than this is dropped
     * before pair generation. Hot buckets are the one place banded LSH
@@ -51,7 +51,7 @@ object Pipeline extends QueryModule {
     * The oracles apply the identical cap, so it is exact, not a fudge. */
   private val MaxBucket = 1000
 
-  private def capBuckets(bands: DataFrame): DataFrame = {
+  private[graft] def capBuckets(bands: DataFrame): DataFrame = {
     // The hot-bucket list is tiny (empty on honest corpora), so the cap
     // costs one map-side-combinable count plus an anti-join — NOT a
     // window over every band row, which would add a full sort-shuffle
@@ -179,8 +179,13 @@ object Pipeline extends QueryModule {
     * deliberate cost of not recomputing the sketch three times; a
     * long-lived service would write/read a real signature table instead
     * (which is exactly how p65 treats the existing-corpus side). */
-  private def minhashSig(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d, ShingleW)
+  private[graft] def minhashSig(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(docsBalanced(s, d))
+
+  /** The sketch build over any (doc_id, text) frame — the unit the
+    * streaming gate's static side and the spec corpora share. */
+  private[graft] def minhashSigOf(docs: DataFrame): DataFrame = {
+    val sh = shingleRowsOf(docs, ShingleW)
       .withColumn("dg", md5(col("shingle")))
       .withColumn("h1", conv(substring(col("dg"), 1, 15), 16, 10).cast(LongType))
       .withColumn("h2", conv(substring(col("dg"), 16, 10), 16, 10).cast(LongType))
@@ -195,7 +200,7 @@ object Pipeline extends QueryModule {
   }
 
   /** Band rows (doc_id, band, bkey) off a minhashSig table. */
-  private def bandRowsOf(sig: DataFrame): DataFrame =
+  private[graft] def bandRowsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
           b => concat_ws(",", transform(

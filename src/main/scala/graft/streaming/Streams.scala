@@ -173,6 +173,57 @@ object Streams {
       .select("doc_id", "hv")
   }
 
+  /** Stream-static NEAR-dedup gate — the continuous twin of batch p65:
+    * each arriving document is MinHash-sketched entirely WITHIN ITS OWN
+    * ROW (shingle array → per-hash `array_min` over the transformed
+    * array — no explode-then-aggregate, so the transform is stateless:
+    * no watermark, no state store), its band keys are exploded and
+    * joined against the STATIC corpus band index — the persisted
+    * artifact the batch job builds (capped with the same hot-bucket
+    * policy) — then verified by exact Jaccard against the static
+    * signature table. Hashes, band keys, and the Jaccard are
+    * bit-identical to the batch path's (min() is duplicate-insensitive,
+    * so the array-level sketch equals the row-level one). Emits one
+    * (new doc, corpus doc, jaccard) row per MATCHING BAND occurrence —
+    * like [[contaminationHits]], consumers needing per-doc verdicts
+    * dedup/aggregate downstream. */
+  def nearDupMatches(docs: DataFrame, bandIndex: DataFrame,
+      corpusSig: DataFrame): DataFrame = {
+    import graft.functions.Portable
+    import graft.queries.Pipeline.{BandRows, JaccardThreshold, NumBands, NumHashes, ShingleW}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val withH = docs
+      .select(col("doc_id").as("new_id"),
+        Portable.shingles(Portable.tokens(col("text")), ShingleW).as("shs"))
+      .withColumn("hh", transform(col("shs"), x => {
+        val dg = md5(x)
+        struct(conv(substring(dg, 1, 15), 16, 10).cast(LongType).as("h1"),
+          conv(substring(dg, 16, 10), 16, 10).cast(LongType).as("h2"))
+      }))
+      .withColumn("sa", array_distinct(transform(col("hh"), h => h.getField("h1"))))
+      .withColumn("na", size(col("sa")))
+      .withColumn("sig", array((0 until NumHashes).map(i =>
+        array_min(transform(col("hh"), h =>
+          Portable.hashFamFrom(i, h.getField("h1"), h.getField("h2"))))): _*))
+      .select("new_id", "sa", "na", "sig")
+    val banded = withH.select(col("new_id"), col("sa"), col("na"),
+      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+        b => concat_ws(",", transform(
+          slice(col("sig"), b * BandRows + 1, lit(BandRows)),
+          x => x.cast(StringType))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    banded
+      .join(bandIndex.select(col("band"), col("bkey"),
+        col("doc_id").as("old_id")), Seq("band", "bkey"))
+      .join(corpusSig.select(col("doc_id").as("old_id"),
+        col("shset").as("sb"), col("n").as("nb")), Seq("old_id"))
+      .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("ninter").cast(DoubleType) /
+        (col("na") + col("nb") - col("ninter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
   final case class TopKRow(event_type: String, rnk: Int, event_id: Long,
       value: Double)
 

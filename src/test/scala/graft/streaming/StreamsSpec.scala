@@ -184,6 +184,34 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupMatches flags a streamed near-duplicate of a corpus doc") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "entirely different content about databases and query planning"))
+      .toDF("doc_id", "text")
+    val sig = graft.queries.Pipeline.minhashSigOf(corpus)
+    val index = graft.queries.Pipeline.capBuckets(
+      graft.queries.Pipeline.bandRowsOf(sig))
+    val in = MemoryStream[(Long, String)]
+    val q = nearDupMatches(in.toDF().toDF("doc_id", "text"), index, sig)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // word-for-word copy of corpus doc 10 -> identical shingle set
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "totally novel words sharing no three gram with that corpus"))
+      q.processAllAvailable()
+      val rows = spark.table("neardup").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the copy matches its original at jaccard exactly 1.0 (the
+      // stream-side array sketch is bit-identical to the batch sketch);
+      // the novel doc matches nothing
+      assert(rows == Set((1L, 10L, 1.0)))
+    } finally q.stop()
+  }
+
   test("topEventsPerType maintains a ranked top-k and emits only on change") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

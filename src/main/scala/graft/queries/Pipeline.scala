@@ -2165,10 +2165,21 @@ object Pipeline extends QueryModule {
   /** The p62 core over any (w, freq) word table — rounds-parametric so
     * the property suite can check the learned merges against an
     * in-memory canonical BPE trainer on arbitrary corpora. */
-  private[graft] def bpeLearnMerges(words: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeLearnMerges(words: DataFrame, rounds: Int): DataFrame =
+    bpeLearnState(words, rounds)._1
+
+  /** The global learner returning BOTH the merge table and the final
+    * symbolized vocabulary (w, freq, l) — p62 reports the former, p66
+    * tokenizes with the latter. The ≤1-row winner joins back LEFT on a
+    * constant key (not a cross join): a winner-less round — no pairs
+    * anywhere — leaves every symbol list untouched (NULL never equals
+    * in the fold's CASE) instead of emptying the vocabulary, mirrored
+    * in the oracle's LEFT JOIN ON TRUE. */
+  private[graft] def bpeLearnState(words: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val wf = words
       .withColumn("l", split(col("w"), ""))
-      .select("freq", "l")
+      .select("w", "freq", "l")
       .localCheckpoint(false)
     def winnerOf(syms: DataFrame): DataFrame = syms
       .select(col("freq"),
@@ -2181,17 +2192,39 @@ object Pipeline extends QueryModule {
       .groupBy("a", "b").agg(sum("freq").as("cnt"))
       .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
     def applyMerge(syms: DataFrame, win: DataFrame): DataFrame = syms
-      .crossJoin(broadcast(win))
+      .withColumn("k", lit(1))
+      .join(broadcast(win.select(col("a"), col("b")).withColumn("k", lit(1))),
+        Seq("k"), "left")
       .withColumn("l", expr(BpeMergeFold))
-      .select("freq", "l")
-    val (_, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
-      case ((syms, acc), r) =>
-        val win = winnerOf(syms).localCheckpoint(false)
-        (applyMerge(syms, win), acc :+ win.select(
+      .select("w", "freq", "l")
+    val (syms, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
+      case ((s0, acc), r) =>
+        val win = winnerOf(s0).localCheckpoint(false)
+        (applyMerge(s0, win), acc :+ win.select(
           lit(r).as("round"), col("a").as("left_sym"), col("b").as("right_sym"),
           concat(col("a"), col("b")).as("merged"), col("cnt")))
     }
-    winners.reduce(_ union _)
+    (winners.reduce(_ union _), syms)
+  }
+
+  /** BPE apply — tokenize the corpus with the merges p62 learned, in
+    * the same query: the final symbolized vocabulary (still
+    * vocab-bounded — occurrences never re-tokenize, their word does)
+    * aggregates to the corpus compression summary. Exact integers end
+    * to end: symbol counts before (= characters) and after the merges,
+    * weighted by word frequency. */
+  private def p66BpeApply: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val (_, syms) = bpeLearnState(words, BpeRounds)
+    syms.agg(
+      count(lit(1)).as("n_words"),
+      sum(col("freq")).as("n_occurrences"),
+      sum(col("freq") * length(col("w"))).as("syms_before"),
+      sum(col("freq") * size(col("l"))).as("syms_after"))
+      .withColumn("syms_saved", col("syms_before") - col("syms_after"))
   }
 
   /** Per-language BPE merge induction — one tokenizer per language in a
@@ -2321,6 +2354,7 @@ object Pipeline extends QueryModule {
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
     "p64_bpe_by_lang" -> p64BpeMergesByLang,
     "p63_snapshot_diff" -> p63SnapshotDiff,
@@ -2409,6 +2443,31 @@ object Pipeline extends QueryModule {
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   // p02's full oracle text, shared with p32 (which clusters p02's pairs).
+  /** The global-BPE CTE chain (wf, sym0, then p_r/w_r/sym_r per round)
+    * shared by p62 (merge table) and p66 (apply + compression summary).
+    * LEFT JOIN ON TRUE replays the Scala chain's winner-less-round
+    * behavior: NULL a/b never merge, the vocabulary passes through. */
+  private def sqlBpeChain(rounds: Int): String = {
+    val round = (r: Int) => s"""
+       |p$r AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+       |  FROM sym${r - 1}, UNNEST(generate_series(1, len(l)-1)) AS u(i)
+       |  GROUP BY 1, 2),
+       |w$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |sym$r AS (SELECT w, freq,
+       |    list_reduce(list_transform(l, s -> [s]), (acc, x) ->
+       |      CASE WHEN acc[len(acc)] = a AND x[1] = b
+       |           THEN list_concat(acc[1:len(acc)-1], [a || b])
+       |           ELSE list_concat(acc, x) END) AS l
+       |  FROM sym${r - 1} LEFT JOIN w$r ON TRUE)"""
+    s"""WITH wf AS (
+       |  SELECT term AS w, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE regexp_full_match(term, '[a-z]+') AND length(term) >= 2
+       |  GROUP BY 1),
+       |sym0 AS (SELECT w, freq, string_split(w, '') AS l FROM wf)""".stripMargin +
+      (1 to rounds).map(r => "," + round(r).stripMargin).mkString
+  }
+
   /** The p02 sketch+bands CTE chain (sh, sig, bands) — shared with the
     * incremental form p65. */
   private val sqlMinhashBase: String =
@@ -2611,30 +2670,21 @@ object Pipeline extends QueryModule {
         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
         |GROUP BY 1, 2""".stripMargin,
     "p62_bpe_merges" -> {
-      val round = (r: Int) => s"""
-         |p$r AS (SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
-         |  FROM sym${r - 1}, UNNEST(generate_series(1, len(l)-1)) AS u(i)
-         |  GROUP BY 1, 2),
-         |w$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-         |sym$r AS (SELECT freq,
-         |    list_reduce(list_transform(l, s -> [s]), (acc, x) ->
-         |      CASE WHEN acc[len(acc)] = a AND x[1] = b
-         |           THEN list_concat(acc[1:len(acc)-1], [a || b])
-         |           ELSE list_concat(acc, x) END) AS l
-         |  FROM sym${r - 1}, w$r)"""
       val selects = (1 to BpeRounds).map(r =>
         s"""SELECT $r AS round, a AS left_sym, b AS right_sym,
            |  a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM w$r"""
           .stripMargin).mkString("\nUNION ALL ")
-      s"""WITH wf AS (
-         |  SELECT term AS w, COUNT(*) AS freq FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-         |  WHERE regexp_full_match(term, '[a-z]+') AND length(term) >= 2
-         |  GROUP BY 1),
-         |sym0 AS (SELECT freq, string_split(w, '') AS l FROM wf)""".stripMargin +
-        (1 to BpeRounds).map(r => "," + round(r).stripMargin).mkString +
-        "\n" + selects
+      sqlBpeChain(BpeRounds) + "\n" + selects
     },
+    "p66_bpe_apply" ->
+      (sqlBpeChain(BpeRounds) + s"""
+         |SELECT COUNT(*) AS n_words,
+         |  CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+         |  CAST(SUM(freq * length(w)) AS BIGINT) AS syms_before,
+         |  CAST(SUM(freq * len(l)) AS BIGINT) AS syms_after,
+         |  CAST(SUM(freq * length(w)) - SUM(freq * len(l)) AS BIGINT)
+         |    AS syms_saved
+         |FROM sym$BpeRounds""".stripMargin),
     "p59_shingle_vocab" ->
       s"""WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
          |sh AS (SELECT lang, array_to_string(tk[i:i+${ShingleW - 1}], ' ') AS shingle

@@ -20,7 +20,10 @@ object ScaleProbe {
     "p01_exact_dedup", "p02_minhash_neardup", "p37_span_dedup",
     "p39_inverted_index", "p43_vocab_oov", "p51_lm_fluency",
     "p04_ann_cosine_topk", "p42_ann_quantized", "p11_events_sessions",
-    "p54_sliding_window")
+    "p54_sliding_window",
+    // round-7 additions: the tokenizer rounds (vocab-bounded after one
+    // corpus shuffle) and the batch-vs-index near-dedup
+    "p62_bpe_merges", "p65_incremental_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -2177,6 +2177,19 @@ object Pipeline extends QueryModule {
     * in the oracle's LEFT JOIN ON TRUE. */
   private[graft] def bpeLearnState(words: DataFrame, rounds: Int)
       : (DataFrame, DataFrame) = {
+    val (wins, syms) = bpeLearnRounds(words, rounds)
+    (wins.zipWithIndex.map { case (w, i) =>
+      w.select(lit(i + 1).as("round"), col("a").as("left_sym"),
+        col("b").as("right_sym"), concat(col("a"), col("b")).as("merged"),
+        col("cnt"))
+    }.reduce(_ union _), syms)
+  }
+
+  /** The learner's raw state: each round's ≤1-row winner (a, b, cnt) in
+    * rank order — the static merge artifacts the streaming tokenizer
+    * joins against — plus the final symbolized vocabulary. */
+  private[graft] def bpeLearnRounds(words: DataFrame, rounds: Int)
+      : (Seq[DataFrame], DataFrame) = {
     val wf = words
       .withColumn("l", split(col("w"), ""))
       .select("w", "freq", "l")
@@ -2191,21 +2204,25 @@ object Pipeline extends QueryModule {
         element_at(col("l"), col("i") + 1).as("b"))
       .groupBy("a", "b").agg(sum("freq").as("cnt"))
       .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-    def applyMerge(syms: DataFrame, win: DataFrame): DataFrame = syms
-      .withColumn("k", lit(1))
-      .join(broadcast(win.select(col("a"), col("b")).withColumn("k", lit(1))),
-        Seq("k"), "left")
-      .withColumn("l", expr(BpeMergeFold))
-      .select("w", "freq", "l")
     val (syms, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
-      case ((s0, acc), r) =>
+      case ((s0, acc), _) =>
         val win = winnerOf(s0).localCheckpoint(false)
-        (applyMerge(s0, win), acc :+ win.select(
-          lit(r).as("round"), col("a").as("left_sym"), col("b").as("right_sym"),
-          concat(col("a"), col("b")).as("merged"), col("cnt")))
+        (bpeApplyMerge(s0, win, Seq("w", "freq", "l")), acc :+ win)
     }
-    (winners.reduce(_ union _), syms)
+    (winners, syms)
   }
+
+  /** One merge round applied to any frame with a symbol-list column `l`:
+    * the ≤1-row winner LEFT-joins on a constant key (winner-less rounds
+    * pass rows through — NULL never merges in the fold). Shared by the
+    * batch learner and the streaming tokenizer. */
+  private[graft] def bpeApplyMerge(syms: DataFrame, win: DataFrame,
+      keep: Seq[String]): DataFrame = syms
+    .withColumn("k", lit(1))
+    .join(broadcast(win.select(col("a"), col("b")).withColumn("k", lit(1))),
+      Seq("k"), "left")
+    .withColumn("l", expr(BpeMergeFold))
+    .select(keep.head, keep.tail: _*)
 
   /** BPE apply — tokenize the corpus with the merges p62 learned, in
     * the same query: the final symbolized vocabulary (still

@@ -224,6 +224,31 @@ object Streams {
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
+  /** Streaming BPE tokenization — the serving path of the p62/p66
+    * tokenizer: arriving documents are tokenized with the STATICALLY
+    * learned merge tables (one ≤1-row frame per round, in rank order —
+    * the artifacts `Pipeline.bpeLearnRounds` builds offline). Each
+    * word explodes to its character symbols and the rounds apply as the
+    * SAME left-join + fold the batch learner uses — stateless end to
+    * end (explode + K broadcast joins, no watermark or state), so the
+    * tokenization is bit-identical to applying the batch vocabulary.
+    * Emits one row per (doc, word) occurrence with before/after symbol
+    * counts and the joined token string; per-doc totals aggregate
+    * downstream (the [[contaminationHits]] convention). */
+  def bpeTokenizeStream(docs: DataFrame, merges: Seq[DataFrame]): DataFrame = {
+    import graft.functions.Portable
+    val words = docs
+      .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .withColumn("l", split(col("w"), ""))
+    merges.foldLeft(words)(
+        graft.queries.Pipeline.bpeApplyMerge(_, _, Seq("doc_id", "w", "l")))
+      .select(col("doc_id"), col("w"),
+        length(col("w")).as("syms_before"),
+        size(col("l")).as("syms_after"),
+        concat_ws(" ", col("l")).as("tokens"))
+  }
+
   final case class TopKRow(event_type: String, rnk: Int, event_id: Long,
       value: Double)
 

@@ -212,6 +212,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpeTokenizeStream applies the statically learned merges to a doc stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus: 'the'x3 + 'cat' -> learned merges, in rank order:
+    //   r1 (h,e) cnt 3 (ties (t,h) on count, wins the pair tiebreak)
+    //   r2 (t,he) cnt 3   r3 (a,t) cnt 1 (ties (c,a), wins tiebreak)
+    val corpusWords = Seq(("the", 3L), ("cat", 1L)).toDF("w", "freq")
+    val (merges, _) = graft.queries.Pipeline.bpeLearnRounds(corpusWords, 3)
+    val in = MemoryStream[(Long, String)]
+    val q = bpeTokenizeStream(in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpetok")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1L, "the cat sat"))
+      q.processAllAvailable()
+      val rows = spark.table("bpetok").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getString(4))).toSet
+      assert(rows == Set(
+        (1L, "the", 3, 1, "the"),   // fully merged by r1+r2
+        (1L, "cat", 3, 2, "c at"),  // r3 merges the (a,t) pair
+        (1L, "sat", 3, 2, "s at"))) // unseen word, same vocab applies
+    } finally q.stop()
+  }
+
   test("topEventsPerType maintains a ranked top-k and emits only on change") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

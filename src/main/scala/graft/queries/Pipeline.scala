@@ -199,13 +199,16 @@ object Pipeline extends QueryModule {
       .localCheckpoint(false)
   }
 
-  /** Band rows (doc_id, band, bkey) off a minhashSig table. */
-  private[graft] def bandRowsOf(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"),
+  /** Band rows (carry..., band, bkey) off any frame with a `sig` array
+    * column — the ONE band-key builder, shared by the batch sketch and
+    * the streaming gate so their keys can never desynchronize. */
+  private[graft] def bandRowsOf(sig: DataFrame,
+      carry: Seq[String] = Seq("doc_id")): DataFrame =
+    sig.select(carry.map(col) :+
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
           b => concat_ws(",", transform(
             slice(col("sig"), b * BandRows + 1, lit(BandRows)),
-            x => x.cast(StringType))))))
+            x => x.cast(StringType))))): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
 
   private def p02MinhashNearDup: Q = (s, d) => {
@@ -2141,13 +2144,17 @@ object Pipeline extends QueryModule {
     * identical fold via list_reduce over singleton-wrapped symbols
     * (DuckDB 1.0's reduce has no initial-value form; element type =
     * accumulator type = list makes the first element the seed). */
+  /** The corpus word-frequency table p62 trains on and p66 tokenizes —
+    * one definition so the regex/length filter can never diverge
+    * between learn and apply (the SQL side shares sqlBpeChain's wf). */
+  private def corpusWordFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
   private def p62BpeMerges: Q = (s, d) =>
-    bpeLearnMerges(
-      Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]{2,}$"))
-        .groupBy("w").agg(count(lit(1)).as("freq")),
-      BpeRounds)
+    bpeLearnMerges(corpusWordFreq(s, d), BpeRounds)
 
   /** Canonical leftmost non-overlapping merge of the cross-joined
     * winner pair (a, b) into symbol list `l`, as a seeded fold — shared
@@ -2231,11 +2238,7 @@ object Pipeline extends QueryModule {
     * to end: symbol counts before (= characters) and after the merges,
     * weighted by word frequency. */
   private def p66BpeApply: Q = (s, d) => {
-    val words = Tables.documents(s, d)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(col("w").rlike("^[a-z]{2,}$"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-    val (_, syms) = bpeLearnState(words, BpeRounds)
+    val (_, syms) = bpeLearnState(corpusWordFreq(s, d), BpeRounds)
     syms.agg(
       count(lit(1)).as("n_words"),
       sum(col("freq")).as("n_occurrences"),

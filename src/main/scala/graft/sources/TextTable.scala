@@ -100,7 +100,23 @@ private[sources] class TextWriteBuilder(schema: StructType, path: String)
   }
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new TextWrite(schema, path, doTruncate)
+  override def build(): Write = {
+    // append must match the existing table's sidecar schema, or the new
+    // shards would be unreadable under the (rewritten) sidecar — checked
+    // here, before any task launches; overwrite replaces the schema.
+    if (!doTruncate) {
+      val existing = try Some(TextTables.schemaAt(path)) catch {
+        case _: Exception => None // no table yet: first write defines it
+      }
+      existing.foreach { ex =>
+        require(ex.fields.map(f => (f.name, f.dataType)).toSeq ==
+          schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          s"append schema ${schema.catalogString} does not match " +
+            s"existing graft-txt table schema ${ex.catalogString} at $path")
+      }
+    }
+    new TextWrite(schema, path, doTruncate)
+  }
 }
 
 /** Two-phase-commit batch write in the reference's text layout. Each
@@ -137,9 +153,15 @@ private[sources] class TextWrite(schema: StructType, path: String,
       TextTables.dataFiles(path).foreach(q => f.delete(new Path(q), false))
     committed.foreach { m =>
       val dst = new Path(m.finalPath)
-      f.delete(dst, false) // idempotent re-commit of a retried job
-      require(f.rename(new Path(m.tempPath), dst),
-        s"rename ${m.tempPath} -> ${m.finalPath} failed")
+      val tmp = new Path(m.tempPath)
+      // idempotent re-commit: a shard already renamed by an earlier
+      // commit attempt (temp gone, final present) is left as-is
+      if (f.exists(tmp)) {
+        f.delete(dst, false)
+        require(f.rename(tmp, dst),
+          s"rename ${m.tempPath} -> ${m.finalPath} failed")
+      } else require(f.exists(dst),
+        s"shard ${m.finalPath} missing and temp ${m.tempPath} gone")
     }
     TextTables.writeSidecar(schema, path)
   }
@@ -182,6 +204,11 @@ private[sources] class TextDataWriter(path: String, writeId: String,
     var i = 0
     while (i < types.length) {
       if (i > 0) sb.append('\t')
+      // the format has no null representation (SURVEY §1.2) — reject
+      // loudly rather than NPE on strings or silently zero numerics
+      if (row.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft-txt cannot represent NULL (column $i of $finalName)")
       types(i) match {
         case IntegerType => sb.append(row.getInt(i))
         case FloatType   => sb.append(row.getFloat(i))

@@ -190,11 +190,15 @@ object Streams {
   def nearDupMatches(docs: DataFrame, bandIndex: DataFrame,
       corpusSig: DataFrame): DataFrame = {
     import graft.functions.Portable
-    import graft.queries.Pipeline.{BandRows, JaccardThreshold, NumBands, NumHashes, ShingleW}
-    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    import graft.queries.Pipeline.{JaccardThreshold, NumHashes, ShingleW}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
     val withH = docs
       .select(col("doc_id").as("new_id"),
         Portable.shingles(Portable.tokens(col("text")), ShingleW).as("shs"))
+      // docs shorter than one shingle have no sketch — drop them here
+      // like the batch explode does (their all-NULL sigs would otherwise
+      // pile onto a single useless (band, "") join key)
+      .filter(size(col("shs")) > 0)
       .withColumn("hh", transform(col("shs"), x => {
         val dg = md5(x)
         struct(conv(substring(dg, 1, 15), 16, 10).cast(LongType).as("h1"),
@@ -206,12 +210,8 @@ object Streams {
         array_min(transform(col("hh"), h =>
           Portable.hashFamFrom(i, h.getField("h1"), h.getField("h2"))))): _*))
       .select("new_id", "sa", "na", "sig")
-    val banded = withH.select(col("new_id"), col("sa"), col("na"),
-      posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-        b => concat_ws(",", transform(
-          slice(col("sig"), b * BandRows + 1, lit(BandRows)),
-          x => x.cast(StringType))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val banded = graft.queries.Pipeline
+      .bandRowsOf(withH, carry = Seq("new_id", "sa", "na"))
     banded
       .join(bandIndex.select(col("band"), col("bkey"),
         col("doc_id").as("old_id")), Seq("band", "bkey"))

@@ -154,6 +154,33 @@ class TextTableSpec extends SparkSpec {
     assert(TextTables.read(spark, dir).count() == customerCols.count())
   }
 
+  test("V2 append rejects a mismatched schema before launching tasks") {
+    val dir = tmp()
+    Seq((1, "a")).toDF("id", "s")
+      .write.format("graft-txt").mode("overwrite").save(dir)
+    val e = intercept[Exception] {
+      // same columns, swapped order -> old shards would misparse
+      Seq(("b", 2)).toDF("s", "id")
+        .write.format("graft-txt").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("does not match"),
+      s"unexpected error: ${e.getMessage}")
+    // overwrite with the new schema is the sanctioned path
+    Seq(("b", 2)).toDF("s", "id")
+      .write.format("graft-txt").mode("overwrite").save(dir)
+    assert(TextTables.read(spark, dir).collect().map(_.toSeq).toSet ==
+      Set(Seq("b", 2)))
+  }
+
+  test("V2 write rejects NULL values loudly (the format cannot hold them)") {
+    val dir = tmp()
+    val e = intercept[Exception] {
+      Seq((1, "a"), (2, null)).toDF("id", "s")
+        .write.format("graft-txt").mode("overwrite").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+
   test("V2 write rejects a non-reference column type before launching tasks") {
     val dir = tmp()
     val e = intercept[Exception] {

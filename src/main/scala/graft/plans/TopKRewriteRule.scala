@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -50,6 +50,12 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         if a.semanticEquals(rn) => Some(v)
       case GreaterThan(Literal(v: Int, IntegerType), a: Attribute)
         if a.semanticEquals(rn) => Some(v - 1)
+      // rn = 1 is top-1 (row_number is never below 1); rn = k for k > 1
+      // selects ONLY rank k and must not rewrite
+      case EqualTo(a: Attribute, Literal(1, IntegerType))
+        if a.semanticEquals(rn) => Some(1)
+      case EqualTo(Literal(1, IntegerType), a: Attribute)
+        if a.semanticEquals(rn) => Some(1)
       case _ => None
     }
 

@@ -212,7 +212,15 @@ private[sources] class TextDataWriter(path: String, writeId: String,
       types(i) match {
         case IntegerType => sb.append(row.getInt(i))
         case FloatType   => sb.append(row.getFloat(i))
-        case _           => sb.append(row.getUTF8String(i).toString)
+        case _ =>
+          val s = row.getUTF8String(i).toString
+          // the format has no escaping (like the reference's): a tab or
+          // newline inside a value would shift every later column
+          if (s.indexOf('\t') >= 0 || s.indexOf('\n') >= 0)
+            throw new IllegalArgumentException(
+              s"graft-txt cannot represent tab/newline in strings " +
+                s"(column $i of $finalName)")
+          sb.append(s)
       }
       i += 1
     }
@@ -314,9 +322,14 @@ private[sources] case class TextReaderFactory(
 }
 
 /** Streams one data file line by line: split on tabs, coerce by declared
-  * type (Integer/Float parse, mirroring ConvertTxtToTbl.java:56-66),
-  * apply the pushed filters on the typed values, then materialize ONLY
-  * the pruned columns into the output row. */
+  * type (Integer/Float parse, mirroring ConvertTxtToTbl.java:56-66) —
+  * but ONLY for columns the query projects or filters on (the pruning
+  * promise made to the planner is kept as avoided parse work, and a
+  * malformed value in an untouched column cannot fail the scan) — apply
+  * the pushed filters on the typed values, then materialize the pruned
+  * columns into the output row. Numeric fields are trimmed before
+  * parsing (the reference layout pads with a trailing tab per field);
+  * strings are taken verbatim so the write path round-trips exactly. */
 private[sources] class TextPartitionReader(
     file: String,
     cols: Array[(String, DataType)],
@@ -330,6 +343,13 @@ private[sources] class TextPartitionReader(
       new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
   }
   private val predicate = TextFilters.compile(filters, cols)
+  private val needed: Array[Boolean] = {
+    val n = Array.fill(cols.length)(false)
+    requiredIdx.foreach(n(_) = true)
+    val byName = cols.map(_._1).zipWithIndex.toMap
+    filters.flatMap(_.references).foreach(c => byName.get(c).foreach(n(_) = true))
+    n
+  }
   private var row: InternalRow = _
 
   override def next(): Boolean = {
@@ -340,12 +360,13 @@ private[sources] class TextPartitionReader(
         val typed = new Array[Any](cols.length)
         var i = 0
         while (i < cols.length) {
-          // trailing-tab tolerant (RandomDB emits one per field)
-          val raw = if (i < parts.length) parts(i).trim else ""
-          typed(i) = cols(i)._2 match {
-            case IntegerType => raw.toInt
-            case FloatType   => raw.toFloat
-            case _           => raw
+          if (needed(i)) {
+            val raw = if (i < parts.length) parts(i) else ""
+            typed(i) = cols(i)._2 match {
+              case IntegerType => raw.trim.toInt
+              case FloatType   => raw.trim.toFloat
+              case _           => raw
+            }
           }
           i += 1
         }
@@ -448,11 +469,18 @@ object TextTables {
   }
 
   /** Total bytes of a table's data files (drives the scan's reported
-    * statistics). */
+    * statistics) — one listing, lengths from the statuses it already
+    * carries (no per-file round trip). */
   def dataBytes(path: String): Long = {
     val p = new Path(path)
     val f = fs(p)
-    dataFiles(path).map(q => f.getFileStatus(new Path(q)).getLen).sum
+    if (f.getFileStatus(p).isDirectory)
+      f.listStatus(p).filter(_.isFile)
+        .filter { s =>
+          val n = s.getPath.getName
+          !n.endsWith(".det") && !n.startsWith("_") && !n.startsWith(".")
+        }.map(_.getLen).sum
+    else f.getFileStatus(p).getLen
   }
 
   /** The sidecar for a table path: `<dir>/schema.det` (or the single

@@ -329,11 +329,14 @@ object Streams {
     import probes.sparkSession.implicits._
     import graft.functions.VectorDotLong.vdotl
     val stats = index.select("mns", "mxs").limit(1)
+    // both clamps: the index side never needs the lower one (its own
+    // values defined mn/mx) but a streamed probe is arbitrary — a
+    // dimension below mn must pin to -128, not fall off the int8 grid
     def quant(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
         mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(mx === mn, lit(0L)).otherwise(
-        least(lit(127L),
-          floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)) - lit(128L)))
+        greatest(lit(-128L), least(lit(127L),
+          floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)) - lit(128L))))
     val scored = probes
       .crossJoin(broadcast(stats))
       .withColumn("qpv", transform(col("v"), (x, i) =>

@@ -36,11 +36,15 @@ object TopKBench {
     }
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
-    def runWindow(): Unit = withRewriteOff {
+    def runWindow(): Unit = withRewriteOff(run(windowForm))
+    // plan-validity assert runs ONCE, on the warmup, outside the timed
+    // region — re-planning + plan stringification per rep would bias the
+    // window arm. String check: AQE wraps the plan in
+    // AdaptiveSparkPlanExec (a leaf node), so tree traversal cannot see
+    // the inner operators.
+    def assertWindowArm(): Unit = withRewriteOff {
       val df = windowForm
       run(df)
-      // string check: AQE wraps the plan in AdaptiveSparkPlanExec (a
-      // leaf node), so tree traversal cannot see the inner operators
       val executed = df.queryExecution.executedPlan.toString
       require(executed.contains("Window") && !executed.contains("TopKPerKey"),
         s"window arm was rewritten away — A/B invalid:\n$executed")
@@ -50,7 +54,7 @@ object TopKBench {
     }
     require(nativeForm.count() == withRewriteOff(windowForm.count()),
       "row count mismatch")
-    runWindow(); run(nativeForm) // warmup
+    assertWindowArm(); run(nativeForm) // warmup + one-time plan check
     val tw = (1 to reps).map(_ => time(runWindow())).min
     val tn = (1 to reps).map(_ => time(run(nativeForm))).min
     println(f"TOPK window=$tw%.3f native=$tn%.3f speedup=${tw / tn}%.2fx")

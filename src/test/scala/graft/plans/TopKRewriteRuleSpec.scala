@@ -42,6 +42,27 @@ class TopKRewriteRuleSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("rn = 1 (per-key argmax) re-plans as top-1; rn = k>1 does not") {
+    def eqPattern(k: Int) = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k)
+      .drop("rn")
+    val top1 = eqPattern(1)
+    val p1 = top1.queryExecution.executedPlan.toString
+    assert(p1.contains("TopKPerKeyPartial"), s"rn=1 did not rewrite:\n$p1")
+    // value check against the kept-rank truth
+    val truth = Tables.customer(spark, sf)
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(_.toSeq.init).toSet
+    assert(top1.collect().map(_.toSeq).toSet == truth)
+    // rn = 2 selects ONLY rank 2 — not a top-k prefix; must stay a window
+    val p2 = eqPattern(2).queryExecution.executedPlan.toString
+    assert(!p2.contains("TopKPerKeyPartial"), s"rn=2 wrongly rewrote:\n$p2")
+  }
+
   test("the SQL subquery form (Spark has no QUALIFY) also re-plans") {
     Tables.customer(spark, sf).createOrReplaceTempView("topk_customer")
     val df = spark.sql(

@@ -2341,6 +2341,44 @@ object Pipeline extends QueryModule {
         col("jaccard").as("best_jaccard"))
   }
 
+  /** Temperature-based mixture sampling (α = 0.5) — the multilingual
+    * balancing rule LLM pipelines use beside p46's cap rule: sample
+    * language l with probability ∝ p_l^α, flattening the head so
+    * low-resource languages keep presence. Determinism across engines
+    * is engineered op by op: shares come from exact integer counts,
+    * sqrt/divide/multiply are single correctly-rounded IEEE ops, the
+    * normalizer Σ p_l^α is a SORTED-ORDER fold (collect the per-lang
+    * terms, sort, left-fold — never an unordered SUM whose float result
+    * depends on partitioning), and the admission threshold quantizes
+    * through p46's floor(rate × 10^6) integer compare. One count
+    * shuffle, a langs-sized broadcast, one hash-filtered count — the
+    * corpus is scanned twice and never shuffled on a data key. */
+  private def p67TemperatureMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_in"))
+    val tot = docs.agg(count(lit(1)).as("n_tot"))
+    val scored = byLang.crossJoin(broadcast(tot))
+      .withColumn("sc", sqrt(col("n_in").cast(DoubleType) /
+        col("n_tot").cast(DoubleType)))
+    val z = scored.agg(expr(
+      "aggregate(sort_array(collect_list(struct(lang, sc))), " +
+        "cast(0.0 as double), (acc, x) -> acc + x.sc)").as("z"))
+    val rates = scored.crossJoin(broadcast(z))
+      .withColumn("q", col("sc") / col("z"))
+      .withColumn("keep_rate", least(lit(1.0),
+        (col("q") * floor(col("n_tot").cast(DoubleType) / lit(2.0))) /
+          col("n_in").cast(DoubleType)))
+    val kept = docs.join(rates.select("lang", "keep_rate"), "lang")
+      .filter(h60(concat(lit("tmix:"), col("doc_id").cast(StringType)))
+        % lit(MixScale) < floor(col("keep_rate") * lit(MixScale.toDouble)))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left_outer")
+      .select(col("lang"), col("n_in"),
+        round(col("q"), 6).as("target_share"),
+        round(col("keep_rate"), 6).as("keep_rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning primitive behind
     * refreshed-crawl curation: classify every document across two corpus
     * versions as added / removed / changed / unchanged and report the
@@ -2374,6 +2412,7 @@ object Pipeline extends QueryModule {
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
     "p64_bpe_by_lang" -> p64BpeMergesByLang,
@@ -2620,6 +2659,28 @@ object Pipeline extends QueryModule {
          |  CAST(greatest(0, end_cum - (pack+1)*$ShardTokens) AS BIGINT)
          |    AS overflow_tokens
          |FROM g""".stripMargin,
+    "p67_temperature_mix" ->
+      s"""WITH dl AS (SELECT doc_id, lang FROM documents),
+         |bl AS (SELECT lang, COUNT(*) AS n_in FROM dl GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n_tot FROM dl),
+         |sc AS (SELECT lang, n_in, n_tot,
+         |    sqrt(CAST(n_in AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS s
+         |  FROM bl, tot),
+         |z AS (SELECT list_reduce(list(s ORDER BY lang), (a, b) -> a + b)
+         |    AS z FROM sc),
+         |rates AS (SELECT lang, n_in, s / z AS q,
+         |    least(1.0, ((s / z) * floor(CAST(n_tot AS DOUBLE) / 2.0))
+         |      / CAST(n_in AS DOUBLE)) AS keep_rate
+         |  FROM sc, z),
+         |kept AS (SELECT d.lang, COUNT(*) AS n_kept
+         |  FROM dl d JOIN rates r ON d.lang = r.lang
+         |  WHERE ${sqlH60("'tmix:' || CAST(doc_id AS VARCHAR)")} % $MixScale
+         |    < CAST(floor(r.keep_rate * $MixScale.0) AS BIGINT)
+         |  GROUP BY 1)
+         |SELECT r.lang, r.n_in, round(r.q, 6) AS target_share,
+         |  round(r.keep_rate, 6) AS keep_rate,
+         |  coalesce(k.n_kept, 0) AS n_kept
+         |FROM rates r LEFT JOIN kept k ON r.lang = k.lang""".stripMargin,
     "p65_incremental_neardup" ->
       s"""WITH $sqlMinhashBase,
          |capped AS (

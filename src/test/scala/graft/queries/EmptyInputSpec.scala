@@ -34,7 +34,7 @@ class EmptyInputSpec extends SparkSpec {
     "p50_interval_join_binned", "p51_lm_fluency", "p52_containment_dedup",
     "p53_kmeans_cells", "p54_sliding_window",
     "p62_bpe_merges", "p63_snapshot_diff", "p64_bpe_by_lang",
-    "p65_incremental_neardup", "p66_bpe_apply",
+    "p65_incremental_neardup", "p66_bpe_apply", "p67_temperature_mix",
     "q19_agg_group", "q30_top_revenue", "q53_topk_native",
     "s08_sql_agg_groupby", "s15_sql_cte_window",
     "s25_sql_small_qty_revenue", "s28_sql_pricing_summary")

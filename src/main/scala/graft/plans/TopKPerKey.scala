@@ -100,8 +100,18 @@ case class TopKPerKeyExec(
     // task, further keys' rows pass through unreduced (no-op is exact);
     // the final pass must hold all its keys, so no cap there
     val keyCap =
-      if (partial) conf.getConfString("graft.topk.partialKeyCap", "262144").toInt
-      else Int.MaxValue
+      if (partial) {
+        val raw = conf.getConfString("graft.topk.partialKeyCap", "262144")
+        val parsed = try raw.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.topk.partialKeyCap must be a positive integer, got '$raw'")
+        }
+        // a non-positive cap would silently disable ALL map-side
+        // reduction (every row shuffles unreduced) — reject it loudly
+        require(parsed > 0,
+          s"graft.topk.partialKeyCap must be a positive integer, got $parsed")
+        parsed
+      } else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ord = RowOrdering.create(sortOrder, schema)

@@ -27,6 +27,23 @@ import graft.Tables
   */
 object Relational extends QueryModule {
 
+  /** Per-JVM unique staging token for q54's on-disk text table, with a
+    * shutdown hook that removes the whole staging dir — concurrent gate
+    * runs on one host get disjoint directories and leave nothing behind. */
+  private[queries] lazy val runToken: String = {
+    val tok = java.util.UUID.randomUUID().toString
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-txt-gate-$tok")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    tok
+  }
+
   // ---- relational core: parity with SURVEY.md §2 -------------------------
 
   /** Bare scan (Scan.java:19-109; testcases/query1.sql `SELECT *`). */
@@ -605,8 +622,12 @@ object Relational extends QueryModule {
     * The oracle reads the parquet twin, so the hash match proves the
     * text path is byte-faithful, not just shaped right. */
   private def q54Dsv2TextScan: Q = (s, d) => {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-txt-gate/" +
-      "customer-" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    // per-JVM unique token: two concurrent gate runs on one host never
+    // share a directory (and repeated calls in one session overwrite
+    // rather than accumulate); the shutdown hook clears the staging dir
+    // so nothing persists across runs
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-txt-gate-" +
+      Relational.runToken + "/customer-" + d.replaceAll("[^A-Za-z0-9.]", "_")
     graft.sources.TextTables.write(
       Tables.customer(s, d).select(col("c_custkey").cast(IntegerType),
         col("c_name"), col("c_nationkey"), col("c_mktsegment")), dir)

@@ -8,7 +8,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
@@ -105,8 +107,18 @@ private[sources] class TextWriteBuilder(schema: StructType, path: String)
     // shards would be unreadable under the (rewritten) sidecar — checked
     // here, before any task launches; overwrite replaces the schema.
     if (!doTruncate) {
+      // Only the two "table does not exist yet" shapes mean first-write:
+      // the path itself is absent, or the directory exists with no .det
+      // sidecar. Any OTHER failure (transient fs error, corrupt or
+      // unparseable sidecar) must fail the append — silently skipping
+      // the check would let job commit REPLACE schema.det and strand the
+      // pre-existing shards under a mismatched schema.
       val existing = try Some(TextTables.schemaAt(path)) catch {
-        case _: Exception => None // no table yet: first write defines it
+        case _: java.io.FileNotFoundException => None // no table yet
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("no .det schema sidecar") =>
+          None // directory exists but was never sidecar-committed
       }
       existing.foreach { ex =>
         require(ex.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -142,11 +154,15 @@ private[sources] class TextWrite(schema: StructType, path: String,
     s"GraftTextWrite path: $path, truncate: $truncate"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    TextWriterFactory(path, writeId, schema.fields.map(_.dataType))
+    // executor-side fs access must see the user's session fs settings
+    // (s3a credentials, HA nameservices, …): ship the session Hadoop
+    // conf once per executor as a broadcast, not per-task in the closure
+    TextWriterFactory(path, writeId, schema.fields.map(_.dataType),
+      TextTables.broadcastHadoopConf())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val f = dir.getFileSystem(new Configuration())
+    val f = dir.getFileSystem(TextTables.hadoopConf())
     if (!f.exists(dir)) f.mkdirs(dir)
     val committed = messages.collect { case m: TextFileCommitted => m }
     if (truncate)
@@ -167,7 +183,7 @@ private[sources] class TextWrite(schema: StructType, path: String,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val f = new Path(path).getFileSystem(new Configuration())
+    val f = new Path(path).getFileSystem(TextTables.hadoopConf())
     messages.collect { case m: TextFileCommitted => m }
       .foreach(m => f.delete(new Path(m.tempPath), false))
   }
@@ -177,9 +193,10 @@ private[sources] case class TextFileCommitted(tempPath: String,
     finalPath: String) extends WriterCommitMessage
 
 private[sources] case class TextWriterFactory(path: String, writeId: String,
-    types: Array[DataType]) extends DataWriterFactory {
+    types: Array[DataType],
+    conf: Broadcast[SerializableConfiguration]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TextDataWriter(path, writeId, partitionId, taskId, types)
+    new TextDataWriter(path, writeId, partitionId, taskId, types, conf.value.value)
 }
 
 /** Streams one task's rows to the temp shard, tab-delimited in schema
@@ -188,12 +205,12 @@ private[sources] case class TextWriterFactory(path: String, writeId: String,
   * reference's, so strings must not contain tabs or newlines). */
 private[sources] class TextDataWriter(path: String, writeId: String,
     partitionId: Int, taskId: Long,
-    types: Array[DataType]) extends DataWriter[InternalRow] {
+    types: Array[DataType], hadoopConf: Configuration) extends DataWriter[InternalRow] {
 
   private val finalName = f"part-$partitionId%05d-$writeId.txt"
   private val tempPath = new Path(path, s".$finalName.t$taskId.tmp")
   private val out = {
-    val f = tempPath.getFileSystem(new Configuration())
+    val f = tempPath.getFileSystem(hadoopConf)
     if (!f.exists(tempPath.getParent)) f.mkdirs(tempPath.getParent)
     new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       f.create(tempPath, true), StandardCharsets.UTF_8))
@@ -236,7 +253,7 @@ private[sources] class TextDataWriter(path: String, writeId: String,
 
   override def abort(): Unit = {
     out.close()
-    tempPath.getFileSystem(new Configuration()).delete(tempPath, false)
+    tempPath.getFileSystem(hadoopConf).delete(tempPath, false)
   }
 
   override def close(): Unit = ()
@@ -305,7 +322,7 @@ private[sources] case class TextScan(
   override def createReaderFactory(): PartitionReaderFactory =
     TextReaderFactory(fullSchema.fields.map(f => f.name -> f.dataType),
       required.fieldNames.map(fullSchema.fieldIndex),
-      filters)
+      filters, TextTables.broadcastHadoopConf())
 }
 
 private[sources] case class TextFilePartition(file: String)
@@ -314,11 +331,12 @@ private[sources] case class TextFilePartition(file: String)
 private[sources] case class TextReaderFactory(
     cols: Array[(String, DataType)],
     requiredIdx: Array[Int],
-    filters: Array[Filter]) extends PartitionReaderFactory {
+    filters: Array[Filter],
+    conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new TextPartitionReader(p.asInstanceOf[TextFilePartition].file,
-      cols, requiredIdx, filters)
+      cols, requiredIdx, filters, conf.value.value)
 }
 
 /** Streams one data file line by line: split on tabs, coerce by declared
@@ -334,11 +352,12 @@ private[sources] class TextPartitionReader(
     file: String,
     cols: Array[(String, DataType)],
     requiredIdx: Array[Int],
-    filters: Array[Filter]) extends PartitionReader[InternalRow] {
+    filters: Array[Filter],
+    hadoopConf: Configuration) extends PartitionReader[InternalRow] {
 
   private val in: BufferedReader = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf)
     new BufferedReader(
       new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
   }
@@ -407,11 +426,19 @@ private[sources] object TextFilters {
     case _                        => false
   }
 
+  // accept only when the literal's runtime type matches the column's
+  // declared type — a mismatched pushed filter would otherwise throw
+  // per-row inside the scan; declining keeps it with Spark instead
+  // (defense in depth: Spark's cast insertion makes this hard to reach)
   private def comparable(c: String, v: Any, schema: StructType): Boolean =
-    schema.fieldNames.contains(c) && (v match {
-      case _: Int | _: Float | _: String => true
-      case _                             => false
-    })
+    schema.fields.find(_.name == c).exists { f =>
+      (f.dataType, v) match {
+        case (IntegerType, _: Int)   => true
+        case (FloatType, _: Float)   => true
+        case (StringType, _: String) => true
+        case _                       => false
+      }
+    }
 
   def compile(filters: Array[Filter],
       cols: Array[(String, DataType)]): Array[Any] => Boolean = {
@@ -449,7 +476,23 @@ object TextTables {
     p
   }
 
-  private def fs(p: Path): FileSystem = p.getFileSystem(new Configuration())
+  /** The session's Hadoop configuration (fs credentials, HA nameservices,
+    * custom schemes the user set via spark conf) — falls back to a bare
+    * default only when no session is active (e.g. standalone tooling).
+    * Driver-side metadata ops call [[hadoopConf]]; executor-side readers
+    * and writers receive it once per executor via [[broadcastHadoopConf]]. */
+  private[sources] def hadoopConf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private[sources] def broadcastHadoopConf(): Broadcast[SerializableConfiguration] = {
+    val spark = SparkSession.active
+    spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf())
 
   /** Data files of a table path: for a directory, every visible file
     * that is not the sidecar (the csv writer's `part-*` shards and any

@@ -74,6 +74,21 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("graft.topk.partialKeyCap")
   }
 
+  test("a non-positive partial key cap is rejected, not silently a no-op") {
+    // 0 would disable ALL map-side reduction (pure shuffle) with no
+    // warning — the operator must refuse it
+    Seq("0", "-5", "nonsense").foreach { bad =>
+      spark.conf.set("graft.topk.partialKeyCap", bad)
+      try {
+        val e = intercept[Exception] { nativeForm(3).collect() }
+        def all(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => x.getMessage +: all(x.getCause))
+        assert(all(e).exists(m =>
+          m != null && m.contains("graft.topk.partialKeyCap")), s"cap=$bad: $e")
+      } finally spark.conf.unset("graft.topk.partialKeyCap")
+    }
+  }
+
   test("multi-key grouping and ascending order work") {
     val df = (1 to 200)
       .map(i => (i % 4L, i % 2L, i.toLong, i.toDouble))

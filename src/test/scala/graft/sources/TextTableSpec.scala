@@ -191,6 +191,49 @@ class TextTableSpec extends SparkSpec {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("V2 append fails loudly on a corrupt sidecar instead of replacing it") {
+    val dir = tmp()
+    Seq((1, "a")).toDF("id", "s")
+      .write.format("graft-txt").mode("overwrite").save(dir)
+    val side = new java.io.File(dir, "schema.det")
+    val original = Files.readAllBytes(side.toPath)
+    // out-of-band mutation: drop the LocalFS checksum sibling so the
+    // reader sees the corrupt CONTENT, not a checksum mismatch
+    new java.io.File(dir, ".schema.det.crc").delete()
+    Files.write(side.toPath, "2\n24\nid BOGUS 10 PK 4\ns STRING 5 NK 10\n"
+      .getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      Seq((2, "b")).toDF("id", "s")
+        .write.format("graft-txt").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("BOGUS"), s"unexpected error: ${e.getMessage}")
+    // the append must NOT have run: the corrupt sidecar is untouched and
+    // no new shard appeared beside the original one
+    assert(Files.readAllBytes(side.toPath).sameElements(
+      "2\n24\nid BOGUS 10 PK 4\ns STRING 5 NK 10\n".getBytes("UTF-8")))
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("part-")) == 1)
+    Files.write(side.toPath, original)
+    assert(TextTables.read(spark, dir).collect().map(_.toSeq).toSet ==
+      Set(Seq(1, "a")))
+  }
+
+  test("a type-mismatched literal declines pushdown instead of failing the scan") {
+    import org.apache.spark.sql.sources.EqualTo
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("s", StringType, nullable = false),
+      StructField("v", FloatType, nullable = false)))
+    assert(TextFilters.supports(EqualTo("id", 5), schema))
+    assert(TextFilters.supports(EqualTo("s", "x"), schema))
+    assert(TextFilters.supports(EqualTo("v", 1.5f), schema))
+    // wrong runtime type for the column -> stays with Spark
+    assert(!TextFilters.supports(EqualTo("id", "5"), schema))
+    assert(!TextFilters.supports(EqualTo("s", 7), schema))
+    assert(!TextFilters.supports(EqualTo("v", 1.5), schema)) // Double, not Float
+    assert(!TextFilters.supports(EqualTo("missing", 1), schema))
+  }
+
   test("single-file table with a sibling .det reads too") {
     val dir = tmp()
     val data = new java.io.File(dir, "MINI.txt")

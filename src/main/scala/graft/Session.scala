@@ -25,6 +25,13 @@ object Session {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // cost-based join reorder over ANALYZE TABLE stats — the Catalyst
+      // analogue of the reference's randomized join-order search over
+      // .stat files (RandomOptimizer.java:126-216, PlanCost.java:123-189);
+      // stats are collected once per catalog registration
+      // (Tables.registerAll), and plans without stats are untouched
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -17,11 +17,19 @@ object SparkSqlRunner {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
-  def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
-    if (registered.get(spark) != sfDir) {
-      Tables.registerAll(spark, sfDir)
-      registered.put(spark, sfDir)
+  /** Idempotent per-(session, directory) registration — the ANALYZE pass
+    * in registerAll scans each table once, so callers (the ANSI runner and
+    * the mini-SQL planner) share this cache instead of re-collecting. */
+  def ensureRegistered(spark: SparkSession, sfDir: String): Unit =
+    registered.synchronized {
+      if (registered.get(spark) != sfDir) {
+        Tables.registerAll(spark, sfDir)
+        registered.put(spark, sfDir): Unit
+      }
     }
+
+  def run(spark: SparkSession, sfDir: String, sql: String): DataFrame = {
+    ensureRegistered(spark, sfDir)
     spark.sql(sql)
   }
 }

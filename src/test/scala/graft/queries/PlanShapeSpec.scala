@@ -147,4 +147,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
       s"q48 plans a shuffle or dedup for a bag union:\n$p")
   }
+
+  test("CBO reorders a deliberately mis-ordered 4-table join chain") {
+    // Written worst-first: the two fact tables join before the selective
+    // nation filter ever prunes anything. The reference's RandomOptimizer
+    // exists to fix exactly this (RandomOptimizer.java:126-216, cost from
+    // .stat files); our analogue is CostBasedJoinReorder over ANALYZE
+    // TABLE stats, enabled in Session.local() and fed by
+    // Tables.registerAll. With CBO off the optimized plan keeps the
+    // syntactic order; with CBO on it must differ — and return the same
+    // answer.
+    val sql =
+      """SELECT count(*) AS cnt
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey  = o_orderkey
+        |JOIN customer ON o_custkey   = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_19'""".stripMargin
+    def leafOrder(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.catalogTable.map(_.identifier.table)
+        case _ => None
+      }
+    val cboDf = graft.sql.SparkSqlRunner.run(spark, sf, sql)
+    val cboOrder = leafOrder(cboDf)
+    val cboCount = cboDf.collect().map(_.getLong(0)).toSeq
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    val (syntactic, offCount) =
+      try {
+        val df = graft.sql.SparkSqlRunner.run(spark, sf, sql)
+        (leafOrder(df), df.collect().map(_.getLong(0)).toSeq)
+      } finally spark.conf.set("spark.sql.cbo.enabled", "true")
+    assert(syntactic == Seq("lineitem", "orders", "customer", "nation"),
+      s"baseline plan is not the syntactic order: $syntactic")
+    assert(cboOrder.sorted == syntactic.sorted && cboOrder != syntactic,
+      s"CBO left the mis-ordered chain untouched: $cboOrder")
+    assert(cboCount == offCount && cboCount.head > 0L,
+      s"reorder changed the answer: $cboCount vs $offCount")
+  }
+
+  test("catalog registration leaves row-count and column stats behind") {
+    graft.sql.SparkSqlRunner.ensureRegistered(spark, sf)
+    val stats = spark.table("customer").queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_ > 0), s"no rowCount: $stats")
+    assert(stats.attributeStats.nonEmpty, "no column-level stats")
+  }
 }

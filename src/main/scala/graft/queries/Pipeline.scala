@@ -660,16 +660,24 @@ object Pipeline extends QueryModule {
       substring(h, i * 2 + 1, 2)): _*), 16, 10).cast(IntegerType)
   }
 
-  private def p58WavRealBytes: Q = (s, d) => {
+  /** doc_id + a VALID mono 8-bit PCM WAV payload per document: RIFF/fmt/
+    * data chunks with little-endian fields, samples = the text's UTF-8
+    * bytes, sample rate varying per doc. Shared by p58 (expression-level
+    * header parse-back) and p69 (real decode via javax.sound.sampled). */
+  private def wavPayloads(s: SparkSession, d: String): DataFrame = {
     val data = encode(col("text"), "UTF-8")
     val len = length(data)
     val rate = (lit(8000) + pmod(col("doc_id"), lit(3)) * 4000)
       .cast(IntegerType)
-    val wav = docsBalanced(s, d).select(col("doc_id"),
+    docsBalanced(s, d).select(col("doc_id"),
       concat(tag("RIFF"), le(len + 36, 4), tag("WAVE"),
         tag("fmt "), le(lit(16), 4), le(lit(1), 2), le(lit(1), 2),
         le(rate, 4), le(rate, 4), le(lit(1), 2), le(lit(8), 2),
         tag("data"), le(len, 4), data).as("payload"))
+  }
+
+  private def p58WavRealBytes: Q = (s, d) => {
+    val wav = wavPayloads(s, d)
     // parse the header back from the opaque bytes
     val parsed = wav.select(col("doc_id"), col("payload"),
       lower(hex(substring(col("payload"), 1, 4))).as("riff_hex"),
@@ -701,7 +709,12 @@ object Pipeline extends QueryModule {
     * padding bytes. Width/height vary per doc so no constant folding
     * can fake the parse. Build + parse + row explode are one map; no
     * shuffle at all. */
-  private def p61BmpRealBytes: Q = (s, d) => {
+  /** doc_id + a VALID 24-bit uncompressed BMP payload per document —
+    * "BM" magic, 54-byte header with LE32 dims, pixel rows bottom-up and
+    * stride-padded; pixel bytes from the text's UTF-8 hex. Dimensions
+    * vary per doc so no constant folding can fake a parse. Shared by p61
+    * (expression-level parse-back) and p68 (real decode via ImageIO). */
+  private def bmpPayloads(s: SparkSession, d: String): DataFrame = {
     val w = (lit(4) + pmod(col("doc_id"), lit(3))).cast(IntegerType)
     val h = (lit(2) + pmod(col("doc_id"), lit(2))).cast(IntegerType)
     val rowBytes = w * 3
@@ -722,12 +735,16 @@ object Pipeline extends QueryModule {
         padHex)))
     val pixData = aggregate(fileRows,
       lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
-    val bmp = docsBalanced(s, d).select(col("doc_id"),
+    docsBalanced(s, d).select(col("doc_id"),
       concat(tag("BM"), le(lit(54) + h * stride, 4), le(lit(0), 4),
         le(lit(54), 4),
         le(lit(40), 4), le(w, 4), le(h, 4), le(lit(1), 2), le(lit(24), 2),
         le(lit(0), 4), le(h * stride, 4), le(lit(2835), 4), le(lit(2835), 4),
         le(lit(0), 4), le(lit(0), 4), pixData).as("payload"))
+  }
+
+  private def p61BmpRealBytes: Q = (s, d) => {
+    val bmp = bmpPayloads(s, d)
     // parse back from the opaque bytes only
     val p = col("payload")
     val parsed = bmp.select(col("doc_id"), p,
@@ -753,6 +770,33 @@ object Pipeline extends QueryModule {
       round(aggregate(byteVals, lit(0L), (a, v) => a + v)
         .cast(DoubleType) / rb, 6).as("row_mean"))
   }
+
+  /** REAL image decode: the valid BMPs of [[bmpPayloads]] go through the
+    * JDK's `javax.imageio.ImageIO` ([[graft.operators.MultimodalDecode
+    * .decodeImages]]) — an actual registered codec walks the header,
+    * stride and bottom-up row order, and the decoded channel bytes are
+    * averaged. The oracle recomputes width/height/mean straight from the
+    * text's hex, so a decoder-plumbing bug (stride, row flip, channel
+    * order, padding leaking into the mean) flips the hash. One map-side
+    * decode per partition; no shuffle. */
+  private def p68BmpImageioDecode: Q = (s, d) =>
+    graft.operators.MultimodalDecode.decodeImages(bmpPayloads(s, d))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        round(col("mean_pixel"), 6).as("mean_pixel"))
+
+  /** REAL audio decode: the valid WAVs of [[wavPayloads]] go through the
+    * JDK's `javax.sound.sampled.AudioSystem` ([[graft.operators
+    * .MultimodalDecode.decodeAudio]]); sample rate / channels / bit
+    * depth come from the decoder's AudioFormat — not re-parsed from the
+    * bytes — and the mean over the drained PCM samples must equal the
+    * mean the oracle computes from the text's bytes directly. */
+  private def p69WavAudioDecode: Q = (s, d) =>
+    graft.operators.MultimodalDecode.decodeAudio(wavPayloads(s, d))
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("bits"), col("n_samples"),
+        round(col("mean_sample"), 6).as("mean_sample"))
 
   /** Deterministic train/val/test split: each doc's bucket comes from the
     * portable content-independent hash of its id — 80/10/10, stable across
@@ -2419,6 +2463,8 @@ object Pipeline extends QueryModule {
     "p63_snapshot_diff" -> p63SnapshotDiff,
     "p62_bpe_merges" -> p62BpeMerges,
     "p61_bmp_real_bytes" -> p61BmpRealBytes,
+    "p68_bmp_imageio_decode" -> p68BmpImageioDecode,
+    "p69_wav_audio_decode" -> p69WavAudioDecode,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -2644,6 +2690,42 @@ object Pipeline extends QueryModule {
         |  CAST(24 AS INT) AS bpp,
         |  round(CAST(SUM(bv) AS DOUBLE) / rowbytes, 6) AS row_mean
         |FROM b GROUP BY doc_id, img_row, width, height, rowbytes""".stripMargin,
+    // the ImageIO decode must agree with the mean computed straight from
+    // the text bytes that became the pixels (padding excluded): the real
+    // codec's stride/row-flip/channel handling is checked against pure SQL
+    "p68_bmp_imageio_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 3 AS INT) AS width,
+        |    CAST(2 + doc_id % 2 AS INT) AS height,
+        |    lower(hex(text)) AS hx FROM documents),
+        |px AS (SELECT doc_id, width, height, width*3*height AS npix,
+        |    substr(hx, 1, height*width*6)
+        |      || repeat('0', greatest(0, height*width*6 - len(hx)))
+        |      AS pixhex
+        |  FROM p),
+        |b AS (SELECT doc_id, width, height, npix,
+        |    CAST('0x' || substr(pixhex, j*2+1, 2) AS BIGINT) AS bv
+        |  FROM px, unnest(generate_series(0, npix-1)) v(j))
+        |SELECT doc_id, width, height,
+        |  round(CAST(SUM(bv) AS DOUBLE) / npix, 6) AS mean_pixel
+        |FROM b GROUP BY doc_id, width, height, npix""".stripMargin,
+    // AudioSystem's decoded stream must return exactly the text's UTF-8
+    // bytes as unsigned 8-bit samples, and its AudioFormat must report
+    // the per-doc sample rate the WAV header declared
+    "p69_wav_audio_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    lower(hex(text)) AS hx FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST('0x' || substr(hx, j*2+1, 2) AS BIGINT) AS bv
+        |  FROM d, unnest(generate_series(0, len(hx)//2 - 1)) v(j)),
+        |t AS (SELECT doc_id, SUM(bv) AS s, COUNT(*) AS cnt
+        |  FROM b GROUP BY doc_id)
+        |SELECT d.doc_id, d.sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(8 AS INT) AS bits,
+        |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_samples,
+        |  round(CAST(t.s AS DOUBLE) / t.cnt, 6) AS mean_sample
+        |FROM d LEFT JOIN t ON d.doc_id = t.doc_id""".stripMargin,
     "p60_pack_whole_docs" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
          |  FROM documents),

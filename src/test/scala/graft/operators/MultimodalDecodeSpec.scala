@@ -33,6 +33,67 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(frames.map(_.luma).toSeq == Seq(97.0, 98.0)) // 'a'=97, 'b'=98
   }
 
+  // a 2x2 24-bit BMP built by hand: stride 8 (2*3 rounded to 4-byte
+  // boundary), rows bottom-up; image row 0 = pixels (1,2,3)(4,5,6),
+  // image row 1 = (7,8,9)(10,11,12)
+  private def tinyBmp: Array[Byte] = {
+    def le(v: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val bottomRow = Array[Byte](7, 8, 9, 10, 11, 12, 0, 0)
+    val topRow = Array[Byte](1, 2, 3, 4, 5, 6, 0, 0)
+    "BM".getBytes ++ le(54 + 16, 4) ++ le(0, 4) ++ le(54, 4) ++
+      le(40, 4) ++ le(2, 4) ++ le(2, 4) ++ le(1, 2) ++ le(24, 2) ++
+      le(0, 4) ++ le(16, 4) ++ le(2835, 4) ++ le(2835, 4) ++
+      le(0, 4) ++ le(0, 4) ++ topRow ++ bottomRow
+  }
+
+  test("ImageIO decodes a real BMP: dims and exact channel mean") {
+    val img = MultimodalDecode.decodeImages(
+      Seq((7L, tinyBmp)).toDF("doc_id", "payload")).collect()
+    assert(img.length == 1)
+    assert(img.head.width == 2 && img.head.height == 2)
+    // mean over all 12 channel bytes 1..12 = 6.5 exactly
+    assert(img.head.mean_pixel == 6.5)
+  }
+
+  test("undecodable and null image payloads are skipped, not fatal") {
+    val rows = MultimodalDecode.decodeImages(Seq(
+      (1L, Some(tinyBmp)),
+      (2L, Some("not an image at all".getBytes("UTF-8"))),
+      (3L, None),
+      (4L, Some(tinyBmp.take(20))), // truncated header
+    ).toDF("doc_id", "payload")).collect()
+    assert(rows.map(_.doc_id).toSeq == Seq(1L))
+  }
+
+  // an 8-bit mono PCM WAV with samples 10, 20, 30 at 8000 Hz
+  private def tinyWav: Array[Byte] = {
+    def le(v: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    "RIFF".getBytes ++ le(3 + 36, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(1, 2) ++
+      le(8000, 4) ++ le(8000, 4) ++ le(1, 2) ++ le(8, 2) ++
+      "data".getBytes ++ le(3, 4) ++ Array[Byte](10, 20, 30)
+  }
+
+  test("AudioSystem decodes a real WAV: format fields and exact mean") {
+    val a = MultimodalDecode.decodeAudio(
+      Seq((9L, tinyWav)).toDF("doc_id", "payload")).collect()
+    assert(a.length == 1)
+    assert(a.head.sample_rate == 8000 && a.head.channels == 1 &&
+      a.head.bits == 8 && a.head.n_samples == 3L)
+    assert(a.head.mean_sample.contains(20.0))
+  }
+
+  test("undecodable audio payloads are skipped, not fatal") {
+    val rows = MultimodalDecode.decodeAudio(Seq(
+      (1L, Some(tinyWav)),
+      (2L, Some("definitely not audio".getBytes("UTF-8"))),
+      (3L, None),
+    ).toDF("doc_id", "payload")).collect()
+    assert(rows.map(_.doc_id).toSeq == Seq(1L))
+  }
+
   test("decode runs partition-parallel and adds no shuffle of its own") {
     val many = (1 to 64).map(i => (i.toLong, s"payload-$i".getBytes("UTF-8")))
       .toDF("doc_id", "payload").repartition(8)

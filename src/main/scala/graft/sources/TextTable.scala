@@ -17,6 +17,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, FloatType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -82,7 +83,7 @@ private[sources] class TextTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TextScanBuilder(tableSchema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -150,6 +151,19 @@ private[sources] class TextWrite(schema: StructType, path: String,
 
   override def toBatch: BatchWrite = this
 
+  /** Micro-batch streaming sink over the same two-phase commit. Shard
+    * names carry the EPOCH instead of a random write id, so a replayed
+    * epoch (restart after a crash between sink commit and checkpoint
+    * advance) rewrites the very same final names instead of duplicating
+    * rows — per-epoch idempotence, which with deterministic batches is
+    * the file-sink exactly-once story. Append only: Complete-mode
+    * truncation per epoch would discard prior epochs' data. */
+  override def toStreaming: StreamingWrite = {
+    require(!truncate,
+      "graft-txt streaming write supports Append output mode only")
+    new TextStreamingWrite(schema, path)
+  }
+
   override def description(): String =
     s"GraftTextWrite path: $path, truncate: $truncate"
 
@@ -160,7 +174,20 @@ private[sources] class TextWrite(schema: StructType, path: String,
     TextWriterFactory(path, writeId, schema.fields.map(_.dataType),
       TextTables.broadcastHadoopConf())
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    TextWrite.commitShards(schema, path, truncate, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TextWrite.abortShards(path, messages)
+}
+
+private[sources] object TextWrite {
+  /** Job/epoch commit shared by the batch and streaming paths: optionally
+    * clear the previous generation, rename every temp shard into place
+    * (idempotently — a shard already renamed by an earlier commit attempt
+    * is left as-is), then write the `.det` sidecar last. */
+  def commitShards(schema: StructType, path: String, truncate: Boolean,
+      messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val f = dir.getFileSystem(TextTables.hadoopConf())
     if (!f.exists(dir)) f.mkdirs(dir)
@@ -170,8 +197,6 @@ private[sources] class TextWrite(schema: StructType, path: String,
     committed.foreach { m =>
       val dst = new Path(m.finalPath)
       val tmp = new Path(m.tempPath)
-      // idempotent re-commit: a shard already renamed by an earlier
-      // commit attempt (temp gone, final present) is left as-is
       if (f.exists(tmp)) {
         f.delete(dst, false)
         require(f.rename(tmp, dst),
@@ -182,11 +207,40 @@ private[sources] class TextWrite(schema: StructType, path: String,
     TextTables.writeSidecar(schema, path)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  def abortShards(path: String, messages: Array[WriterCommitMessage]): Unit = {
     val f = new Path(path).getFileSystem(TextTables.hadoopConf())
     messages.collect { case m: TextFileCommitted => m }
       .foreach(m => f.delete(new Path(m.tempPath), false))
   }
+}
+
+/** Epoch-addressed streaming flavor of [[TextWrite]]: one commit per
+  * micro-batch, shards named `part-<partition>-epoch-<epoch>.txt`. */
+private[sources] class TextStreamingWrite(schema: StructType, path: String)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    TextStreamingWriterFactory(path, schema.fields.map(_.dataType),
+      TextTables.broadcastHadoopConf())
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    TextWrite.commitShards(schema, path, truncate = false, messages)
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    TextWrite.abortShards(path, messages)
+}
+
+private[sources] case class TextStreamingWriterFactory(path: String,
+    types: Array[DataType],
+    conf: Broadcast[SerializableConfiguration])
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new TextDataWriter(path, f"part-$partitionId%05d-epoch-$epochId.txt",
+      taskId, types, conf.value.value)
 }
 
 private[sources] case class TextFileCommitted(tempPath: String,
@@ -196,18 +250,18 @@ private[sources] case class TextWriterFactory(path: String, writeId: String,
     types: Array[DataType],
     conf: Broadcast[SerializableConfiguration]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TextDataWriter(path, writeId, partitionId, taskId, types, conf.value.value)
+    new TextDataWriter(path, f"part-$partitionId%05d-$writeId.txt",
+      taskId, types, conf.value.value)
 }
 
 /** Streams one task's rows to the temp shard, tab-delimited in schema
   * order (Int/Float via toString — the exact strings the reader's
   * toInt/toFloat round-trip; the format has no escaping, like the
   * reference's, so strings must not contain tabs or newlines). */
-private[sources] class TextDataWriter(path: String, writeId: String,
-    partitionId: Int, taskId: Long,
+private[sources] class TextDataWriter(path: String, finalName: String,
+    taskId: Long,
     types: Array[DataType], hadoopConf: Configuration) extends DataWriter[InternalRow] {
 
-  private val finalName = f"part-$partitionId%05d-$writeId.txt"
   private val tempPath = new Path(path, s".$finalName.t$taskId.tmp")
   private val out = {
     val f = tempPath.getFileSystem(hadoopConf)

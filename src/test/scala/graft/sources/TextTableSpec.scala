@@ -234,6 +234,78 @@ class TextTableSpec extends SparkSpec {
     assert(!TextFilters.supports(EqualTo("missing", 1), schema))
   }
 
+  test("streaming V2 sink appends exactly-once across a restart") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val root = Files.createTempDirectory("graft-txt-stream")
+    val (src, out, chk) = (s"$root/src", s"$root/out", s"$root/chk")
+    Files.createDirectories(Paths.get(src))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    // the streaming sink APPENDS to an existing table (schema inference
+    // reads the sidecar) — create it with an empty V2 batch write
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.format("graft-txt").mode("overwrite").save(out)
+    def drop(name: String, ids: Seq[Int]): Unit = {
+      val tmpDir = s"$root/tmp-$name"
+      ids.map(i => (i, s"row-$i")).toDF("id", "s")
+        .coalesce(1).write.parquet(tmpDir)
+      val part = Paths.get(tmpDir).toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.move(part, Paths.get(s"$src/$name.parquet"),
+        StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("graft-txt")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000))
+      assert(q.exception.isEmpty, q.exception.toString)
+    }
+    drop("b1", Seq(1, 2, 3))
+    runOnce()
+    assert(TextTables.read(spark, out).count() == 3)
+    drop("b2", Seq(4, 5))
+    runOnce()
+    // the restart consumed ONLY the new file: 5 rows, no b1 re-append
+    val back = TextTables.read(spark, out)
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1))).sorted
+      .toSeq == (1 to 5).map(i => (i, s"row-$i")))
+    // streaming shards are epoch-addressed, so a replayed epoch would
+    // overwrite its own files instead of duplicating rows (the uuid-named
+    // empty shard is the initial batch write's)
+    val shards = Paths.get(out).toFile.listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(shards.count(_.contains("-epoch-")) == 2, shards.mkString(", "))
+  }
+
+  test("streaming V2 sink refuses Complete output mode") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
+    val dir = tmp()
+    val e = intercept[Exception] {
+      val q = in.toDF().toDF("id", "s")
+        .groupBy("id").agg(first("s").as("s"))
+        .writeStream.format("graft-txt")
+        .option("path", dir)
+        .option("checkpointLocation", s"$dir-chk")
+        .outputMode(OutputMode.Complete())
+        .start()
+      try { in.addData((1, "a")); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def all(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ all(x.getCause))
+    assert(all(e).exists(m => m.contains("Append") ||
+      m.contains("Complete") || m.contains("Truncate")), e.toString)
+  }
+
   test("single-file table with a sibling .det reads too") {
     val dir = tmp()
     val data = new java.io.File(dir, "MINI.txt")

@@ -74,6 +74,39 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset("graft.topk.partialKeyCap")
   }
 
+  test("final pass degrades to spillable sort past the key cap, exactly") {
+    // 20k distinct keys against a cap of 16: every final task overflows
+    // its heap map almost immediately and must take the external-sort
+    // path — with the heap map this shape would hold all 20k keys per
+    // task in memory; degraded, memory is the sorter's task allocation
+    // and the answer must not change
+    val df = (1 to 60000)
+      .map(i => (i % 20000L, i.toLong, (i % 11).toDouble))
+      .toDF("c_nationkey", "c_custkey", "c_acctbal")
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    spark.conf.set("graft.topk.finalKeyCap", "16")
+    try {
+      val got = topK(df, Seq("c_nationkey"),
+        Seq("c_acctbal" -> false, "c_custkey" -> true), 2)
+      // still the native two-phase plan — the degrade is inside the task
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKeyFinal"), plan)
+      assert(asSet(got) == asSet(expect))
+    } finally spark.conf.unset("graft.topk.finalKeyCap")
+  }
+
+  test("degraded and heap paths agree on the real table") {
+    spark.conf.set("graft.topk.finalKeyCap", "1")
+    try {
+      Seq(1, 3).foreach { k =>
+        assert(asSet(nativeForm(k)) == asSet(windowForm(k)), s"k=$k degraded")
+      }
+    } finally spark.conf.unset("graft.topk.finalKeyCap")
+  }
+
   test("a non-positive partial key cap is rejected, not silently a no-op") {
     // 0 would disable ALL map-side reduction (pure shuffle) with no
     // warning — the operator must refuse it

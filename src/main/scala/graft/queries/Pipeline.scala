@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Exact._
+import graft.Stage.StageOps
 import graft.Tables
 import graft.functions.Portable._
 import graft.functions.VectorDot.vdot
@@ -78,7 +79,7 @@ object Pipeline extends QueryModule {
   private def candidatePairs(bands: DataFrame,
       materialize: Boolean): DataFrame = {
     val capped0 = capBuckets(bands)
-    val capped = if (materialize) capped0.localCheckpoint(false) else capped0
+    val capped = if (materialize) capped0.staged else capped0
     capped.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       .join(capped.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("band", "bkey"))
@@ -196,7 +197,7 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"),
         col("shset"), size(col("shset")).as("n"))
-      .localCheckpoint(false)
+      .staged
   }
 
   /** Band rows (carry..., band, bkey) off any frame with a `sig` array
@@ -283,7 +284,7 @@ object Pipeline extends QueryModule {
     * bucketed-not-all-pairs shape as the MinHash path, over a 4x smaller
     * sketch. */
   private def p12SimhashPairs: Q = (s, d) => {
-    val fp = simhashFp(s, d).localCheckpoint(false)
+    val fp = simhashFp(s, d).staged
     val bands = fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey", expr("shiftright(simhash, band * 8) & 255"))
@@ -389,7 +390,7 @@ object Pipeline extends QueryModule {
       .withColumn("arnk", row_number().over(wAssign))
       .filter(col("arnk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-      .localCheckpoint(false)
+      .staged
   }
 
   private def p20AnnIvf: Q = (s, d) => {
@@ -1177,7 +1178,7 @@ object Pipeline extends QueryModule {
     val sig = sh.groupBy("doc_id").agg(
       min(hashFamFrom(0, col("h1"), col("h2"))).as("b0"),
       min(hashFamFrom(1, col("h1"), col("h2"))).as("b1"))
-      .localCheckpoint(false)
+      .staged
     // not materialized (unlike p02's band table): A/B-timed slower here —
     // the sig checkpoint above already truncates the expensive subtree,
     // and a second materialization barrier just serializes the stages.
@@ -1283,10 +1284,10 @@ object Pipeline extends QueryModule {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .localCheckpoint(false)
+      .staged
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .localCheckpoint(false)
+      .staged
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -1303,7 +1304,7 @@ object Pipeline extends QueryModule {
         .select(col("doc_id"), col("plbl").as("lbl"))
       val next = labels.union(viaNeighbor).union(viaParent)
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+        .staged
       converged = next
         .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
         .filter(col("lbl") < col("old"))
@@ -1589,7 +1590,7 @@ object Pipeline extends QueryModule {
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("qv"),
         col("mns"), col("mxs"))
-      .localCheckpoint(false)
+      .staged
   }
 
   /** Int8 scalar quantization + quantized ANN with exact re-rank — the
@@ -1973,12 +1974,12 @@ object Pipeline extends QueryModule {
     // agg, the df count, and the index side all read it (the p02
     // signature-table pattern — without this the corpus-wide explode +
     // dedup shuffle runs three times)
-    val sh = simhashFeatures(s, d).localCheckpoint(false)
+    val sh = simhashFeatures(s, d).staged
     val sets = sh.groupBy("doc_id")
       .agg(collect_set(col("hv")).as("st"))
       .select(col("doc_id"), col("st"), size(col("st")).cast(LongType).as("n"),
         slice(array_sort(col("st")), 1, ContainProbeK).as("probes"))
-      .localCheckpoint(false)
+      .staged
     val rare = sh.groupBy("hv").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap).select("hv")
     val index = sh.join(rare, "hv")
@@ -2016,7 +2017,7 @@ object Pipeline extends QueryModule {
     * loop over DataFrames, state never leaves the cluster. */
   private def p53KmeansCells: Q = (s, d) => {
     val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
-      .localCheckpoint(false)
+      .staged
     def sqdist(a: Column, b: Column): Column =
       vdotl(a, a) - lit(2L) * vdotl(a, b) + vdotl(b, b)
     def assign(cents: DataFrame): DataFrame = {
@@ -2076,7 +2077,7 @@ object Pipeline extends QueryModule {
     val pairs = p02MinhashNearDup(s, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct().localCheckpoint(false)
+      .distinct().staged
     val within2 = edges.select(col("doc_a").as("src"), col("doc_b").as("mid"))
       .join(edges.select(col("doc_a").as("mid"), col("doc_b").as("dst")),
         "mid")
@@ -2244,7 +2245,7 @@ object Pipeline extends QueryModule {
     val wf = words
       .withColumn("l", split(col("w"), ""))
       .select("w", "freq", "l")
-      .localCheckpoint(false)
+      .staged
     def winnerOf(syms: DataFrame): DataFrame = syms
       .select(col("freq"),
         explode(when(size(col("l")) >= 2,
@@ -2257,7 +2258,7 @@ object Pipeline extends QueryModule {
       .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
     val (syms, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
       case ((s0, acc), _) =>
-        val win = winnerOf(s0).localCheckpoint(false)
+        val win = winnerOf(s0).staged
         (bpeApplyMerge(s0, win, Seq("w", "freq", "l")), acc :+ win)
     }
     (winners, syms)
@@ -2318,7 +2319,7 @@ object Pipeline extends QueryModule {
     val wf = words
       .withColumn("l", split(col("w"), ""))
       .select("g", "freq", "l")
-      .localCheckpoint(false)
+      .staged
     def winnersOf(syms: DataFrame): DataFrame = syms
       .select(col("g"), col("freq"),
         explode(when(size(col("l")) >= 2,
@@ -2337,7 +2338,7 @@ object Pipeline extends QueryModule {
       .select("g", "freq", "l")
     val (_, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
       case ((syms, acc), r) =>
-        val win = winnersOf(syms).localCheckpoint(false)
+        val win = winnersOf(syms).staged
         (applyMerge(syms, win), acc :+ win.select(col("g"),
           lit(r).as("round"), col("a").as("left_sym"), col("b").as("right_sym"),
           concat(col("a"), col("b")).as("merged"), col("cnt")))
@@ -2360,7 +2361,7 @@ object Pipeline extends QueryModule {
   private def p65IncrementalNearDedup: Q = (s, d) => {
     val sig = minhashSig(s, d)
     val isNew = pmod(col("doc_id"), lit(10)) === 0
-    val capped = capBuckets(bandRowsOf(sig)).localCheckpoint(false)
+    val capped = capBuckets(bandRowsOf(sig)).staged
     val cand = capped.filter(isNew)
       .select(col("band"), col("bkey"), col("doc_id").as("new_id"))
       .join(capped.filter(!isNew)

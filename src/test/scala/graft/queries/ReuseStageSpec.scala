@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The staging switch (`graft.stage.materialize`, graft.Stage): every
+  * mode must return the same rows for a query whose plan REUSES the
+  * staged subtree — the switch trades failure recovery for speed, never
+  * answers. `reliable` must actually write checkpoint files (the
+  * cluster-grade story: executor loss recovers from the checkpoint
+  * instead of failing the job, unlike pinned localCheckpoint blocks). */
+class ReuseStageSpec extends SparkSpec {
+
+  // a pipeline query whose implementation stages a reused subtree
+  // (p02's capped band table feeds both sides of the candidate join)
+  private def run(): Set[Seq[Any]] =
+    Pipeline.queries("p02_minhash_neardup")(spark, sf)
+      .collect().map(_.toSeq).toSet
+
+  test("all staging modes agree with the default") {
+    val expect = run() // default: local
+    Seq("reliable", "persist", "none").foreach { mode =>
+      spark.conf.set("graft.stage.materialize", mode)
+      try assert(run() == expect, s"mode=$mode diverged")
+      finally spark.conf.unset("graft.stage.materialize")
+    }
+  }
+
+  test("reliable mode writes recoverable checkpoint files") {
+    spark.conf.set("graft.stage.materialize", "reliable")
+    try {
+      val staged = graft.Stage.materialize(
+        Tables(spark, sf, "nation").select(col("n_nationkey")))
+      assert(staged.count() == 25)
+      val dir = spark.sparkContext.getCheckpointDir
+      assert(dir.isDefined, "no checkpoint dir was set")
+      val files = new java.io.File(new java.net.URI(dir.get))
+      def any(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(any))
+      assert(any(files), s"no checkpoint data under $dir")
+    } finally spark.conf.unset("graft.stage.materialize")
+  }
+
+  test("an unknown staging mode is rejected loudly") {
+    spark.conf.set("graft.stage.materialize", "bogus")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.Stage.materialize(Tables(spark, sf, "nation"))
+      }
+      assert(e.getMessage.contains("graft.stage.materialize"))
+    } finally spark.conf.unset("graft.stage.materialize")
+  }
+
+  private def Tables = graft.Tables
+}

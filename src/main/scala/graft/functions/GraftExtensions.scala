@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDotLong)
     ext.injectFunction(GraftExtensions.simHashAgg)
     ext.injectFunction(GraftExtensions.hllAgg)
+    ext.injectFunction(GraftExtensions.mgSketch)
     ext.injectFunction(GraftExtensions.hash60)
     // generator (UDTF) category: usable in LATERAL VIEW / generator position
     ext.injectFunction(GraftExtensions.shingleRows)
@@ -71,6 +72,22 @@ object GraftExtensions {
       require(children.length == 1,
         s"hll_agg requires exactly 1 argument, got ${children.length}")
       HllAgg(children.head)
+    })
+
+  val mgSketch: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mg_sketch"),
+    new ExpressionInfo(classOf[MgAgg].getName, "mg_sketch"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"mg_sketch requires exactly 2 arguments, got ${children.length}")
+      require(children(1).foldable,
+        "mg_sketch's second argument (k counters) must be a literal")
+      val k = children(1).eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"mg_sketch k must be an integer literal, got $other")
+      }
+      MgAgg(children.head, k)
     })
 
   val vectorDotLong: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -2140,6 +2140,39 @@ object Pipeline extends QueryModule {
           .as("rel_err"))
   }
 
+  /** Two-phase heavy hitters: which tokens exceed 1/128 of the corpus?
+    * Phase 1 runs the native [[graft.functions.MgAgg]] Misra–Gries
+    * sketch (k = 256 counters) in ONE aggregation pass alongside the
+    * exact total — bounded state, so partials carry ≤ 256 entries per
+    * task and the vocabulary NEVER shuffles (a plain
+    * `groupBy(token).count` would shuffle every distinct token in a
+    * 100 TB corpus just to discard all but the hot ones). Phase 2
+    * re-scans with the ≤ 256 candidates broadcast, recounts ONLY them
+    * (map-side filter, then a ≤ 256-key shuffle), and keeps tokens with
+    * cnt·128 ≥ n. Because MG guarantees every token with frequency
+    * > n/257 is in the candidate set, the filtered output is EXACTLY
+    * the ≥ n/128 set on any partitioning — sketch nondeterminism below
+    * the threshold never reaches the result, which is what makes an
+    * exact DuckDB oracle possible for a sketch-powered query. */
+  // 256 MG counters guarantee candidates down to 1/257 of the corpus —
+  // safely below the 1/128 report threshold
+  private val HhSketchK = 256
+  private val HhDen = 128
+
+  private def p70HeavyHitters: Q = (s, d) => {
+    def toks = docsBalanced(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sk = toks.agg(
+      count(lit(1)).as("n"),
+      graft.functions.MgAgg.mgAgg(col("token"), HhSketchK).as("cands"))
+    val cand = sk.select(col("n"), explode(col("cands")).as("token"))
+    toks.join(broadcast(cand), "token")
+      .groupBy(col("token"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(HhDen) >= col("n"))
+      .select(col("token"), col("cnt"))
+  }
+
   /** Per-language shingle vocabulary profile, rows produced by the
     * native [[graft.functions.ShingleRows]] generator (the UDTF-category
     * Catalyst extension) instead of the explode(sequence)+element_at
@@ -2466,6 +2499,7 @@ object Pipeline extends QueryModule {
     "p61_bmp_real_bytes" -> p61BmpRealBytes,
     "p68_bmp_imageio_decode" -> p68BmpImageioDecode,
     "p69_wav_audio_decode" -> p69WavAudioDecode,
+    "p70_heavy_hitters" -> p70HeavyHitters,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -2727,6 +2761,16 @@ object Pipeline extends QueryModule {
         |  CAST(coalesce(t.cnt, 0) AS BIGINT) AS n_samples,
         |  round(CAST(t.s AS DOUBLE) / t.cnt, 6) AS mean_sample
         |FROM d LEFT JOIN t ON d.doc_id = t.doc_id""".stripMargin,
+    // the exact twin of the sketch-powered two-phase query: MG
+    // guarantees every >= n/128 token reaches the recount, so plain
+    // GROUP BY ... HAVING is the full answer
+    "p70_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($sqlToks) AS token FROM documents),
+         |tot AS (SELECT COUNT(*) AS n FROM tk)
+         |SELECT token, COUNT(*) AS cnt
+         |FROM tk, tot
+         |GROUP BY token, tot.n
+         |HAVING COUNT(*) * $HhDen >= tot.n""".stripMargin,
     "p60_pack_whole_docs" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
          |  FROM documents),

@@ -2173,6 +2173,96 @@ object Pipeline extends QueryModule {
       .select(col("token"), col("cnt"))
   }
 
+  /** Supervised curation classifier — multinomial naive Bayes with
+    * Laplace smoothing, TRAINED on a deterministic 90% hash slice and
+    * APPLIED to the held-out 10%, reported as a language confusion
+    * census. The trained-model family the heuristic quality scores
+    * (p06/p31/p45) and the fixed-profile language ID (p22) don't cover:
+    * the model is LEARNED from labeled data, the way production curation
+    * classifiers (fastText/CCNet-style) are.
+    *
+    * Exactness across engines refines p51's quantized-log trick to 16
+    * fractional bits: [[qlog2]] is the piecewise-LINEAR log2
+    * (bitlen−1)·2^16 + (x·2^16 div 2^(bitlen−1)) − 2^16 — monotone,
+    * pure integer arithmetic (the divisor is a power of two, so even the
+    * double-typed division path is IEEE-exact: the quotient has ≤ 17
+    * significant bits), and fine enough that the classifier actually
+    * classifies (the 1-bit bitlen form predicts one class for
+    * everything). Every score is an exact integer sum —
+    * score(d, c) = qlog2(docs_c) + Σ_t qlog2(cnt_{c,t}+1)
+    * − n_d·qlog2(tot_c + V) — and argmax (score DESC, lang ASC tiebreak,
+    * planned through the native top-k operator via the rn=1 rewrite) is
+    * engine-independent.
+    *
+    * Scale shape: training is ONE (lang, token)-keyed count shuffle (the
+    * model table — vocab×|classes| rows, a TABLE at 100 TB, not a
+    * broadcast); class totals/priors/vocab-size reduce to ≤|classes|-row
+    * broadcasts; scoring explodes held-out tokens ×|classes| map-side
+    * (|classes| = 5) and pays ONE keyed join against the model, then
+    * per-(doc, class) and per-doc aggregations. Nothing corpus-sized is
+    * ever windowed globally or collected. */
+  /** Piecewise-linear log2 with 16 fractional bits over a positive
+    * integer column — exact, monotone, engine-portable (see
+    * p71NbClassifier). qlog2(1)=0, qlog2(2)=65536, qlog2(3)=98304. */
+  private def qlog2(x: Column): Column = {
+    val m = length(bin(x)).cast(LongType)
+    val p = pow(lit(2.0), (m - lit(1L)).cast(DoubleType))
+    val a = x * lit(65536L)
+    val q = ((a - pmod(a, p.cast(LongType))).cast(DoubleType) / p)
+      .cast(LongType)
+    (m - lit(1L)) * lit(65536L) + q - lit(65536L)
+  }
+
+  private def p71NbClassifier: Q = (s, d) =>
+    nbClassifyCensus(Tables.documents(s, d)
+      .withColumn("is_test",
+        pmod(h60(col("doc_id").cast(StringType)), lit(10)) === 9))
+
+  /** The p71 core over any `(doc_id, lang, text, is_test)` frame —
+    * NbClassifierSpec feeds a class-separable corpus through it and
+    * asserts the census is diagonal (the driver corpus's lang labels are
+    * uncorrelated with its text, so the GATE exercises cross-engine
+    * exactness while the spec proves the model actually learns). */
+  private[queries] def nbClassifyCensus(docs: DataFrame): DataFrame = {
+    def toksOf(df: DataFrame) = df
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+    val trainToks = toksOf(docs.filter(!col("is_test")))
+    // the model: per-(class, token) occurrence counts — one keyed shuffle
+    val model = trainToks.groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+    // per-class stats: token totals + doc priors + shared vocab size, all
+    // ≤|classes| rows (broadcast-able by AQE at any corpus size)
+    val vsize = model.select(countDistinct(col("token")).as("v"))
+    val classStats = model.groupBy("lang")
+      .agg(sum(col("cnt")).as("tot"))
+      .join(docs.filter(!col("is_test")).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs")), "lang")
+      .crossJoin(vsize)
+      .select(col("lang").as("cls"),
+        qlog2(col("n_docs")).as("q_prior"),
+        qlog2(col("tot") + col("v")).as("q_den"))
+    val scored = toksOf(docs.filter(col("is_test")))
+      .withColumnRenamed("lang", "actual")
+      .crossJoin(broadcast(classStats))
+      .join(model.withColumnRenamed("lang", "cls"),
+        Seq("cls", "token"), "left_outer")
+      .groupBy(col("doc_id"), col("actual"), col("cls"),
+        col("q_prior"), col("q_den"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(qlog2(coalesce(col("cnt"), lit(0L)) + lit(1L))).as("q_num"))
+      .select(col("doc_id"), col("actual"), col("cls"),
+        (col("q_prior") + col("q_num") - col("n_tok") * col("q_den"))
+          .as("score"))
+    val pred = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cls"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    pred.groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Per-language shingle vocabulary profile, rows produced by the
     * native [[graft.functions.ShingleRows]] generator (the UDTF-category
     * Catalyst extension) instead of the explode(sequence)+element_at
@@ -2500,6 +2590,7 @@ object Pipeline extends QueryModule {
     "p68_bmp_imageio_decode" -> p68BmpImageioDecode,
     "p69_wav_audio_decode" -> p69WavAudioDecode,
     "p70_heavy_hitters" -> p70HeavyHitters,
+    "p71_nb_classifier" -> p71NbClassifier,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -2564,6 +2655,14 @@ object Pipeline extends QueryModule {
 
   // DuckDB twins. Shared SQL fragments:
   private val sqlToks = "string_split(text, ' ')"
+
+  // twin of `qlog2`: piecewise-linear log2, 16 fractional bits, pure
+  // integer arithmetic (DuckDB's // is BIGINT floor-division; the
+  // power(2, …) divisor is a power of two, CAST-exact below 2^52)
+  private def sqlQlog2(x: String): String =
+    s"((CAST(length(bin($x)) AS BIGINT) - 1) * 65536" +
+      s" + (($x) * 65536) // CAST(power(2, length(bin($x)) - 1) AS BIGINT)" +
+      s" - 65536)"
   private val sqlSigList = (0 until NumHashes)
     .map(i => s"min(${sqlHashFam(i, "shingle")})").mkString(", ")
   private val sqlStops =
@@ -2771,6 +2870,40 @@ object Pipeline extends QueryModule {
          |FROM tk, tot
          |GROUP BY token, tot.n
          |HAVING COUNT(*) * $HhDen >= tot.n""".stripMargin,
+    // the naive-Bayes replay: identical 16-fractional-bit quantized-log
+    // scoring (sqlQlog2 twin of qlog2), identical smoothing, identical
+    // argmax tiebreak — the confusion census must match exactly
+    "p71_nb_classifier" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_test
+         |  FROM documents),
+         |tk AS (SELECT doc_id, lang, is_test, unnest($sqlToks) AS token
+         |  FROM d),
+         |model AS (SELECT lang, token, COUNT(*) AS cnt
+         |  FROM tk WHERE NOT is_test GROUP BY 1, 2),
+         |vs AS (SELECT COUNT(DISTINCT token) AS v FROM model),
+         |cs AS (SELECT m.lang AS cls,
+         |    ${sqlQlog2("p.n_docs")} AS q_prior,
+         |    ${sqlQlog2("CAST(SUM(m.cnt) + vs.v AS BIGINT)")} AS q_den
+         |  FROM model m
+         |  JOIN (SELECT lang, COUNT(*) AS n_docs FROM d
+         |        WHERE NOT is_test GROUP BY 1) p ON p.lang = m.lang,
+         |    vs
+         |  GROUP BY m.lang, p.n_docs, vs.v),
+         |sc AS (SELECT tk.doc_id, tk.lang AS actual, cs.cls,
+         |    cs.q_prior
+         |      + SUM(${sqlQlog2("COALESCE(m.cnt, 0) + 1")})
+         |      - COUNT(*) * cs.q_den AS score
+         |  FROM tk CROSS JOIN cs
+         |  LEFT JOIN model m ON m.lang = cs.cls AND m.token = tk.token
+         |  WHERE tk.is_test
+         |  GROUP BY tk.doc_id, tk.lang, cs.cls, cs.q_prior, cs.q_den),
+         |pred AS (SELECT actual, cls FROM (
+         |    SELECT actual, cls, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn
+         |    FROM sc) t WHERE rn = 1)
+         |SELECT actual, cls AS predicted, COUNT(*) AS n_docs
+         |FROM pred GROUP BY 1, 2""".stripMargin,
     "p60_pack_whole_docs" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
          |  FROM documents),

@@ -2263,6 +2263,231 @@ object Pipeline extends QueryModule {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Exact long floor-division for non-negative operands — the pmod
+    * trick qlog2 uses, factored out: a − (a mod b) is exactly divisible,
+    * both sides are below 2^53 everywhere this is called, so the double
+    * division is IEEE-exact and the cast back is lossless. DuckDB twin:
+    * the `//` operator. */
+  private def ldiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)).cast(DoubleType) / b.cast(DoubleType)).cast(LongType)
+
+  private val RecallK = 3
+
+  /** ANN index-quality evaluation — recall@k of BOTH approximate
+    * indexes (p05's sign-bucket LSH and p20's IVF cells) against the
+    * exact brute-force top-k (p04's baseline) on the identical 20-probe
+    * task: the monitoring job a production vector index runs
+    * continuously, because approximate indexes degrade SILENTLY as the
+    * corpus drifts and the only ground truth is the exact scan — and the
+    * side-by-side is how an index variant gets chosen or retired (here
+    * it shows IVF beating axis-aligned bit-sampling decisively). Exact
+    * side: one broadcast nested-loop corpus scan with the salted
+    * two-phase top-k (no reducer ever holds more than k×salts rows per
+    * probe). Approx sides: the same candidate joins p05/p20 run. Hits
+    * are inner matches of the (probe, neighbor) rank sets — integer
+    * counts, so per-probe recall is exact in both engines. The
+    * corpus-sized work is the one exact scan, and its cost is amortized
+    * exactly as in production: the eval runs on a probe SAMPLE (20
+    * here), never per query. */
+  private def p72AnnRecall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .withColumn("bucket", concat_ws("",
+        (1 to 8).map(i =>
+          when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
+    def sim = round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+    def topk(cands: DataFrame): DataFrame = {
+      val local = Window
+        .partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val global = Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      cands.withColumn("lrnk", row_number().over(local))
+        .filter(col("lrnk") <= RecallK)
+        .withColumn("rnk", row_number().over(global))
+        .filter(col("rnk") <= RecallK)
+        .select("probe_id", "vec_id")
+    }
+    val exact = topk(e.drop("bucket")
+      .crossJoin(broadcast(probes.drop("bucket")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim")))
+    val approxLsh = topk(e.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim")))
+    val assigned = ivfAssigned(s, d)
+    val iprobes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("cell"))
+    val approxIvf = topk(assigned.join(iprobes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim")))
+    exact
+      .join(approxLsh.withColumn("hit_lsh", lit(1)),
+        Seq("probe_id", "vec_id"), "left_outer")
+      .join(approxIvf.withColumn("hit_ivf", lit(1)),
+        Seq("probe_id", "vec_id"), "left_outer")
+      .groupBy("probe_id")
+      .agg(
+        sum(coalesce(col("hit_lsh"), lit(0))).cast(LongType).as("n_hits_lsh"),
+        sum(coalesce(col("hit_ivf"), lit(0))).cast(LongType).as("n_hits_ivf"))
+      .select(col("probe_id"),
+        col("n_hits_lsh"),
+        round(col("n_hits_lsh").cast(DoubleType) / lit(RecallK.toDouble), 6)
+          .as("recall_lsh"),
+        col("n_hits_ivf"),
+        round(col("n_hits_ivf").cast(DoubleType) / lit(RecallK.toDouble), 6)
+          .as("recall_ivf"))
+  }
+
+  /** Ordered token bigrams of every doc as (doc_id, prev, cur) rows —
+    * occurrence bigrams (NOT the distinct shingle set `shingles` builds),
+    * shared by the p73 LM trainer/scorer and p74's phrase-term index.
+    * Docs under 2 tokens yield no rows. DuckDB twin: unnest a
+    * generate_series over the token list and index `t[i]`/`t[i+1]`. */
+  private def bigramPairs(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), tokens(col("text")).as("t"))
+    .filter(size(col("t")) >= 2)
+    .select(col("doc_id"), col("t"),
+      explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+    .select(col("doc_id"), element_at(col("t"), col("i")).as("prev"),
+      element_at(col("t"), col("i") + 1).as("cur"))
+
+  /** CCNet-style perplexity bucketing — the UNSUPERVISED LM quality
+    * filter beside p71's supervised classifier, the other half of the
+    * production curation pair: a bigram LM with Laplace smoothing is
+    * trained on the 90% hash slice (the same deterministic split p71
+    * uses), every held-out doc is scored in quantized bits via the same
+    * 16-fractional-bit [[qlog2]] (surprisal is an exact integer sum —
+    * qlog2(ctx+V) − qlog2(cnt+1) per bigram), and docs land in
+    * head/middle/tail TERCILES of bits-per-token — CCNet's curation
+    * signal, lowest perplexity first.
+    *
+    * Scale shape: training is ONE (prev, cur)-keyed count shuffle (the
+    * model); context totals aggregate FROM the model (never a second
+    * corpus pass); scoring pays one keyed model join. The tercile
+    * cutoffs come from a VALUE-histogram of the quantized score — at
+    * most ~2^21 distinct bpt values exist REGARDLESS of corpus size
+    * (quantization bounds the value domain), so the cumulative window
+    * runs over a bounded table and no global sort of docs happens
+    * anywhere. Docs under 2 tokens have no bigrams and are excluded
+    * (mirrored in the oracle). */
+  private def p73PerplexityBuckets: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("is_test",
+        pmod(h60(col("doc_id").cast(StringType)), lit(10)) === 9)
+    val model = bigramPairs(docs.filter(!col("is_test")))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
+      .staged // read twice: the ctx aggregation and the scoring join
+    val ctx = model.groupBy("prev").agg(sum(col("cnt")).as("ctx"))
+    val vsize = docs.filter(!col("is_test"))
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bigramPairs(docs.filter(col("is_test")))
+      .join(model, Seq("prev", "cur"), "left_outer")
+      .join(ctx, Seq("prev"), "left_outer")
+      .crossJoin(broadcast(vsize))
+      .select(col("doc_id"),
+        (qlog2(coalesce(col("ctx"), lit(0L)) + col("v"))
+          - qlog2(coalesce(col("cnt"), lit(0L)) + lit(1L))).as("bits_q"))
+      .groupBy("doc_id")
+      .agg(sum(col("bits_q")).as("bits_q"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), ldiv(col("bits_q"), col("n_bigrams")).as("bpt_q"))
+      .staged // read twice: the cutoff histogram and the final bucketing
+    val hist = scored.groupBy("bpt_q").agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("n_docs"))
+    val wCum = Window.orderBy(col("bpt_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist.withColumn("cum", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") * 3 >= col("n_docs"), col("bpt_q"))).as("c1"),
+        min(when(col("cum") * 3 >= col("n_docs") * 2, col("bpt_q"))).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("bpt_q") <= col("c1"), lit("head"))
+          .when(col("bpt_q") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("bpt_q")).as("min_bpt_q"),
+        max(col("bpt_q")).as("max_bpt_q"),
+        sum(col("bpt_q")).as("sum_bpt_q"))
+  }
+
+  private val Bm25S = 65536L
+  private val Bm25TopK = 10
+
+  /** BM25 keyword retrieval — the lexical-search twin of the ANN family
+    * (p04/p05/p20): ten probe docs' term sets retrieve their top-10
+    * highest-scoring other documents through the inverted-postings join
+    * (p39's index shape, consumed instead of displayed). Terms are word
+    * BIGRAMS (phrase indexing): the corpus's unigram vocabulary is a few
+    * dozen tokens with near-uniform document frequency, so unigram idf
+    * carries no signal — the standard fix when unigrams saturate, and the
+    * same move a positional/phrase index makes. Okapi BM25
+    * (k1 = 1.2, b = 0.75) is computed ENTIRELY in scaled-integer
+    * arithmetic so the oracle replays it bit for bit: idf is
+    * qlog2(D+1) − qlog2(df) (≥ 0 always, no negative-idf clamp needed);
+    * the length normalization dl/avgdl is quantized to 16 fractional
+    * bits as r = (dl·2^16·D) div T; each term contributes
+    * (idf_q·tf·⌊2.2·2^16⌋) div (tf·2^16 + (0.3·2^16 + 0.9·r rounded by
+    * integer div 10)); the doc score is the exact integer term sum.
+    * Every floor-division quotient and product stays below 2^53 at any
+    * realistic per-doc length (at extreme D·dl the r product moves to
+    * 128-bit/decimal arithmetic — the quantization itself is unchanged).
+    *
+    * Scale shape: tf is one (doc, token) count shuffle, staged because
+    * four consumers read it (dl, df, the query side, the postings side);
+    * df·20 ≤ D prunes stopword-class postings BEFORE the join (the
+    * impact-pruning production BM25 does at index build), bounding any
+    * token's candidate fan-out at D/20; scoring is one postings join +
+    * one (probe, doc) keyed sum; top-10 per probe is the salted
+    * two-phase window. Nothing is ever all-pairs: work is
+    * Σ_{query tokens} df(t), the classic inverted-index bound. */
+  private def p74Bm25Retrieval: Q = (s, d) => {
+    val tf = bigramPairs(docsBalanced(s, d))
+      .select(col("doc_id"),
+        concat_ws(" ", col("prev"), col("cur")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .staged
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("d_docs"), sum(col("dl")).as("t_toks"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qtoks = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("token"))
+      .join(df, "token")
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * 20 <= col("d_docs"))
+      .select(col("probe_id"), col("token"),
+        (qlog2(col("d_docs") + 1) - qlog2(col("df"))).as("idf_q"),
+        col("d_docs"), col("t_toks"))
+    val cands = qtoks.join(tf, "token")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(dl, "doc_id")
+      .withColumn("r",
+        ldiv(col("dl") * lit(Bm25S) * col("d_docs"), col("t_toks")))
+      .withColumn("den", col("tf") * lit(Bm25S)
+        + ldiv(lit(3L * Bm25S) + lit(9L) * col("r"), lit(10L)))
+      .withColumn("term_q",
+        ldiv(col("idf_q") * col("tf") * lit(22L * Bm25S / 10L), col("den")))
+    val scoredDocs = cands.groupBy("probe_id", "doc_id")
+      .agg(sum(col("term_q")).as("score_q"))
+    val local = Window
+      .partitionBy(col("probe_id"), pmod(hash(col("doc_id")), lit(64)))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    scoredDocs.withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= Bm25TopK)
+      .withColumn("rnk", row_number().over(global).cast(IntegerType))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("probe_id", "doc_id", "rnk", "score_q")
+  }
+
   /** Per-language shingle vocabulary profile, rows produced by the
     * native [[graft.functions.ShingleRows]] generator (the UDTF-category
     * Catalyst extension) instead of the explode(sequence)+element_at
@@ -2591,6 +2816,9 @@ object Pipeline extends QueryModule {
     "p69_wav_audio_decode" -> p69WavAudioDecode,
     "p70_heavy_hitters" -> p70HeavyHitters,
     "p71_nb_classifier" -> p71NbClassifier,
+    "p72_ann_recall" -> p72AnnRecall,
+    "p73_perplexity_buckets" -> p73PerplexityBuckets,
+    "p74_bm25_retrieval" -> p74Bm25Retrieval,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -2904,6 +3132,143 @@ object Pipeline extends QueryModule {
          |    FROM sc) t WHERE rn = 1)
          |SELECT actual, cls AS predicted, COUNT(*) AS n_docs
          |FROM pred GROUP BY 1, 2""".stripMargin,
+    // the recall replay: the p04-shape exact scan vs the p05-shape
+    // sign-bucket search AND the p20-shape IVF-cell search — hit counts
+    // are integers, so both recalls are exact
+    "p72_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |  array_to_string(list_transform(generate_series(1, 8),
+        |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket
+        |  FROM n WHERE vec_id < 20),
+        |es AS (SELECT probe_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM n, p WHERE vec_id <> probe_id),
+        |ex AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id) AS rnk FROM es) t WHERE rnk <= 3),
+        |lss AS (SELECT probe_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM n JOIN p USING (bucket) WHERE vec_id <> probe_id),
+        |ls AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id) AS rnk FROM lss) t WHERE rnk <= 3),
+        |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id < 16),
+        |a0 AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+        |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
+        |  WHERE arnk = 1),
+        |ip AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, cell
+        |  FROM a WHERE vec_id < 20),
+        |ivs AS (SELECT probe_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM a JOIN ip USING (cell) WHERE vec_id <> probe_id),
+        |iv AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id) AS rnk FROM ivs) t WHERE rnk <= 3)
+        |SELECT ex.probe_id,
+        |  CAST(SUM(CASE WHEN ls.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_hits_lsh,
+        |  round(SUM(CASE WHEN ls.vec_id IS NULL THEN 0 ELSE 1 END) / 3.0, 6)
+        |    AS recall_lsh,
+        |  CAST(SUM(CASE WHEN iv.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_hits_ivf,
+        |  round(SUM(CASE WHEN iv.vec_id IS NULL THEN 0 ELSE 1 END) / 3.0, 6)
+        |    AS recall_ivf
+        |FROM ex
+        |  LEFT JOIN ls
+        |    ON ls.probe_id = ex.probe_id AND ls.vec_id = ex.vec_id
+        |  LEFT JOIN iv
+        |    ON iv.probe_id = ex.probe_id AND iv.vec_id = ex.vec_id
+        |GROUP BY ex.probe_id""".stripMargin,
+    // the perplexity replay: identical bigram LM, identical qlog2
+    // surprisal, identical value-histogram tercile cutoffs
+    "p73_perplexity_buckets" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_test
+         |  FROM documents),
+         |tk AS (SELECT doc_id, is_test, $sqlToks AS t FROM d),
+         |bg AS (SELECT doc_id, is_test, t[i] AS prev, t[i + 1] AS cur
+         |  FROM (SELECT doc_id, is_test, t,
+         |    unnest(generate_series(1, len(t) - 1)) AS i
+         |    FROM tk WHERE len(t) >= 2)),
+         |model AS (SELECT prev, cur, COUNT(*) AS cnt
+         |  FROM bg WHERE NOT is_test GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ctx
+         |  FROM model GROUP BY 1),
+         |vs AS (SELECT COUNT(DISTINCT tok) AS v FROM
+         |  (SELECT unnest($sqlToks) AS tok FROM d WHERE NOT is_test)),
+         |sc AS (SELECT bg.doc_id,
+         |    CAST(SUM(${sqlQlog2("COALESCE(ctx.ctx, 0) + vs.v")}
+         |      - ${sqlQlog2("COALESCE(m.cnt, 0) + 1")}) AS BIGINT) AS bits_q,
+         |    COUNT(*) AS nb
+         |  FROM bg LEFT JOIN model m
+         |      ON m.prev = bg.prev AND m.cur = bg.cur
+         |    LEFT JOIN ctx ON ctx.prev = bg.prev, vs
+         |  WHERE bg.is_test GROUP BY bg.doc_id),
+         |sp AS (SELECT doc_id, bits_q // nb AS bpt_q FROM sc),
+         |hist AS (SELECT bpt_q, COUNT(*) AS n FROM sp GROUP BY 1),
+         |cum AS (SELECT bpt_q,
+         |    SUM(n) OVER (ORDER BY bpt_q ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM hist),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM sp),
+         |cuts AS (SELECT
+         |    MIN(CASE WHEN cum * 3 >= n_docs THEN bpt_q END) AS c1,
+         |    MIN(CASE WHEN cum * 3 >= 2 * n_docs THEN bpt_q END) AS c2
+         |  FROM cum, tot)
+         |SELECT CASE WHEN bpt_q <= c1 THEN 'head'
+         |    WHEN bpt_q <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  COUNT(*) AS n_docs, MIN(bpt_q) AS min_bpt_q,
+         |  MAX(bpt_q) AS max_bpt_q, CAST(SUM(bpt_q) AS BIGINT) AS sum_bpt_q
+         |FROM sp, cuts GROUP BY 1""".stripMargin,
+    // the BM25 replay: identical scaled-integer Okapi arithmetic
+    // (// is DuckDB's BIGINT floor division, the ldiv twin)
+    "p74_bm25_retrieval" ->
+      s"""WITH tkl AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS token
+         |    FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, len(t) - 1)) AS i
+         |      FROM tkl WHERE len(t) >= 2))
+         |  GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+         |  FROM tf GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS d_docs, CAST(SUM(dl) AS BIGINT) AS t_toks
+         |  FROM dl),
+         |dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |qt AS (SELECT tf.doc_id AS probe_id, tf.token,
+         |    ${sqlQlog2("st.d_docs + 1")} - ${sqlQlog2("dfx.df")} AS idf_q,
+         |    st.d_docs, st.t_toks
+         |  FROM tf JOIN dfx USING (token), st
+         |  WHERE tf.doc_id < 10 AND dfx.df * 20 <= st.d_docs),
+         |cd AS (SELECT qt.probe_id, tf.doc_id,
+         |    (qt.idf_q * tf.tf * 144179)
+         |      // (tf.tf * 65536 + (3 * 65536
+         |        + 9 * ((dl.dl * 65536 * qt.d_docs) // qt.t_toks)) // 10)
+         |      AS term_q
+         |  FROM qt JOIN tf USING (token) JOIN dl ON dl.doc_id = tf.doc_id
+         |  WHERE tf.doc_id <> qt.probe_id),
+         |sc AS (SELECT probe_id, doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
+         |  FROM cd GROUP BY 1, 2),
+         |r AS (SELECT probe_id, doc_id, score_q,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY score_q DESC, doc_id) AS INT) AS rnk FROM sc)
+         |SELECT probe_id, doc_id, rnk, score_q FROM r WHERE rnk <= 10""".stripMargin,
     "p60_pack_whole_docs" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
          |  FROM documents),

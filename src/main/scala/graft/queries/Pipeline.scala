@@ -2376,10 +2376,26 @@ object Pipeline extends QueryModule {
     * runs over a bounded table and no global sort of docs happens
     * anywhere. Docs under 2 tokens have no bigrams and are excluded
     * (mirrored in the oracle). */
-  private def p73PerplexityBuckets: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  private def p73PerplexityBuckets: Q = (s, d) =>
+    perplexityCensus(Tables.documents(s, d)
       .withColumn("is_test",
-        pmod(h60(col("doc_id").cast(StringType)), lit(10)) === 9)
+        pmod(h60(col("doc_id").cast(StringType)), lit(10)) === 9))
+
+  /** The p73 census over any `(doc_id, text, is_test)` frame: the
+    * per-bucket aggregate of [[perplexityDocBuckets]]. */
+  private[queries] def perplexityCensus(docs: DataFrame): DataFrame =
+    perplexityDocBuckets(docs)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("bpt_q")).as("min_bpt_q"),
+        max(col("bpt_q")).as("max_bpt_q"),
+        sum(col("bpt_q")).as("sum_bpt_q"))
+
+  /** The p73 core: every held-out doc scored and tercile-bucketed as
+    * (doc_id, bpt_q, bucket) — PerplexityBm25Spec feeds corpora with
+    * engineered fluent/garbled holdout docs through it and asserts they
+    * land in head/tail. */
+  private[queries] def perplexityDocBuckets(docs: DataFrame): DataFrame = {
     val model = bigramPairs(docs.filter(!col("is_test")))
       .groupBy("prev", "cur").agg(count(lit(1)).as("cnt"))
       .staged // read twice: the ctx aggregation and the scoring join
@@ -2407,15 +2423,10 @@ object Pipeline extends QueryModule {
       .agg(min(when(col("cum") * 3 >= col("n_docs"), col("bpt_q"))).as("c1"),
         min(when(col("cum") * 3 >= col("n_docs") * 2, col("bpt_q"))).as("c2"))
     scored.crossJoin(broadcast(cuts))
-      .withColumn("bucket",
+      .select(col("doc_id"), col("bpt_q"),
         when(col("bpt_q") <= col("c1"), lit("head"))
           .when(col("bpt_q") <= col("c2"), lit("middle"))
-          .otherwise(lit("tail")))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("bpt_q")).as("min_bpt_q"),
-        max(col("bpt_q")).as("max_bpt_q"),
-        sum(col("bpt_q")).as("sum_bpt_q"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 
   private val Bm25S = 65536L
@@ -2448,8 +2459,15 @@ object Pipeline extends QueryModule {
     * one (probe, doc) keyed sum; top-10 per probe is the salted
     * two-phase window. Nothing is ever all-pairs: work is
     * Σ_{query tokens} df(t), the classic inverted-index bound. */
-  private def p74Bm25Retrieval: Q = (s, d) => {
-    val tf = bigramPairs(docsBalanced(s, d))
+  private def p74Bm25Retrieval: Q = (s, d) =>
+    bm25TopDocs(docsBalanced(s, d), probeMax = 10L)
+
+  /** The p74 core over any `(doc_id, text)` frame, probes = doc_id <
+    * probeMax — PerplexityBm25Spec plants a near-copy of a probe doc and
+    * asserts it retrieves at rank 1. */
+  private[queries] def bm25TopDocs(docsIn: DataFrame,
+      probeMax: Long): DataFrame = {
+    val tf = bigramPairs(docsIn)
       .select(col("doc_id"),
         concat_ws(" ", col("prev"), col("cur")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -2457,7 +2475,7 @@ object Pipeline extends QueryModule {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("d_docs"), sum(col("dl")).as("t_toks"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val qtoks = tf.filter(col("doc_id") < 10)
+    val qtoks = tf.filter(col("doc_id") < probeMax)
       .select(col("doc_id").as("probe_id"), col("token"))
       .join(df, "token")
       .crossJoin(broadcast(stats))

@@ -2506,6 +2506,116 @@ object Pipeline extends QueryModule {
       .select("probe_id", "doc_id", "rnk", "score_q")
   }
 
+  // p75: doc_id * 2^20 + span index packs a span's global position into
+  // one BIGINT so "first occurrence in corpus order" is a plain MIN —
+  // portable to the oracle with no struct/arg-min support needed.
+  private val StripPosPack = 1L << 20
+
+  /** C4-style duplicate-span REMOVAL (Raffel et al. 2020 §2.2 discard
+    * all but one of any three-sentence span occurring more than once;
+    * spans here are the same non-overlapping [[SpanW]]-token windows
+    * p37 censuses — the synthetic corpus has no sentence boundaries).
+    * Where p37 only *scores* duplication, this op emits the cleaned
+    * corpus: exactly one occurrence of every duplicated span survives
+    * (the minimum (doc_id, span-index) position — deterministic, so the
+    * oracle agrees), and each document is reconstructed in order with
+    * its dropped windows excised and its sub-window tail kept.
+    *
+    * Scale shape: one span-keyed census shuffle (map-side combine), one
+    * span-keyed join back, and then ONLY the dropped positions — a
+    * sparse (doc_id, window-index) set, not span text — travel through
+    * the doc_id-keyed shuffle to reconstruction; the cleaned text is
+    * re-derived from the document's own token array with higher-order
+    * functions, so reassembly never materializes or sorts span bodies.
+    * Output carries an md5 digest of the cleaned text rather than the
+    * text itself (at 100 TB the cleaned corpus is written to storage;
+    * the audit table stays narrow). */
+  private def p75SpanStrip: Q = (s, d) => spanStrip(docsBalanced(s, d))
+
+  /** The p75 core over any `(doc_id, text)` frame — SpanStripGopherSpec
+    * plants a shared span across documents and asserts only the
+    * first-position copy survives and reconstruction preserves order. */
+  private[queries] def spanStrip(docsIn: DataFrame): DataFrame = {
+    val base = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("n_spans", (col("n") / SpanW).cast(IntegerType))
+    val spans = base
+      .select(col("doc_id"), col("t"),
+        explode(when(col("n_spans") >= 1, sequence(lit(1), col("n_spans")))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("doc_id"), col("j"),
+        h60(concat_ws(" ", (0 until SpanW).map(k =>
+          element_at(col("t"), (col("j") - 1) * SpanW + k + 1)): _*))
+          .as("hv"))
+      .withColumn("pos", col("doc_id") * lit(StripPosPack) + col("j"))
+    val census = spans.groupBy("hv")
+      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("keeper"))
+    val drops = spans.join(census, "hv")
+      .filter(col("cnt") > 1 && col("pos") =!= col("keeper"))
+      .groupBy("doc_id").agg(collect_set(col("j")).as("drop_j"))
+    base.join(drops, Seq("doc_id"), "left_outer")
+      .withColumn("dj", coalesce(col("drop_j"), array().cast("array<int>")))
+      .withColumn("kept", when(col("n_spans") >= 1,
+        filter(sequence(lit(1), col("n_spans")),
+          j => !array_contains(col("dj"), j)))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("clean", concat(
+        flatten(transform(col("kept"),
+          j => slice(col("t"), (j - 1) * SpanW + 1, lit(SpanW)))),
+        slice(col("t"), col("n_spans") * SpanW + 1,
+          col("n") - col("n_spans") * SpanW)))
+      .select(col("doc_id"),
+        col("n_spans").cast(LongType).as("n_spans"),
+        size(col("dj")).cast(LongType).as("n_dropped"),
+        size(col("clean")).cast(LongType).as("n_tokens_clean"),
+        md5(array_join(col("clean"), " ")).as("clean_md5"))
+  }
+
+  /** Gopher/MassiveText quality-rule gate (Rae et al. 2021, appendix
+    * A1.1), the published heuristic filter every large-scale text
+    * pipeline runs before dedup: per document, (1) word count within
+    * [50, 100000]; (2) mean word length within [3, 10] characters;
+    * (3) at least 2 distinct stop words present; (4) the repetition
+    * bound — Gopher's duplicate-line fraction, mapped to duplicate
+    * UNIGRAM fraction ≤ 0.55 here because the synthetic corpus has no
+    * line structure. Emits the per-document audit flags plus the
+    * combined keep bit.
+    *
+    * Scale shape: pure map — no shuffle, no state, every metric an
+    * integer computed from the row's own token array; the mean-length
+    * and repetition bounds are cross-multiplied (3n ≤ chars ≤ 10n;
+    * 100·(n − distinct) ≤ 55·n) so the gate is integer-exact with no
+    * float division to diverge across engines. The ideal 100 TB filter:
+    * embarrassingly parallel, codegen'd end to end. */
+  private def p76GopherRules: Q = (s, d) => gopherRules(Tables.documents(s, d))
+
+  /** The p76 core over any `(doc_id, text)` frame — SpanStripGopherSpec
+    * drives each rule's fail branch with engineered documents (the
+    * synthetic corpus never trips the mean-word-length bound). */
+  private[queries] def gopherRules(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(col("doc_id"),
+        size(t).cast(LongType).as("n_words"),
+        length(translate(col("text"), " ", "")).cast(LongType)
+          .as("n_letters"),
+        size(array_distinct(t)).cast(LongType).as("n_distinct"),
+        Stopwords.map(w => when(array_contains(t, w), 1L).otherwise(0L))
+          .reduce(_ + _).as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L)
+          .cast(IntegerType).as("r_words"),
+        (col("n_letters") >= lit(3L) * col("n_words") &&
+          col("n_letters") <= lit(10L) * col("n_words"))
+          .cast(IntegerType).as("r_mean_len"),
+        (col("n_stop") >= 2L).cast(IntegerType).as("r_stop"),
+        ((col("n_words") - col("n_distinct")) * 100L <=
+          col("n_words") * 55L).cast(IntegerType).as("r_dup"))
+      .withColumn("keep",
+        (col("r_words") * col("r_mean_len") * col("r_stop") * col("r_dup"))
+          .cast(IntegerType))
+  }
+
   /** Per-language shingle vocabulary profile, rows produced by the
     * native [[graft.functions.ShingleRows]] generator (the UDTF-category
     * Catalyst extension) instead of the explode(sequence)+element_at
@@ -2837,6 +2947,8 @@ object Pipeline extends QueryModule {
     "p72_ann_recall" -> p72AnnRecall,
     "p73_perplexity_buckets" -> p73PerplexityBuckets,
     "p74_bm25_retrieval" -> p74Bm25Retrieval,
+    "p75_span_strip" -> p75SpanStrip,
+    "p76_gopher_rules" -> p76GopherRules,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -3287,6 +3399,60 @@ object Pipeline extends QueryModule {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
          |    ORDER BY score_q DESC, doc_id) AS INT) AS rnk FROM sc)
          |SELECT probe_id, doc_id, rnk, score_q FROM r WHERE rnk <= 10""".stripMargin,
+    "p75_span_strip" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n,
+         |    len(t) // $SpanW AS n_spans FROM tk),
+         |sp AS (SELECT doc_id, j,
+         |    ${sqlH60(s"array_to_string(t[(j-1)*$SpanW+1:j*$SpanW], ' ')")}
+         |      AS hv,
+         |    doc_id * $StripPosPack + j AS pos
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, n_spans)) AS j FROM base)),
+         |c AS (SELECT hv, COUNT(*) AS cnt, MIN(pos) AS keeper
+         |  FROM sp GROUP BY 1),
+         |dr AS (SELECT doc_id, list(j) AS drop_j
+         |  FROM sp JOIN c USING (hv)
+         |  WHERE cnt > 1 AND pos <> keeper GROUP BY doc_id),
+         |fin AS (SELECT b.doc_id, b.n_spans,
+         |    coalesce(dr.drop_j, CAST([] AS BIGINT[])) AS dj,
+         |    flatten(list_transform(
+         |        list_filter(generate_series(1, b.n_spans),
+         |          j -> NOT list_contains(
+         |            coalesce(dr.drop_j, CAST([] AS BIGINT[])), j)),
+         |        j -> b.t[(j-1)*$SpanW+1:j*$SpanW]))
+         |      || b.t[b.n_spans*$SpanW+1:b.n] AS clean
+         |  FROM base b LEFT JOIN dr ON b.doc_id = dr.doc_id)
+         |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(len(dj) AS BIGINT) AS n_dropped,
+         |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
+         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
+         |FROM fin""".stripMargin,
+    "p76_gopher_rules" -> {
+      val stopSum = Stopwords
+        .map(w => s"CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters
+         |  FROM documents),
+         |m AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words, n_letters,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |    CAST($stopSum AS BIGINT) AS n_stop
+         |  FROM tk),
+         |f AS (SELECT doc_id, n_words,
+         |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |      THEN 1 ELSE 0 END AS INT) AS r_words,
+         |    CAST(CASE WHEN n_letters >= 3 * n_words
+         |        AND n_letters <= 10 * n_words
+         |      THEN 1 ELSE 0 END AS INT) AS r_mean_len,
+         |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
+         |    CAST(CASE WHEN (n_words - n_distinct) * 100 <= n_words * 55
+         |      THEN 1 ELSE 0 END AS INT) AS r_dup
+         |  FROM m)
+         |SELECT doc_id, n_words, r_words, r_mean_len, r_stop, r_dup,
+         |  CAST(r_words * r_mean_len * r_stop * r_dup AS INT) AS keep
+         |FROM f""".stripMargin
+    },
     "p60_pack_whole_docs" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
          |  FROM documents),

@@ -2616,6 +2616,68 @@ object Pipeline extends QueryModule {
           .cast(IntegerType))
   }
 
+  // p77: hashed-feature space size. Feature tables are bounded at this
+  // many rows regardless of corpus size — the broadcast that makes
+  // scoring map-side.
+  private val DsirBuckets = 8192L
+
+  /** DSIR-style importance weighting for data selection (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): every document is weighted by the log likelihood
+    * ratio of a TARGET distribution (here the `en` slice standing in
+    * for the high-quality corpus) vs the RAW distribution, both
+    * estimated over hashed bigram features with Laplace smoothing —
+    * the third member of the curation family beside p71's supervised
+    * classifier and p73's unsupervised LM. Integer-exact end to end:
+    * log p ratios in 16-fractional-bit [[qlog2]], per-feature numerator
+    * deltas precomputed, the shared denominator constant folded into
+    * one per-doc multiply.
+    *
+    * Scale shape: the gram explode is map-side; both feature
+    * distributions aggregate to at most [[DsirBuckets]] rows (hashing
+    * bounds the model, the whole point of DSIR's hashed features), so
+    * the scoring join BROADCASTS the model; the only corpus-keyed
+    * shuffle is the final per-doc sum. */
+  private def p77DsirWeights: Q = (s, d) =>
+    dsirWeights(docsBalanced(s, d), col("lang") === "en")
+
+  /** The p77 core over any `(doc_id, text)` frame with an `isTarget`
+    * predicate over its columns — SpanStripGopherSpec feeds a corpus
+    * whose target docs use a disjoint vocabulary and asserts they
+    * outweigh the rest. */
+  private[queries] def dsirWeights(docsIn: DataFrame,
+      isTarget: Column): DataFrame = {
+    val grams = docsIn.withColumn("is_target", isTarget)
+      .select(col("doc_id"), col("is_target"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("is_target"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(h60(concat_ws(" ",
+          element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1))), lit(DsirBuckets)).as("f"))
+    val cr = grams.groupBy("f").agg(count(lit(1)).as("cr"))
+    val ct = grams.filter(col("is_target"))
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val feat = cr.join(ct, Seq("f"), "left_outer")
+      .select(col("f"),
+        (qlog2(coalesce(col("ct"), lit(0L)) + 1) - qlog2(col("cr") + 1))
+          .as("delta_q"))
+    val totals = grams.agg(count(lit(1)).as("r_tot"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_tot"))
+    grams.join(broadcast(feat), "f")
+      .groupBy("doc_id", "is_target")
+      .agg(count(lit(1)).as("n_grams"), sum(col("delta_q")).as("sum_delta"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        col("is_target").cast(IntegerType).as("is_target"),
+        col("n_grams"),
+        (col("sum_delta") + col("n_grams") *
+          (qlog2(col("r_tot") + DsirBuckets)
+            - qlog2(col("t_tot") + DsirBuckets))).as("w_q"))
+      .withColumn("keep", (col("w_q") > 0L).cast(IntegerType))
+  }
+
   /** Per-language shingle vocabulary profile, rows produced by the
     * native [[graft.functions.ShingleRows]] generator (the UDTF-category
     * Catalyst extension) instead of the explode(sequence)+element_at
@@ -2949,6 +3011,7 @@ object Pipeline extends QueryModule {
     "p74_bm25_retrieval" -> p74Bm25Retrieval,
     "p75_span_strip" -> p75SpanStrip,
     "p76_gopher_rules" -> p76GopherRules,
+    "p77_dsir_weights" -> p77DsirWeights,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -3453,6 +3516,35 @@ object Pipeline extends QueryModule {
          |  CAST(r_words * r_mean_len * r_stop * r_dup AS INT) AS keep
          |FROM f""".stripMargin
     },
+    "p77_dsir_weights" ->
+      s"""WITH g AS (SELECT doc_id, is_target,
+         |    ${sqlH60("t[i] || ' ' || t[i + 1]")} % $DsirBuckets AS f
+         |  FROM (SELECT doc_id, lang = 'en' AS is_target, t,
+         |      unnest(generate_series(1, len(t) - 1)) AS i
+         |    FROM (SELECT doc_id, lang, $sqlToks AS t FROM documents)
+         |    WHERE len(t) >= 2)),
+         |cr AS (SELECT f, COUNT(*) AS cr FROM g GROUP BY 1),
+         |ct AS (SELECT f, COUNT(*) AS ct FROM g WHERE is_target GROUP BY 1),
+         |feat AS (SELECT cr.f,
+         |    ${sqlQlog2("coalesce(ct.ct, 0) + 1")}
+         |      - ${sqlQlog2("cr.cr + 1")} AS delta_q
+         |  FROM cr LEFT JOIN ct ON cr.f = ct.f),
+         |tot AS (SELECT COUNT(*) AS r_tot,
+         |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS t_tot FROM g),
+         |sc AS (SELECT doc_id,
+         |    CAST(MAX(CASE WHEN is_target THEN 1 ELSE 0 END) AS INT)
+         |      AS is_target,
+         |    COUNT(*) AS n_grams, CAST(SUM(delta_q) AS BIGINT) AS sum_delta
+         |  FROM g JOIN feat USING (f) GROUP BY doc_id)
+         |SELECT doc_id, is_target, CAST(n_grams AS BIGINT) AS n_grams,
+         |  sum_delta + n_grams * (${sqlQlog2(s"r_tot + $DsirBuckets")}
+         |    - ${sqlQlog2(s"t_tot + $DsirBuckets")}) AS w_q,
+         |  CAST(CASE WHEN sum_delta + n_grams
+         |      * (${sqlQlog2(s"r_tot + $DsirBuckets")}
+         |        - ${sqlQlog2(s"t_tot + $DsirBuckets")}) > 0
+         |    THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM sc, tot""".stripMargin,
     "p60_pack_whole_docs" ->
       s"""WITH n AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n
          |  FROM documents),

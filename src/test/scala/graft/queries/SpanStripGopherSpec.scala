@@ -2,12 +2,13 @@ package graft.queries
 
 import graft.SparkSpec
 
-/** The C4-style span-strip core (p75) and the Gopher rule gate core
-  * (p76) on engineered corpora: duplicated spans must lose every copy
-  * but the first-position one with order-preserving reconstruction, and
-  * each Gopher rule's FAIL branch must fire (the driver corpus never
-  * trips the mean-word-length bound, so the oracle gate alone cannot
-  * cover it). */
+/** The C4-style span-strip core (p75), the Gopher rule gate core (p76)
+  * and the DSIR importance-weight core (p77) on engineered corpora:
+  * duplicated spans must lose every copy but the first-position one
+  * with order-preserving reconstruction, each Gopher rule's FAIL branch
+  * must fire (the driver corpus never trips the mean-word-length
+  * bound), and DSIR weights must rank a disjoint target vocabulary
+  * above the background. */
 class SpanStripGopherSpec extends SparkSpec {
 
   import spark.implicits._
@@ -62,6 +63,30 @@ class SpanStripGopherSpec extends SparkSpec {
     assert(out(4L) == ((1, 1, 0, 1, 0)))
     // 50 words, 3 distinct → dup frac 47/50 > 0.55
     assert(out(5L) == ((1, 1, 1, 0, 0)))
+  }
+
+  test("dsir: target-vocabulary docs outweigh off-target docs") {
+    import org.apache.spark.sql.functions.col
+    // target docs share one vocabulary, raw background another; a
+    // mixed doc sits between
+    val target = (0L until 10L)
+      .map(i => (i, "alpha beta gamma delta alpha beta", "wiki"))
+    val raw = (100L until 130L)
+      .map(i => (i, "noise$ junk$ filler$ blob$ noise$ junk$", "web"))
+    val mixed = Seq((500L, "alpha beta noise$ junk$", "web"))
+    val docs = (target ++ raw ++ mixed).toDF("doc_id", "text", "source")
+    val w = Pipeline.dsirWeights(docs, col("source") === "wiki")
+      .as[(Long, Int, Long, Long, Int)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(w(0L) > w(500L) && w(500L) > w(100L),
+      s"weights not ordered target > mixed > raw: $w")
+    // off-target docs are decisively rejected: every gram pays the full
+    // -qlog2(cr+1) penalty, >10 bits (65536 = 1 bit in q16) below the
+    // target docs. (The target docs' own sign hovers near zero at this
+    // corpus size — Laplace smoothing with B=8192 dominates 50 grams —
+    // so the spec pins the RANKING and the separation, not the sign.)
+    assert(w(0L) - w(100L) > 10L * 65536L,
+      s"target/raw separation too small: ${w(0L)} vs ${w(100L)}")
   }
 
   private def md5Hex(s: String): String = {

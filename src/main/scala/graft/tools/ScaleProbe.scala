@@ -23,7 +23,12 @@ object ScaleProbe {
     "p54_sliding_window",
     // round-7 additions: the tokenizer rounds (vocab-bounded after one
     // corpus shuffle) and the batch-vs-index near-dedup
-    "p62_bpe_merges", "p65_incremental_neardup")
+    "p62_bpe_merges", "p65_incremental_neardup",
+    // round-8 additions: bounded-state sketch, trained classifier,
+    // LM bucketing, inverted-postings retrieval, span removal with
+    // doc reconstruction, hashed-feature importance weights
+    "p70_heavy_hitters", "p71_nb_classifier", "p73_perplexity_buckets",
+    "p74_bm25_retrieval", "p75_span_strip", "p77_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

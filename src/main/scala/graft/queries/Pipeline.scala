@@ -2678,6 +2678,62 @@ object Pipeline extends QueryModule {
       .withColumn("keep", (col("w_q") > 0L).cast(IntegerType))
   }
 
+  /** End-to-end curation funnel census — the COMPOSED pipeline a
+    * pretraining-data run actually executes, reported as the
+    * stage-by-stage survivor table every curation report leads with:
+    * raw corpus → Gopher rule gate ([[gopherRules]], p76) → exact dedup
+    * (p01's content hash, smallest doc_id kept) → near-dedup (p02's
+    * banded MinHash + exact-Jaccard verify; of each verified pair the
+    * HIGHER-id member is dropped — the greedy first-wins policy, fully
+    * deterministic, so the oracle replays the census row for row). Each
+    * stage consumes the previous stage's survivors in the canonical
+    * cheap-first order: the per-doc rule gate runs on everything, the
+    * keyed dedup on rule survivors, and the pairwise-sketch work only on
+    * what both earlier gates let through.
+    *
+    * Scale shape: the rule gate is pure map; exact dedup is ONE
+    * digest-keyed shuffle; near-dedup reuses the capped-LSH shapes
+    * unchanged (sketch shuffle, banded self-join inside ≤[[MaxBucket]]
+    * buckets, broadcast candidate verify) over the thinned survivor
+    * set; the census itself is four single-row reductions unioned.
+    * Nothing all-pairs, nothing driver-side. */
+  private def p78CurationFunnel: Q = (s, d) =>
+    curationFunnel(Tables.documents(s, d))
+
+  /** The p78 core over any `(doc_id, text)` frame — CurationFunnelSpec
+    * plants a rule-failing doc, an exact duplicate, and a near-dup pair
+    * and asserts each stage drops exactly its target. */
+  private[queries] def curationFunnel(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"), col("text"),
+      size(tokens(col("text"))).cast(LongType).as("n_words"))
+    val kept = gopherRules(docs).filter(col("keep") === 1)
+      .select("doc_id").join(w, "doc_id")
+    val reps = kept
+      .groupBy(sha2(col("text"), 256).as("ch"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").join(kept, "doc_id")
+    val sig = minhashSigOf(reps.select("doc_id", "text"))
+    val dropped = candidatePairs(bandRowsOf(sig), materialize = true)
+      .join(sig.select(col("doc_id").as("doc_a"), col("shset").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("shset").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("ninter").cast(DoubleType) /
+        (col("na") + col("nb") - col("ninter")) >= JaccardThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val near = reps.join(dropped, Seq("doc_id"), "left_anti")
+    def census(no: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
+        .select(lit(no).as("stage_no"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    census(0, "raw", w)
+      .union(census(1, "gopher_rules", kept))
+      .union(census(2, "exact_dedup", reps))
+      .union(census(3, "near_dedup", near))
+  }
+
   /** Per-language shingle vocabulary profile, rows produced by the
     * native [[graft.functions.ShingleRows]] generator (the UDTF-category
     * Catalyst extension) instead of the explode(sequence)+element_at
@@ -3012,6 +3068,7 @@ object Pipeline extends QueryModule {
     "p75_span_strip" -> p75SpanStrip,
     "p76_gopher_rules" -> p76GopherRules,
     "p77_dsir_weights" -> p77DsirWeights,
+    "p78_curation_funnel" -> p78CurationFunnel,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -3130,10 +3187,13 @@ object Pipeline extends QueryModule {
 
   /** The p02 sketch+bands CTE chain (sh, sig, bands) — shared with the
     * incremental form p65. */
-  private val sqlMinhashBase: String =
+  // The sketch/band CTE chain over any (doc_id, text) relation `src` —
+  // twin of `minhashSigOf` + `bandRowsOf`, shared by p02/p65 (over
+  // `documents`) and p78 (over its exact-dedup survivors).
+  private def sqlMinhashBaseFrom(src: String): String =
     s"""sh AS (
        |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
-       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM $src)),
        |sig AS (SELECT doc_id, [$sqlSigList] AS sig,
        |    list(DISTINCT ${sqlH60("shingle")}) AS shset,
        |    len(shset) AS n
@@ -3144,6 +3204,8 @@ object Pipeline extends QueryModule {
        |    x -> CAST(x AS VARCHAR)), ',') AS bkey
        |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b) bs)"""
       .stripMargin
+
+  private val sqlMinhashBase: String = sqlMinhashBaseFrom("documents")
 
   private val sqlP02: String =
     s"""WITH $sqlMinhashBase,
@@ -3515,6 +3577,50 @@ object Pipeline extends QueryModule {
          |SELECT doc_id, n_words, r_words, r_mean_len, r_stop, r_dup,
          |  CAST(r_words * r_mean_len * r_stop * r_dup AS INT) AS keep
          |FROM f""".stripMargin
+    },
+    "p78_curation_funnel" -> {
+      val stopSum = Stopwords
+        .map(w => s"CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      def census(no: Int, name: String, src: String) =
+        s"""SELECT CAST($no AS INT) AS stage_no, '$name' AS stage,
+           |  COUNT(*) AS n_docs,
+           |  CAST(coalesce(SUM(n_words), 0) AS BIGINT) AS n_tokens
+           |FROM $src""".stripMargin
+      s"""WITH w AS (SELECT doc_id, text,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_words FROM documents),
+         |gm AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |    CAST($stopSum AS BIGINT) AS n_stop
+         |  FROM (SELECT doc_id, text, $sqlToks AS t FROM documents)),
+         |kept AS (SELECT w.* FROM w JOIN gm USING (doc_id)
+         |  WHERE gm.n_words BETWEEN 50 AND 100000
+         |    AND gm.n_letters >= 3 * gm.n_words
+         |    AND gm.n_letters <= 10 * gm.n_words
+         |    AND gm.n_stop >= 2
+         |    AND (gm.n_words - gm.n_distinct) * 100 <= gm.n_words * 55),
+         |rep0 AS (SELECT sha256(text) AS ch, MIN(doc_id) AS doc_id
+         |  FROM kept GROUP BY 1),
+         |reps AS (SELECT k.* FROM kept k JOIN rep0 r ON k.doc_id = r.doc_id),
+         |${sqlMinhashBaseFrom("reps")},
+         |$sqlCappedCand,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(da.shset, db.shset)) AS ninter,
+         |    da.n AS na, db.n AS nb
+         |  FROM cand c
+         |  JOIN sig da ON da.doc_id = c.doc_a
+         |  JOIN sig db ON db.doc_id = c.doc_b),
+         |dropd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs
+         |  WHERE CAST(ninter AS DOUBLE) / (na + nb - ninter)
+         |    >= $JaccardThreshold),
+         |near AS (SELECT r.* FROM reps r
+         |  LEFT JOIN dropd d ON r.doc_id = d.doc_id WHERE d.doc_id IS NULL)
+         |${census(0, "raw", "w")}
+         |UNION ALL ${census(1, "gopher_rules", "kept")}
+         |UNION ALL ${census(2, "exact_dedup", "reps")}
+         |UNION ALL ${census(3, "near_dedup", "near")}""".stripMargin
     },
     "p77_dsir_weights" ->
       s"""WITH g AS (SELECT doc_id, is_target,

@@ -2712,6 +2712,7 @@ object Pipeline extends QueryModule {
       .groupBy(sha2(col("text"), 256).as("ch"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id").join(kept, "doc_id")
+      .staged // read 3x (sketch, anti-join, census); subtree has the digest shuffle
     val sig = minhashSigOf(reps.select("doc_id", "text"))
     val dropped = candidatePairs(bandRowsOf(sig), materialize = true)
       .join(sig.select(col("doc_id").as("doc_a"), col("shset").as("sa"),

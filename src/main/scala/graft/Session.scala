@@ -11,10 +11,11 @@ import org.apache.spark.sql.SparkSession
   * - AQE on: runtime re-planning (join strategy demotion/promotion, skew
   *   splitting, partition coalescing) is the scale story for every query
   *   in this repo;
-  * - nanosAsLong: the `events` table carries TIMESTAMP(NANOS) parquet,
-  *   which Spark's vectorized reader refuses; reading it as a raw long and
-  *   converting explicitly (Tables.events) keeps exact microsecond agreement
-  *   with engines that truncate ns→µs natively.
+  * - nanosAsLong: some testdata generations carry `events.ts` as
+  *   TIMESTAMP(NANOS) parquet, which Spark's vectorized reader refuses;
+  *   the flag surfaces that encoding as a raw long for Tables.normalizeTs
+  *   to convert explicitly, and is a no-op for µs-encoded files (the
+  *   current generation), so it stays on for either contract.
   */
 object Session {
   def local(): SparkSession = {

@@ -26,14 +26,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * with `spark.sql.legacy.parquet.nanosAsLong` (set in graft.Session) it
-    * arrives as a nanos-since-epoch long, converted here to a microsecond
-    * TimestampType by floor division — the same ns→µs truncation DuckDB
-    * applies natively, so both engines see identical instants. */
+  /** The driver has shipped `events.ts` under two physical parquet
+    * encodings across rounds — TIMESTAMP(NANOS) (rounds ≤7; Spark's reader
+    * rejects it, so `spark.sql.legacy.parquet.nanosAsLong` in graft.Session
+    * surfaces it as a nanos-since-epoch long) and `timestamp[us]` with
+    * isAdjustedToUTC=false (round 8+; Spark reads TimestampNTZType). The
+    * data contract here is *instants*, not encodings: inspect the scanned
+    * dtype and normalize every variant to the same microsecond, session-UTC
+    * TimestampType, so downstream queries and the DuckDB oracle agree
+    * regardless of which encoding a regeneration produced.
+    *
+    * - long → `timestamp_micros(ts div 1000)`: the same ns→µs truncation
+    *   DuckDB applies natively;
+    * - TimestampNTZ → cast to TimestampType: the session zone is pinned to
+    *   UTC, so the naive wall-clock becomes the identical UTC instant;
+    * - TimestampType → already the target type.
+    *
+    * EventsContractSpec pins all three paths against fixture files so the
+    * next silent regeneration turns a test red instead of darking the gate. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType          =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType  =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType     => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported physical type $other — " +
+        "extend Tables.normalizeTs for the new testdata encoding")
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
@@ -50,10 +76,12 @@ object Tables {
     * inert). The ANALYZE scan is a one-time cost per (session, directory) —
     * [[graft.sql.SparkSqlRunner]] caches registration.
     *
-    * `events` stays a temp view: its physical column is TIMESTAMP(NANOS)
-    * read as a raw long, and the ns→µs conversion is an expression a
-    * catalog table cannot carry. Temp views shadow catalog tables, so the
-    * converted view is what name resolution finds. */
+    * `events` needs a normalization expression a catalog table cannot
+    * carry (normalizeTs), so it is registered as catalog table `events_raw`
+    * (ANALYZE'd like the rest) plus temp view `events` projecting the
+    * normalized `ts` over it — Catalyst's ProjectEstimation propagates the
+    * raw table's row count and per-column stats through the aliasing
+    * projection, so CBO sees events joins like any other table's. */
   /** Column types ANALYZE … FOR COLUMNS accepts (AnalyzeColumnCommand's
     * own support set); everything else only contributes to the row count.
     * TimestampNTZ is deliberately EXCLUDED even though ANALYZE accepts it:
@@ -73,25 +101,57 @@ object Tables {
     }
   }
 
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach { n =>
-      if (n == "events") events(spark, sfDir).createOrReplaceTempView(n)
-      else {
-        // a leftover temp view of the same name would shadow the catalog
-        // table (and its statistics) — make the catalog entry canonical
-        spark.catalog.dropTempView(n): Unit
-        spark.sql(s"DROP TABLE IF EXISTS $n")
-        spark.sql(
-          s"CREATE TABLE $n USING parquet LOCATION '$sfDir/$n.parquet'")
-        // FOR ALL COLUMNS refuses tables with any non-analyzable column
-        // (embeddings carries ARRAY<FLOAT>), so enumerate the supported
-        // ones; the bare form still records the row count either way
-        val cols = spark.table(n).schema.fields.collect {
-          case f if analyzable(f.dataType) => s"`${f.name}`"
-        }
-        if (cols.isEmpty) spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS")
-        else spark.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS " +
-          s"FOR COLUMNS ${cols.mkString(", ")}")
+  /** Register one table: external catalog entry + column statistics.
+    * `events` additionally gets a normalized-ts temp view (see above). */
+  private def registerOne(spark: SparkSession, sfDir: String, n: String): Unit = {
+    val table = if (n == "events") "events_raw" else n
+    // a leftover temp view of the same name would shadow the catalog
+    // table (and its statistics) — make the catalog entry canonical; for
+    // events, drop the derived view FIRST so a failure below leaves no
+    // stale view silently answering with a previous directory's data
+    if (n == "events") spark.catalog.dropTempView(n): Unit
+    spark.catalog.dropTempView(table): Unit
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"CREATE TABLE $table USING parquet LOCATION '$sfDir/$n.parquet'")
+    // FOR ALL COLUMNS refuses tables with any non-analyzable column
+    // (embeddings carries ARRAY<FLOAT>), so enumerate the supported
+    // ones; the bare form still records the row count either way
+    val cols = spark.table(table).schema.fields.collect {
+      case f if analyzable(f.dataType) => s"`${f.name}`"
+    }
+    if (cols.isEmpty) spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    else spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS " +
+      s"FOR COLUMNS ${cols.mkString(", ")}")
+    if (n == "events")
+      normalizeTs(spark.table(table)).createOrReplaceTempView(n)
+  }
+
+  /** Per-table registration is failure-isolated: one table with a broken
+    * path or an unreadable encoding must not take down queries that never
+    * reference it (the reference has the same property — each table is
+    * opened lazily at scan creation, `RandomInitialPlan.java:76-89`). A
+    * failed table is left unregistered, so a query that *does* reference it
+    * fails loudly at analysis with TABLE_OR_VIEW_NOT_FOUND; the collected
+    * causes are rethrown only if *every* table failed (a wrong sfDir). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val failures = names.flatMap { n =>
+      try { registerOne(spark, sfDir, n); None }
+      catch { case e: Exception =>
+        System.err.println(
+          s"[graft] registration of table '$n' failed (queries over it " +
+          s"will not resolve): ${e.getMessage}")
+        // drop any half-registered state so resolution fails cleanly
+        try {
+          spark.catalog.dropTempView(n): Unit
+          spark.sql(s"DROP TABLE IF EXISTS ${if (n == "events") "events_raw" else n}"): Unit
+        } catch { case _: Exception => () }
+        Some(n -> e)
       }
     }
+    if (failures.size == names.size)
+      throw new IllegalStateException(
+        s"every table failed to register from $sfDir — first cause: " +
+        failures.head._2.getMessage, failures.head._2)
+  }
 }

@@ -10,6 +10,12 @@ object Verify {
     val only = args.lift(2).map(_.split(",").toSet)
     val spark = Session.local()
     new java.io.File(outDir).mkdirs()
+    // A query that throws (at construction OR execution) must be a loud red
+    // row in the gate, never an omission: round 8 lost 49 green rows
+    // silently because failures only went to stderr. errors.json rides
+    // along with the parquet dumps so the driver (and a human) can see
+    // exactly which queries died and why.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -17,6 +23,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -34,6 +41,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // exit 0 even with failures: the driver must still consume the partial
+    // dump + errors.json (a nonzero exit could zero the whole round)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -3049,6 +3049,91 @@ object Pipeline extends QueryModule {
       .groupBy("lang", "status").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Per-source quota cap — the RefinedWeb/CCNet-style "at most K
+    * documents per domain" step that stops one crawler-friendly site from
+    * dominating a training mix. Keeps the `QuotaK` longest documents per
+    * source (length as the quality proxy, doc_id as the deterministic
+    * tiebreak), through the native bounded-heap top-k operator
+    * ([[graft.plans.TopKPerKey]]): each task keeps at most sources×K rows,
+    * so the shuffle carries ≤ tasks×sources×K rows and there is no global
+    * sort and no full window — the same physical plan q53 measures 1.78×
+    * faster than Spark's own WindowGroupLimit path, now exercised as a
+    * curation stage rather than a SQL top-k. */
+  private[graft] val QuotaK = 20
+  private def p79SourceQuotaCap: Q = (s, d) =>
+    graft.plans.TopKPerKey.topK(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      Seq("source"), Seq(("n_chars", false), ("doc_id", true)), QuotaK)
+
+  /** Epoch-materialized mixture: the "N epochs per domain" step of
+    * training-mix construction. Each source gets a deterministic epoch
+    * count (1–3, keyed on a portable hash of the source name so the DuckDB
+    * twin derives the identical plan), and every document materializes one
+    * row per epoch with a shard key hashed from (doc_id, epoch) — the
+    * deterministic, reproducible global training order. The whole operator
+    * is a codegen'd map + explode: ZERO shuffles at any corpus size; at
+    * 100 TB the output lands shard-partitioned by a single write-side
+    * repartition the consumer chooses. */
+  private[graft] val MixEpochMax = 3
+  private[graft] val MixShardN = 8
+  private def p80MixtureEpochs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (lit(1L) + pmod(h60(col("source")), lit(MixEpochMax.toLong))).as("epochs"))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+      .select(col("doc_id"), col("source"), col("epoch"),
+        pmod(h60(concat(col("doc_id").cast(StringType), lit(":"),
+          col("epoch").cast(StringType))), lit(MixShardN.toLong)).as("shard"))
+
+  /** Distribution-drift monitor: population stability index of each
+    * source's doc-length distribution against the rest of the corpus over
+    * fixed 100-char bins — the standing data-quality alarm a continuously
+    * ingested corpus needs (PSI > 0.2 is the classic "investigate" line),
+    * here in log2 bits via `qlog2` rather than libm nats so the score is
+    * engine-deterministic. With 0.5-per-bin Laplace smoothing, p and q are
+    * exact integer ratios — p = (2c+1)/(2T+B), q = (2(gc−c)+1)/(2(N−T)+B)
+    * — so log2(p/q) is a qlog2 DELTA of two integer products, and each
+    * bin's term is built from single correctly-rounded IEEE ops; the
+    * per-source sum runs as a bin-SORTED fold (p67's rule: never an
+    * unordered float SUM), making the output bit-identical to the oracle.
+    * Scale shape: one (source, bin)-keyed count shuffle over the corpus,
+    * then everything is bounded by sources×bins rows (the broadcast bin
+    * grid densifies absent bins); no window, no pairwise work. At corpus
+    * scale the bin counts would be pre-scaled to proportions (PSI is
+    * scale-invariant) to keep the qlog2 products inside a long. */
+  private[graft] val PsiMaxBin = 5
+  private def p81SourceDriftPsi: Q = (s, d) => {
+    val binsB = PsiMaxBin + 1 // number of bins = total smoothing mass ×2
+    val binned = Tables.documents(s, d)
+      .select(col("source"),
+        least(lit(PsiMaxBin.toLong), expr("n_chars div 100")).as("bin"))
+    val counts = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val grid = binned.select("source").distinct()
+      .crossJoin(broadcast(s.range(0, PsiMaxBin + 1).toDF("bin")))
+    // densified (source, bin, c) is read by three aggregations below —
+    // stage it once instead of re-running the scan+groupBy per consumer
+    val f = grid.join(counts, Seq("source", "bin"), "left_outer")
+      .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+      .staged
+    val tot = f.groupBy("source").agg(sum("c").as("t"))
+    val gl  = f.groupBy("bin").agg(sum("c").as("gc"))
+    val n   = f.agg(sum("c").as("n"))
+    val pn = lit(2L) * col("c") + lit(1L)
+    val pd = lit(2L) * col("t") + lit(binsB.toLong)
+    val qn = lit(2L) * (col("gc") - col("c")) + lit(1L)
+    val qd = lit(2L) * (col("n") - col("t")) + lit(binsB.toLong)
+    val dq = (qlog2(pn * qd) - qlog2(qn * pd)).cast(DoubleType)
+    val term = (pn.cast(DoubleType) / pd.cast(DoubleType)
+      - qn.cast(DoubleType) / qd.cast(DoubleType)) * dq / lit(65536.0)
+    f.join(tot, "source").join(gl, "bin").crossJoin(broadcast(n))
+      .select(col("source"), col("bin"), term.as("term"))
+      .groupBy("source")
+      .agg(round(aggregate(
+          array_sort(collect_list(struct(col("bin"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")), 6).as("psi"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3070,6 +3155,9 @@ object Pipeline extends QueryModule {
     "p76_gopher_rules" -> p76GopherRules,
     "p77_dsir_weights" -> p77DsirWeights,
     "p78_curation_funnel" -> p78CurationFunnel,
+    "p79_source_quota_cap" -> p79SourceQuotaCap,
+    "p80_mixture_epochs" -> p80MixtureEpochs,
+    "p81_source_drift_psi" -> p81SourceDriftPsi,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -4675,5 +4763,55 @@ object Pipeline extends QueryModule {
         |SELECT user_id, sess, COUNT(*) AS n_events,
         |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    "p79_source_quota_cap" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+         |  SELECT doc_id, source, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= $QuotaK""".stripMargin,
+    "p80_mixture_epochs" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, source,
+         |    1 + ${sqlH60("source")} % $MixEpochMax AS epochs
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(unnest(generate_series(1, epochs)) AS BIGINT) AS epoch
+         |  FROM e)
+         |SELECT doc_id, source, epoch,
+         |  ${sqlH60("CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")}
+         |    % $MixShardN AS shard
+         |FROM r""".stripMargin,
+    "p81_source_drift_psi" ->
+      s"""WITH b AS (
+         |  SELECT source, least($PsiMaxBin, n_chars // 100) AS bin
+         |  FROM documents),
+         |c AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT source, bin
+         |  FROM (SELECT DISTINCT source FROM documents),
+         |    (SELECT unnest(generate_series(0, $PsiMaxBin)) AS bin)),
+         |f AS (
+         |  SELECT g.source, g.bin, coalesce(c.c, 0) AS c
+         |  FROM grid g LEFT JOIN c ON g.source = c.source AND g.bin = c.bin),
+         |tot AS (SELECT source, SUM(c) AS t FROM f GROUP BY 1),
+         |gl AS (SELECT bin, SUM(c) AS gc FROM f GROUP BY 1),
+         |n AS (SELECT SUM(c) AS n FROM f),
+         |r AS (
+         |  SELECT f.source, f.bin,
+         |    2 * f.c + 1 AS pn, 2 * t + ${PsiMaxBin + 1} AS pd,
+         |    2 * (gc - f.c) + 1 AS qn, 2 * (n - t) + ${PsiMaxBin + 1} AS qd
+         |  FROM f JOIN tot USING (source) JOIN gl USING (bin) CROSS JOIN n),
+         |tm AS (
+         |  SELECT source, bin,
+         |    (CAST(pn AS DOUBLE) / pd - CAST(qn AS DOUBLE) / qd)
+         |      * (${sqlQlog2("pn * qd")} - ${sqlQlog2("qn * pd")})
+         |      / 65536.0 AS term
+         |  FROM r)
+         |SELECT source,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(term ORDER BY bin)), (a, x) -> a + x), 6) AS psi
+         |FROM tm GROUP BY source""".stripMargin,
   )
 }

@@ -193,4 +193,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(stats.rowCount.exists(_ > 0), s"no rowCount: $stats")
     assert(stats.attributeStats.nonEmpty, "no column-level stats")
   }
+
+  test("the events view inherits CBO stats through its normalizing projection") {
+    // events is a temp view projecting Tables.normalizeTs over the
+    // events_raw catalog table; ProjectEstimation must carry the raw
+    // table's row count and column stats through, so events joins are
+    // CBO-visible like any other table's (VERDICT r8 item 7).
+    graft.sql.SparkSqlRunner.ensureRegistered(spark, sf)
+    val stats = spark.table("events").queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_ > 0), s"no rowCount on events view: $stats")
+    assert(stats.attributeStats.nonEmpty, "no column stats propagated to events view")
+  }
 }

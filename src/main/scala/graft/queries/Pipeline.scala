@@ -3134,6 +3134,102 @@ object Pipeline extends QueryModule {
           lit(0.0), (acc, x) => acc + x.getField("term")), 6).as("psi"))
   }
 
+  /** Soft dedup: reweight near-duplicates instead of dropping them —
+    * every document's training weight is 1/|near-dup cluster| (weight 1
+    * for singletons), so each distinct content contributes one unit of
+    * training mass however many times it was crawled. The cluster labels
+    * are p32's connected components over the capped-LSH pair graph; this
+    * adds only a cluster-size count and one doc-keyed left join, so the
+    * scale story is exactly p32's (bounded by the LSH bucket cap). The
+    * weight is a single IEEE division + round, bit-identical across
+    * engines. */
+  private def p82SoftDedupWeights: Q = (s, d) => {
+    val labels = p32DupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.join(sizes, "cluster_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
+        round(lit(1.0) / coalesce(col("n_members"), lit(1L)).cast(DoubleType),
+          6).as("weight"))
+  }
+
+  /** Deterministic quality-propensity sampling with inverse-propensity
+    * weights: each document is accepted with probability proportional to
+    * its stopword ratio (the classic cheap English-quality proxy),
+    * clamped to [0.05, 1], and the survivors carry weight 1/p so any
+    * downstream statistic over the sample is unbiased for the corpus.
+    * The coin is a portable hash lane (h60(doc_id) mod 2^20) compared to
+    * floor(p·2^20) — reproducible across runs, engines, and partitionings,
+    * unlike `rand()`. ZERO shuffles at any corpus size: the whole operator
+    * is a codegen'd map + filter, the ideal pre-tokenization thinning
+    * stage. Every float step (one division, one clamp, one multiply, one
+    * floor) is a single correctly-rounded IEEE op, so the DuckDB twin is
+    * bit-exact. */
+  private[graft] val SampleLanes = 1048576L // 2^20 hash lanes
+  private def p83QualitySampling: Q = (s, d) => {
+    val t = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(t).cast(LongType).as("n_tokens"),
+        size(filter(t, x => x.isin(Stopwords: _*))).cast(LongType).as("n_stop"))
+      .withColumn("p_acc", greatest(lit(0.05),
+        least(lit(1.0), col("n_stop").cast(DoubleType) / col("n_tokens"))))
+      .filter(pmod(h60(col("doc_id").cast(StringType)), lit(SampleLanes))
+        < floor(col("p_acc") * lit(SampleLanes.toDouble)))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("p_acc"), 6).as("accept_p"),
+        round(lit(1.0) / col("p_acc"), 6).as("weight"))
+  }
+
+  /** Event-volume anomaly detection: flags the (event_type, hour) cells
+    * whose count deviates more than 3σ from that type's own hourly mean —
+    * the standing alarm over an ingestion feed. The z² test is cleared of
+    * floats entirely: z² > 9 ⟺ (n·c − s)² > 9(n·ss − s²) with s = Σc,
+    * ss = Σc² per type, so the gate is exact 64-bit integer arithmetic
+    * (at production volumes the counts would be pre-scaled or the test
+    * run in doubles; the integer form is what makes the oracle exact).
+    * Shape: one (type, hour)-keyed count shuffle over the feed, a
+    * per-type aggregate bounded by |types| rows, and a broadcast join
+    * back — no window, no sort. */
+  private def p84HourlyAnomaly: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("n_hours"), sum(col("c")).as("s"),
+      sum(col("c") * col("c")).as("ss"))
+    val dev = col("n_hours") * col("c") - col("s")
+    hourly.join(broadcast(stats), "event_type")
+      .filter(col("n_hours") >= 2 &&
+        dev * dev > lit(9L) * (col("n_hours") * col("ss") - col("s") * col("s")))
+      .select(col("event_type"), col("hour"), col("c"), col("n_hours"),
+        (dev * dev).as("dev2"),
+        (col("n_hours") * col("ss") - col("s") * col("s")).as("nvar"))
+  }
+
+  /** CDC keep-latest compaction (the read side of an upsert/merge): the
+    * events feed is split into a snapshot and a change batch (event_id
+    * mod 10 = 9, tagged `from_batch`), and each (user_id, event_type)
+    * key resolves to its single latest row by (ts, event_id) — the
+    * merge-on-read compaction every changelog-backed table needs. Runs
+    * through the native bounded-heap top-k operator with k=1, so each
+    * task retains at most one row per key it sees and the shuffle
+    * carries ≤ tasks×keys rows instead of the full feed — a window
+    * row_number would sort-shuffle every event. Key-count overflow
+    * degrades to the operator's spillable-sort fallback, never OOM. */
+  private def p85UpsertLatest: Q = (s, d) => {
+    val u = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        when(pmod(col("event_id"), lit(10L)) === 9, 1).otherwise(0)
+          .as("from_batch"))
+    graft.plans.TopKPerKey.topK(u, Seq("user_id", "event_type"),
+      Seq(("ts_us", false), ("event_id", false)), 1)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3158,6 +3254,10 @@ object Pipeline extends QueryModule {
     "p79_source_quota_cap" -> p79SourceQuotaCap,
     "p80_mixture_epochs" -> p80MixtureEpochs,
     "p81_source_drift_psi" -> p81SourceDriftPsi,
+    "p82_soft_dedup_weights" -> p82SoftDedupWeights,
+    "p83_quality_sampling" -> p83QualitySampling,
+    "p84_hourly_anomaly" -> p84HourlyAnomaly,
+    "p85_upsert_latest" -> p85UpsertLatest,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -4813,5 +4913,60 @@ object Pipeline extends QueryModule {
          |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list(term ORDER BY bin)), (a, x) -> a + x), 6) AS psi
          |FROM tm GROUP BY source""".stripMargin,
+    "p82_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $sqlClusterLabels,
+         |sz AS (SELECT cluster_id, COUNT(*) AS n_members
+         |  FROM lbl GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |  coalesce(sz.n_members, 1) AS n_members,
+         |  round(CAST(1 AS DOUBLE) / coalesce(sz.n_members, 1), 6) AS weight
+         |FROM documents d
+         |LEFT JOIN lbl l ON d.doc_id = l.doc_id
+         |LEFT JOIN sz ON l.cluster_id = sz.cluster_id""".stripMargin,
+    "p83_quality_sampling" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_filter(tk, x -> list_contains($sqlStops, x)))
+         |      AS BIGINT) AS n_stop
+         |  FROM t),
+         |p AS (SELECT doc_id, n_tokens,
+         |    greatest(CAST(0.05 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      n_stop / n_tokens)) AS p_acc
+         |  FROM b)
+         |SELECT doc_id, n_tokens, round(p_acc, 6) AS accept_p,
+         |  round(CAST(1 AS DOUBLE) / p_acc, 6) AS weight
+         |FROM p
+         |WHERE ${sqlH60("CAST(doc_id AS VARCHAR)")} % $SampleLanes
+         |  < CAST(floor(p_acc * $SampleLanes.0) AS BIGINT)""".stripMargin,
+    "p84_hourly_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, STRFTIME(ts, '%Y-%m-%d %H') AS hour,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n_hours,
+        |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c*c) AS BIGINT) AS ss
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.c, st.n_hours,
+        |  (st.n_hours*h.c - st.s) * (st.n_hours*h.c - st.s) AS dev2,
+        |  st.n_hours*st.ss - st.s*st.s AS nvar
+        |FROM h JOIN st USING (event_type)
+        |WHERE st.n_hours >= 2
+        |  AND (st.n_hours*h.c - st.s) * (st.n_hours*h.c - st.s)
+        |    > 9 * (st.n_hours*st.ss - st.s*st.s)""".stripMargin,
+    "p85_upsert_latest" ->
+      """WITH u AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    value,
+        |    CAST(CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END AS INT)
+        |      AS from_batch
+        |  FROM events),
+        |r AS (SELECT u.*, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS rk FROM u)
+        |SELECT user_id, event_type, event_id, ts_us, value, from_batch
+        |FROM r WHERE rk = 1""".stripMargin,
   )
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Invariants of the round-9 operators (p82–p85) on the real sf0.001
+  * tables — properties that must hold on ANY corpus. */
+class Round9OpsSpec extends SparkSpec {
+
+  private def run(name: String) = Pipeline.queries(name)(spark, sf)
+
+  test("p82: every doc weighted once, cluster mass sums to one") {
+    val rows = run("p82_soft_dedup_weights").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs)
+    rows.foreach { r =>
+      val (n, w) = (r.getAs[Long]("n_members"), r.getAs[Double]("weight"))
+      assert(n >= 1)
+      assert(math.abs(w - 1.0 / n) < 5e-7, s"weight $w != 1/$n")
+      // cluster label is the component's smallest doc_id
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("doc_id"))
+    }
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (c, rs) =>
+      val mass = rs.map(_.getAs[Double]("weight")).sum
+      assert(math.abs(mass - 1.0) < 1e-5 * rs.length,
+        s"cluster $c mass $mass over ${rs.length} members")
+      assert(rs.forall(_.getAs[Long]("n_members") == rs.length))
+    }
+  }
+
+  test("p83: survivors carry unbiased inverse-propensity weights") {
+    val rows = run("p83_quality_sampling").collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length < nDocs, "sampling must thin the corpus")
+    rows.foreach { r =>
+      val (p, w) = (r.getAs[Double]("accept_p"), r.getAs[Double]("weight"))
+      assert(p >= 0.05 && p <= 1.0, s"accept_p $p outside clamp")
+      assert(math.abs(p * w - 1.0) < 1e-4, s"weight $w not ~1/$p")
+    }
+    // the hash coin makes the sample a deterministic function of the data
+    val again = run("p83_quality_sampling").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted
+      .sameElements(again.map(_.getAs[Long]("doc_id")).sorted))
+  }
+
+  test("p84: every flagged cell clears the integer 3-sigma gate") {
+    val rows = run("p84_hourly_anomaly").collect()
+    rows.foreach { r =>
+      val (dev2, nvar) = (r.getAs[Long]("dev2"), r.getAs[Long]("nvar"))
+      assert(dev2 > 9L * nvar, s"flagged cell fails its own gate")
+      assert(r.getAs[Long]("c") >= 1 && r.getAs[Long]("n_hours") >= 2)
+    }
+  }
+
+  test("p85: exactly the latest row per key survives compaction") {
+    val rows = run("p85_upsert_latest").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+      .toMap
+    val expect = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("ts_us"), r.getAs[Long]("event_id")))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(rows == expect)
+  }
+}

@@ -33,16 +33,22 @@ object Streams {
   final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
 
   /** File-based stream of the events table layout (the deploy-time
-    * `readStream` entry; tests use MemoryStream instead). Mirrors
-    * graft.Tables.events: under the session's nanosAsLong config the
-    * TIMESTAMP(NANOS) parquet column arrives as a nanos long and is
-    * converted here to a microsecond timestamp. */
+    * `readStream` entry; tests use MemoryStream instead). A stream needs
+    * its schema up front, and the driver has shipped `events.ts` under
+    * multiple physical encodings across rounds (nanos-long and
+    * timestamp[us] NTZ so far) — so the schema comes from a batch footer
+    * read of the files already in the directory, and the ts column goes
+    * through the same type-adaptive normalization as the batch table
+    * (graft.Tables.normalizeTs). Batch and stream cannot diverge on an
+    * encoding change: both normalize, and both are pinned by
+    * EventsContractSpec-style fixtures. Requires at least one file
+    * present at start — true of every deploy that tails a table
+    * directory. */
   def fileStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(spark.read.parquet(dir).schema)
+        .parquet(dir))
 
   /** Tumbling 1-hour windows per event type — the streaming twin of
     * p10_events_hourly. Watermark bounds state: windows older than
@@ -373,6 +379,73 @@ object Streams {
               AnnMatch(probe, i + 1, id, sim)
             }
           }
+      }
+  }
+
+  final case class HourAnomaly(event_type: String, hour_start_ms: Long,
+      c: Long, n_hours: Long, dev2: Long, nvar: Long)
+
+  /** State per event type: open (not yet closed) hour buckets, the
+    * integer moments of the closed-hour count distribution, and the max
+    * event time seen (the per-key watermark that closes hours and
+    * rejects late arrivals). Bounded: |open| ≤ lateness window in hours,
+    * plus four longs — nothing scales with stream length or volume. */
+  final case class AnomalyState(open: Map[Long, Long], n: Long, s: Long,
+      ss: Long, maxMs: Long)
+
+  /** Streaming feed-anomaly detection — the continuous twin of batch
+    * p84_hourly_anomaly, with the identical float-free 3σ gate:
+    * a closing hour's count c is flagged iff (n·c − s)² > 9(n·ss − s²)
+    * over the type's closed-hour moments (n hours, s = Σc, ss = Σc²).
+    * One flatMapGroupsWithState keyed by event_type: arrivals bump their
+    * hour's open bucket; when the type's max observed event time passes
+    * hourEnd + lateness, the hour closes — its count folds into the
+    * moments FIRST (matching the batch formula, where the tested cell is
+    * part of its own population) and then takes the gate, emitting only
+    * flagged hours. Events later than the lateness bound for an
+    * already-closed hour are dropped, the same contract a watermark
+    * enforces on windowed aggregation. Closing is per-key (a quiet type
+    * closes only when its own events advance), which is exactly how
+    * per-key moments must behave: another type's clock says nothing
+    * about this type's distribution. */
+  def hourlyAnomalies(events: Dataset[Event],
+      latenessMs: Long = 2 * 3600000L): Dataset[HourAnomaly] = {
+    import events.sparkSession.implicits._
+    val HourMs = 3600000L
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, HourAnomaly](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[Event],
+            state: GroupState[AnomalyState]) =>
+          val prev = state.getOption.getOrElse(
+            AnomalyState(Map.empty, 0, 0, 0, Long.MinValue))
+          var maxMs = prev.maxMs
+          val open = batch.foldLeft(prev.open) { (acc, e) =>
+            val ms = e.ts.getTime
+            maxMs = math.max(maxMs, ms)
+            val hour = ms - java.lang.Math.floorMod(ms, HourMs)
+            // an hour already closed by a PRIOR batch's clock rejects
+            // late arrivals (the watermark contract); anything newer
+            // lands in its open bucket
+            if (hour + HourMs + latenessMs <= prev.maxMs) acc
+            else acc.updated(hour, acc.getOrElse(hour, 0L) + 1L)
+          }
+          val (closing, stillOpen) = open.partition { case (hour, _) =>
+            hour + HourMs + latenessMs <= maxMs
+          }
+          var (n, s, ss) = (prev.n, prev.s, prev.ss)
+          val out = closing.toSeq.sortBy(_._1).flatMap { case (hour, c) =>
+            n += 1; s += c; ss += c * c
+            val dev = n * c - s
+            val nvar = n * ss - s * s
+            if (n >= 2 && dev * dev > 9L * nvar)
+              Some(HourAnomaly(tpe, hour, c, n, dev * dev, nvar))
+            else None
+          }
+          state.update(AnomalyState(stillOpen, n, s, ss, maxMs))
+          out.iterator
       }
   }
 

@@ -28,7 +28,12 @@ object ScaleProbe {
     // LM bucketing, inverted-postings retrieval, span removal with
     // doc reconstruction, hashed-feature importance weights
     "p70_heavy_hitters", "p71_nb_classifier", "p73_perplexity_buckets",
-    "p74_bm25_retrieval", "p75_span_strip", "p77_dsir_weights")
+    "p74_bm25_retrieval", "p75_span_strip", "p77_dsir_weights",
+    // round-9 additions: cluster reweighting (p32's components + ε),
+    // zero-shuffle propensity sampling, integer 3σ feed anomaly, and
+    // the bounded-heap CDC compaction
+    "p82_soft_dedup_weights", "p83_quality_sampling",
+    "p84_hourly_anomaly", "p85_upsert_latest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -78,6 +78,62 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileStream adapts to the driver's CURRENT events encoding") {
+    // reads the real driver file, whatever physical ts type this round's
+    // testdata regeneration produced — the streaming twin of the events
+    // data contract (EventsContractSpec pins the batch side). The file
+    // is staged into a directory because FileStreamSource tails table
+    // DIRECTORIES, the deploy layout.
+    import java.nio.file.{Files => JF, Paths}
+    val dir = JF.createTempDirectory("graft-driver-events")
+    JF.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val q = sessionCounts(fileStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("driver_file_sessions")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow run did not terminate")
+      assert(q.exception.isEmpty)
+      assert(spark.table("driver_file_sessions").columns
+        .contains("session_start"))
+    } finally q.stop()
+  }
+
+  test("hourlyAnomalies flags the spike hour, stays quiet on uniform") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = hourlyAnomalies(in.toDS())
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hours 0..9: two events each (uniform); hour 10: a 20-event spike
+      var id = 0L
+      def burst(hour: Int, k: Int): Seq[Event] = (0 until k).map { i =>
+        id += 1; ev(id, hour * 60 + i, 7, "a", 1.0)
+      }
+      in.addData((0 to 9).flatMap(burst(_, 2)) ++ burst(10, 20): _*)
+      q.processAllAvailable()
+      // nothing flagged yet: hours 0..7 closed quiet (dev = 0)
+      assert(spark.table("anomalies").count() == 0)
+      // advance this type's clock past hour 10's close (lateness 2h)
+      in.addData(ev(9999, 800, 7, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("anomalies").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("c"),
+          r.getAs[Long]("n_hours"), r.getAs[Long]("dev2"),
+          r.getAs[Long]("nvar")))
+      // the spike hour is the single emission: n=11, s=40, ss=440,
+      // dev = 11*20-40 = 180, nvar = 11*440-1600 = 3240; 32400 > 29160
+      assert(rows.toSet == Set(("a", 20L, 11L, 32400L, 3240L)))
+      // a late arrival for a long-closed hour is dropped, not refolded
+      in.addData(ev(10000, 0, 7, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("anomalies").count() == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs clicks with purchases in the window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -114,6 +114,47 @@ object MultimodalDecode {
       }
   }
 
+  /** One pixel of a nearest-neighbor-resized image: target grid
+    * coordinates plus the channel mean of the sampled source pixel. */
+  case class ResizedPixel(doc_id: Long, ty: Int, tx: Int, px_mean: Double)
+
+  /** Resize decoded images to a fixed `tw`×`th` grid by nearest-neighbor
+    * sampling — the thumbnail/normalization step an image training
+    * pipeline runs after decode. Sampling is explicit index arithmetic
+    * over the decoded raster (source pixel (⌊tx·W/tw⌋, ⌊ty·H/th⌋)), not
+    * an AWT scaling filter, so the result is bit-deterministic and
+    * oracle-computable; the emitted feature per target cell is the mean
+    * of the sampled pixel's three channel bytes (an exact integer sum,
+    * one division). Output rows scale with docs×tw×th, never with
+    * source pixels; same per-partition codec amortization and
+    * undecodable-skip contract as [[decodeImages]]; no shuffle. */
+  def resizeImages(df: DataFrame, tw: Int, th: Int): Dataset[ResizedPixel] = {
+    require(tw > 0 && th > 0, s"target dims must be positive: ${tw}x$th")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast(LongType),
+        col("payload").cast(BinaryType).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          Option(payload).flatMap { bytes =>
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          }.toSeq.flatMap { img =>
+            for (ty <- 0 until th; tx <- 0 until tw) yield {
+              val sy = ty * img.getHeight / th
+              val sx = tx * img.getWidth / tw
+              val rgb = img.getRGB(sx, sy)
+              val sum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                (rgb & 0xff)
+              ResizedPixel(id, ty, tx, sum.toDouble / 3)
+            }
+          }
+        }
+      }
+  }
+
   /** One decoded audio clip: format fields read from the REAL decoder's
     * `AudioFormat` plus the sample count and mean sample value (unsigned
     * 8-bit PCM; None for a zero-length clip). */

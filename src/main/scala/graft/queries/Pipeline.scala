@@ -786,6 +786,21 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("width"), col("height"),
         round(col("mean_pixel"), 6).as("mean_pixel"))
 
+  /** REAL decode + resize: the valid BMPs of [[bmpPayloads]] decode
+    * through ImageIO and then resample to a fixed 2×2 grid by
+    * nearest-neighbor index arithmetic ([[graft.operators
+    * .MultimodalDecode.resizeImages]]) — the thumbnail/normalization
+    * stage of an image pipeline, exercised through a REAL codec. The
+    * oracle recomputes each sampled source pixel straight from the
+    * text's hex, so an off-by-one in the resample index math, a
+    * stride/row-flip bug, or padding leaking into a sampled pixel flips
+    * the hash. Map-side decode, rows = docs×4; no shuffle. */
+  private def p86ImageResize: Q = (s, d) =>
+    graft.operators.MultimodalDecode.resizeImages(bmpPayloads(s, d), 2, 2)
+      .toDF()
+      .select(col("doc_id"), col("ty"), col("tx"),
+        round(col("px_mean"), 6).as("px_mean"))
+
   /** REAL audio decode: the valid WAVs of [[wavPayloads]] go through the
     * JDK's `javax.sound.sampled.AudioSystem` ([[graft.operators
     * .MultimodalDecode.decodeAudio]]); sample rate / channels / bit
@@ -3258,6 +3273,7 @@ object Pipeline extends QueryModule {
     "p83_quality_sampling" -> p83QualitySampling,
     "p84_hourly_anomaly" -> p84HourlyAnomaly,
     "p85_upsert_latest" -> p85UpsertLatest,
+    "p86_image_resize" -> p86ImageResize,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -4956,6 +4972,31 @@ object Pipeline extends QueryModule {
         |WHERE st.n_hours >= 2
         |  AND (st.n_hours*h.c - st.s) * (st.n_hours*h.c - st.s)
         |    > 9 * (st.n_hours*st.ss - st.s*st.s)""".stripMargin,
+    // recomputes each nearest-neighbor-sampled source pixel straight
+    // from the text hex that became the BMP pixels: resample index
+    // bugs, stride/row-flip errors, or padding leakage flip the hash
+    "p86_image_resize" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 3 AS INT) AS width,
+        |    CAST(2 + doc_id % 2 AS INT) AS height,
+        |    lower(hex(text)) AS hx FROM documents),
+        |px AS (SELECT doc_id, width, height,
+        |    substr(hx, 1, height*width*6)
+        |      || repeat('0', greatest(0, height*width*6 - len(hx)))
+        |      AS pixhex
+        |  FROM p),
+        |g AS (SELECT doc_id, width, height, pixhex,
+        |    CAST(ty AS INT) AS ty, CAST(tx AS INT) AS tx,
+        |    (ty * height) // 2 AS sy, (tx * width) // 2 AS sx
+        |  FROM px, unnest(generate_series(0, 1)) a(ty),
+        |    unnest(generate_series(0, 1)) b(tx)),
+        |b AS (SELECT doc_id, ty, tx,
+        |    CAST('0x' || substr(pixhex, (sy*width*3 + sx*3 + k)*2 + 1, 2)
+        |      AS BIGINT) AS bv
+        |  FROM g, unnest(generate_series(0, 2)) c(k))
+        |SELECT doc_id, ty, tx,
+        |  round(CAST(SUM(bv) AS DOUBLE) / 3, 6) AS px_mean
+        |FROM b GROUP BY doc_id, ty, tx""".stripMargin,
     "p85_upsert_latest" ->
       """WITH u AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

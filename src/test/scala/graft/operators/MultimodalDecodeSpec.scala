@@ -66,6 +66,32 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(rows.map(_.doc_id).toSeq == Seq(1L))
   }
 
+  test("resize samples exact nearest-neighbor source pixels") {
+    // BMP stores rows bottom-up: the first stored row (1..6) is the
+    // image's BOTTOM row, so decoded y=0 holds (7,8,9)(10,11,12)
+    val df = Seq((7L, tinyBmp)).toDF("doc_id", "payload")
+    val identity = MultimodalDecode.resizeImages(df, 2, 2).collect()
+      .map(r => (r.ty, r.tx) -> r.px_mean).toMap
+    assert(identity == Map((0, 0) -> 8.0, (0, 1) -> 11.0,
+      (1, 0) -> 2.0, (1, 1) -> 5.0))
+    val one = MultimodalDecode.resizeImages(df, 1, 1).collect()
+    assert(one.map(r => ((r.ty, r.tx), r.px_mean)).toSeq ==
+      Seq(((0, 0), 8.0))) // top-left pixel is the single sample
+  }
+
+  test("resize skips undecodable payloads and rejects bad dims") {
+    val rows = MultimodalDecode.resizeImages(Seq(
+      (1L, Some(tinyBmp)),
+      (2L, Some("not an image".getBytes("UTF-8"))),
+      (3L, None),
+    ).toDF("doc_id", "payload"), 2, 2).collect()
+    assert(rows.map(_.doc_id).distinct.toSeq == Seq(1L))
+    intercept[IllegalArgumentException] {
+      MultimodalDecode.resizeImages(Seq((1L, tinyBmp))
+        .toDF("doc_id", "payload"), 0, 2)
+    }
+  }
+
   // an 8-bit mono PCM WAV with samples 10, 20, 30 at 8000 Hz
   private def tinyWav: Array[Byte] = {
     def le(v: Int, n: Int): Array[Byte] =

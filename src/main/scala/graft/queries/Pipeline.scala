@@ -3245,6 +3245,33 @@ object Pipeline extends QueryModule {
       Seq(("ts_us", false), ("event_id", false)), 1)
   }
 
+  /** Referential-integrity audit between the document corpus and its
+    * embedding index — the reconciliation check a multi-table pipeline
+    * runs after every incremental build (every doc embedded? every
+    * vector backed by a live doc?). Drift is simulated by hash slices
+    * (the p36/p63 pattern): embedding shards `vec_id % 10 = 3` are
+    * "lost", documents `doc_id % 13 = 5` are "not yet ingested". Each
+    * direction is one keyed LEFT ANTI join — at scale a shuffle join on
+    * the id (or a broadcast when one side is small, which AQE decides) —
+    * followed by a single-row summary aggregate, so the audit output is
+    * category rows, never a data copy. */
+  private def p87RefIntegrity: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(13L)) =!= 5)
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(10L)) =!= 3)
+    def summarize(ids: DataFrame, idCol: String, category: String) =
+      ids.agg(count(lit(1)).as("n_orphans"),
+          min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+        .select(lit(category).as("category"), col("n_orphans"),
+          col("min_id"), col("max_id"))
+    summarize(docs.join(vecs, col("doc_id") === col("vec_id"), "left_anti"),
+        "doc_id", "doc_without_vec")
+      .unionAll(summarize(
+        vecs.join(docs, col("vec_id") === col("doc_id"), "left_anti"),
+        "vec_id", "vec_without_doc"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3274,6 +3301,7 @@ object Pipeline extends QueryModule {
     "p84_hourly_anomaly" -> p84HourlyAnomaly,
     "p85_upsert_latest" -> p85UpsertLatest,
     "p86_image_resize" -> p86ImageResize,
+    "p87_ref_integrity" -> p87RefIntegrity,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -4997,6 +5025,18 @@ object Pipeline extends QueryModule {
         |SELECT doc_id, ty, tx,
         |  round(CAST(SUM(bv) AS DOUBLE) / 3, 6) AS px_mean
         |FROM b GROUP BY doc_id, ty, tx""".stripMargin,
+    "p87_ref_integrity" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 5),
+        |v AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 3),
+        |a AS (SELECT 'doc_without_vec' AS category,
+        |    COUNT(*) AS n_orphans, MIN(doc_id) AS min_id,
+        |    MAX(doc_id) AS max_id
+        |  FROM d WHERE doc_id NOT IN (SELECT vec_id FROM v)),
+        |b AS (SELECT 'vec_without_doc' AS category,
+        |    COUNT(*) AS n_orphans, MIN(vec_id) AS min_id,
+        |    MAX(vec_id) AS max_id
+        |  FROM v WHERE vec_id NOT IN (SELECT doc_id FROM d))
+        |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin,
     "p85_upsert_latest" ->
       """WITH u AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

@@ -54,6 +54,24 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("p87: orphan counts equal the simulated drift slices") {
+    val rows = run("p87_ref_integrity").collect()
+      .map(r => r.getAs[String]("category") ->
+        (r.getAs[Long]("n_orphans"), r.getAs[Long]("min_id"),
+          r.getAs[Long]("max_id"))).toMap
+    assert(rows.keySet == Set("doc_without_vec", "vec_without_doc"))
+    // ids align 1:1 in the driver tables, so each side's orphans are
+    // exactly the OTHER side's dropped slice minus its own
+    val ids = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val docKept = ids.filter(_ % 13 != 5)
+    val vecKept = ids.filter(_ % 10 != 3)
+    val dwv = docKept -- vecKept
+    val vwd = vecKept -- docKept
+    assert(rows("doc_without_vec") == ((dwv.size.toLong, dwv.min, dwv.max)))
+    assert(rows("vec_without_doc") == ((vwd.size.toLong, vwd.min, vwd.max)))
+  }
+
   test("p85: exactly the latest row per key survives compaction") {
     val rows = run("p85_upsert_latest").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->

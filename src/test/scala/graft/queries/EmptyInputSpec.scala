@@ -35,6 +35,8 @@ class EmptyInputSpec extends SparkSpec {
     "p53_kmeans_cells", "p54_sliding_window",
     "p62_bpe_merges", "p63_snapshot_diff", "p64_bpe_by_lang",
     "p65_incremental_neardup", "p66_bpe_apply", "p67_temperature_mix",
+    "p82_soft_dedup_weights", "p83_quality_sampling",
+    "p84_hourly_anomaly", "p85_upsert_latest", "p86_image_resize",
     "q19_agg_group", "q30_top_revenue", "q53_topk_native",
     "s08_sql_agg_groupby", "s15_sql_cte_window",
     "s25_sql_small_qty_revenue", "s28_sql_pricing_summary")
@@ -47,5 +49,13 @@ class EmptyInputSpec extends SparkSpec {
       // global aggregates produce a single summary row; nothing else may
       assert(n <= 1, s"$name returned $n rows on empty input")
     }
+  }
+
+  test("p87_ref_integrity audits empty tables as zero orphans, not a crash") {
+    val rows = Pipeline.queries("p87_ref_integrity")(spark, EmptyInputSpec.dir)
+      .collect()
+    // the audit's contract is one summary row PER category, always
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getAs[Long]("n_orphans") == 0L))
   }
 }

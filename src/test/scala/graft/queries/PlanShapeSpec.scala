@@ -187,6 +187,31 @@ class PlanShapeSpec extends SparkSpec {
       s"reorder changed the answer: $cboCount vs $offCount")
   }
 
+  test("round-9 ops keep their claimed shapes: map-only, keyed, native heap") {
+    // p83 is a pure map+filter: no exchange at all, no aggregate
+    val p83 = plan("p83_quality_sampling")
+    assert(!p83.contains("Exchange"), s"p83 shuffles a pure map:\n$p83")
+    assert(!p83.contains("HashAggregate"), s"p83 aggregates a pure map:\n$p83")
+    // p86 is map-side decode: rebalance at most, nothing else
+    val p86 = plan("p86_image_resize")
+    assert(p86.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"p86 shuffles beyond the rebalance:\n$p86")
+    // p84's stats side is broadcast back onto the hourly counts
+    val p84 = plan("p84_hourly_anomaly")
+    assert(p84.contains("BroadcastHashJoin"),
+      s"p84 lost its broadcast stats join:\n$p84")
+    assert(!p84.contains("SortMergeJoin"),
+      s"p84 sort-merges a |types|-row side:\n$p84")
+    // p85 compacts through the native bounded-heap operator, no window
+    val p85 = plan("p85_upsert_latest")
+    assert(p85.contains("TopKPerKey"), s"p85 lost the native heap:\n$p85")
+    assert(!p85.contains("Window"), s"p85 planned a window sort:\n$p85")
+    // p87's audits stay keyed joins — never a nested loop over ids
+    val p87 = plan("p87_ref_integrity")
+    assert(!p87.contains("BroadcastNestedLoopJoin") &&
+      !p87.contains("CartesianProduct"), s"p87 went all-pairs:\n$p87")
+  }
+
   test("catalog registration leaves row-count and column stats behind") {
     graft.sql.SparkSqlRunner.ensureRegistered(spark, sf)
     val stats = spark.table("customer").queryExecution.optimizedPlan.stats

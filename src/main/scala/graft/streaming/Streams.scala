@@ -449,6 +449,42 @@ object Streams {
       }
   }
 
+  final case class LatestRow(user_id: Long, event_type: String,
+      event_id: Long, ts_us: Long, value: Double)
+
+  /** Streaming CDC keep-latest view — the continuous twin of batch
+    * p85_upsert_latest: each (user_id, event_type) key's state is its
+    * single latest row by (event time, event_id), re-emitted only when
+    * a batch actually replaces it. One mapGroupsWithState-style fold
+    * with flatMap emission (quiet keys emit nothing), state = one small
+    * record per live key — the merge-on-read view a changelog-backed
+    * table maintains continuously, where the batch operator compacts
+    * the same contract at rest. At-least-once redelivery of the current
+    * latest row is absorbed (same (ts, id) does not re-emit). */
+  def latestPerKey(events: Dataset[Event]): Dataset[LatestRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LatestRow, LatestRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[Event],
+            state: GroupState[LatestRow]) =>
+          val prev = state.getOption
+          val next = batch.foldLeft(prev) { (best, e) =>
+            val cand = LatestRow(e.user_id, e.event_type, e.event_id,
+              e.ts.getTime * 1000, e.value)
+            best match {
+              case Some(b) if b.ts_us > cand.ts_us ||
+                (b.ts_us == cand.ts_us && b.event_id >= cand.event_id) => best
+              case _ => Some(cand)
+            }
+          }
+          if (next == prev) Iterator.empty
+          else { next.foreach(state.update); next.iterator }
+      }
+  }
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

@@ -134,6 +134,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestPerKey maintains the newest row per key, emit-on-change") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = latestPerKey(in.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 5, 7, "click", 1.0), ev(2, 3, 7, "click", 2.0),
+        ev(3, 0, 8, "view", 3.0))
+      q.processAllAvailable()
+      // an OLDER row for a current key must not re-emit (no new output)
+      in.addData(ev(4, 1, 7, "click", 9.0))
+      q.processAllAvailable()
+      // redelivery of the reigning row is absorbed too
+      in.addData(ev(1, 5, 7, "click", 1.0))
+      q.processAllAvailable()
+      // a genuinely newer row replaces and re-emits
+      in.addData(ev(5, 8, 7, "click", 4.0))
+      q.processAllAvailable()
+      val hist = spark.table("latest")
+        .select("user_id", "event_type", "event_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // update-mode memory sink keeps the emission history: the 7/click
+      // key emitted exactly twice (id 1 on arrival, id 5 on replace)
+      assert(hist.count(t => t._1 == 7L && t._2 == "click") == 2)
+      assert(hist.filter(t => t._1 == 7L).map(_._3).toSet == Set(1L, 5L))
+      assert(hist.count(t => t._1 == 8L) == 1)
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs clicks with purchases in the window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -1601,7 +1601,12 @@ object Pipeline extends QueryModule {
     e.crossJoin(broadcast(stats))
       .withColumn("qv", transform(col("v"), (x, i) =>
         quant(x, element_at(col("mns"), i + 1),
-          element_at(col("mxs"), i + 1))))
+          element_at(col("mxs"), i + 1)))
+        // codes are int8 by construction; store them as 1-byte elements
+        // so the persisted/staged index and every exchange that carries
+        // it pay 1 byte per dimension, not 8 — the storage half of the
+        // scalar-quantization claim, literal in the schema
+        .cast(ArrayType(ByteType)))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("qv"),
         col("mns"), col("mxs"))

@@ -51,6 +51,39 @@ class VectorDotLongSpec extends SparkSpec {
     }
   }
 
+  test("tinyint and mixed-type arrays dot exactly like bigint arrays") {
+    // the persisted quantized index carries array<tinyint>; the k-means
+    // path dots tinyint codes against bigint centroid means
+    val df = Seq((Seq(127L, -128L, 3L), Seq(114L, -103L, 99L)))
+      .toDF("a", "b")
+      .select(col("a"), col("b"),
+        col("a").cast("array<tinyint>").as("a8"),
+        col("b").cast("array<smallint>").as("b16"),
+        col("b").cast("array<int>").as("b32"))
+    val r = df.select(
+      vdotl(col("a"), col("b")).as("ll"),
+      vdotl(col("a8"), col("b16")).as("b8x16"),
+      vdotl(col("a8"), col("b")).as("b8xl"),
+      vdotl(col("b32"), col("a8")).as("b32x8")).collect().head
+    val expect = 127L * 114 + 128 * 103 + 3 * 99
+    Seq("ll", "b8x16", "b8xl", "b32x8").foreach { c =>
+      assert(r.getAs[Long](c) == expect, s"$c mismatched")
+    }
+    // negative products must widen before multiplying, not after
+    val neg = Seq((Seq(-128L, -128L), Seq(127L, 127L))).toDF("a", "b")
+      .select(vdotl(col("a").cast("array<tinyint>"),
+        col("b").cast("array<tinyint>"))).collect().head.getLong(0)
+    assert(neg == -128L * 127 * 2)
+  }
+
+  test("a float-element array is rejected at analysis, not at runtime") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(vdotl(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("vector_dot_long is callable from SQL via the session extension") {
     vecs.createOrReplaceTempView("vdl_vecs")
     val got = spark.sql(

@@ -3277,6 +3277,39 @@ object Pipeline extends QueryModule {
         "vec_id", "vec_without_doc"))
   }
 
+  /** Integer-exact PageRank over the near-dup graph — graph centrality
+    * as a curation signal: within a duplicate cluster, the most-connected
+    * document is the best canonical representative (hub of the template
+    * family), complementing p41's size-based pick. Two power-iteration
+    * rounds with damping 0.85, entirely in scaled integer arithmetic
+    * (ranks start at 2^20; contributions are floor-divided by degree,
+    * the damped sum is (85·Σ) div 100) so both engines agree bit for bit
+    * — a float PageRank can never be oracle-exact. Each round is one
+    * edge-keyed join + one dst-keyed sum: the BSP shape GraphX Pregel
+    * runs, linear in edges, bounded by the LSH bucket cap like every
+    * consumer of the p02 pair graph. */
+  private[graft] val PrScale = 1L << 20
+  private[graft] val PrBase = PrScale * 15 / 100
+  private def p88DupPagerank: Q = (s, d) => {
+    val pairs = p02MinhashNearDup(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .staged
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = deg.select(col("src").as("doc_id"), lit(PrScale).as("rank"))
+    for (_ <- 1 to 2) {
+      ranks = edges.join(deg, "src")
+        .join(ranks.select(col("doc_id").as("src"), col("rank")), "src")
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("doc_id"),
+          (lit(PrBase) + expr("(85 * sc) div 100")).as("rank"))
+    }
+    ranks.join(deg.select(col("src").as("doc_id"),
+        col("outdeg").as("degree")), "doc_id")
+      .select(col("doc_id"), col("degree"), col("rank"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3307,6 +3340,7 @@ object Pipeline extends QueryModule {
     "p85_upsert_latest" -> p85UpsertLatest,
     "p86_image_resize" -> p86ImageResize,
     "p87_ref_integrity" -> p87RefIntegrity,
+    "p88_dup_pagerank" -> p88DupPagerank,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5030,6 +5064,28 @@ object Pipeline extends QueryModule {
         |SELECT doc_id, ty, tx,
         |  round(CAST(SUM(bv) AS DOUBLE) / 3, 6) AS px_mean
         |FROM b GROUP BY doc_id, ty, tx""".stripMargin,
+    "p88_dup_pagerank" ->
+      s"""WITH p AS ($sqlP02),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS doc_id, CAST($PrScale AS BIGINT) AS rank
+         |  FROM deg),
+         |c1 AS (SELECT e.dst AS doc_id,
+         |    CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS sc
+         |  FROM edges e JOIN deg d ON e.src = d.src
+         |    JOIN r0 r ON e.src = r.doc_id GROUP BY 1),
+         |r1 AS (SELECT doc_id,
+         |    CAST($PrBase + (85 * sc) // 100 AS BIGINT) AS rank FROM c1),
+         |c2 AS (SELECT e.dst AS doc_id,
+         |    CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS sc
+         |  FROM edges e JOIN deg d ON e.src = d.src
+         |    JOIN r1 r ON e.src = r.doc_id GROUP BY 1),
+         |r2 AS (SELECT doc_id,
+         |    CAST($PrBase + (85 * sc) // 100 AS BIGINT) AS rank FROM c2)
+         |SELECT r2.doc_id, d.outdeg AS degree, r2.rank
+         |FROM r2 JOIN deg d ON r2.doc_id = d.src""".stripMargin,
     "p87_ref_integrity" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 5),
         |v AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 3),

@@ -72,6 +72,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows("vec_without_doc") == ((vwd.size.toLong, vwd.min, vwd.max)))
   }
 
+  test("p88: ranks cover exactly the pair-graph nodes, floor above base") {
+    val rows = run("p88_dup_pagerank").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("degree"), r.getAs[Long]("rank")))).toMap
+    val clustered = run("p32_dup_clusters").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.keySet == clustered, "rank node set != component node set")
+    rows.values.foreach { case (deg, rank) =>
+      assert(deg >= 1)
+      // every node receives >= its damped base; a leaf hanging off any
+      // neighbor also receives a positive damped contribution
+      assert(rank > Pipeline.PrBase, s"rank $rank not above damped base")
+    }
+    // integer arithmetic makes reruns bit-identical
+    assert(run("p88_dup_pagerank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).toMap ==
+      rows.map { case (k, v) => k -> v._2 })
+  }
+
   test("p85: exactly the latest row per key survives compaction") {
     val rows = run("p85_upsert_latest").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->

@@ -3310,6 +3310,37 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("degree"), col("rank"))
   }
 
+  /** Table profiler — the ANALYZE/data-profiling op an ingestion
+    * pipeline runs on every new source: per column, row count, null
+    * count, exact distinct count, lexicographic min/max (values profiled
+    * as strings, binary collation on both engines), and the modal value
+    * with its count. ONE scan: every column unpivots into (column_name,
+    * value) rows (codegen'd explode of a struct array, no per-column
+    * re-scan), one (column, value)-keyed count shuffle feeds both the
+    * per-column summary and the mode; the mode is the native bounded-
+    * heap top-1 per column, so nothing sorts the value table globally.
+    * Output is |columns| rows, whatever the corpus size. */
+  private def p89TableProfile: Q = (s, d) => {
+    val df = Tables.documents(s, d)
+    val stacked = df.select(explode(array(df.columns.toSeq.map(c =>
+        struct(lit(c).as("column_name"),
+          col(c).cast(StringType).as("v"))): _*)).as("e"))
+      .select(col("e.column_name").as("column_name"), col("e.v").as("v"))
+    val grouped = stacked.groupBy("column_name", "v")
+      .agg(count(lit(1)).as("cnt"))
+      .staged
+    val stats = grouped.groupBy("column_name").agg(
+      sum(col("cnt")).as("n_rows"),
+      sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+      count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+      min(col("v")).as("min_value"), max(col("v")).as("max_value"))
+    val top = graft.plans.TopKPerKey.topK(grouped.filter(col("v").isNotNull),
+        Seq("column_name"), Seq(("cnt", false), ("v", true)), 1)
+      .select(col("column_name"), col("v").as("top_value"),
+        col("cnt").as("top_cnt"))
+    stats.join(top, "column_name")
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3341,6 +3372,7 @@ object Pipeline extends QueryModule {
     "p86_image_resize" -> p86ImageResize,
     "p87_ref_integrity" -> p87RefIntegrity,
     "p88_dup_pagerank" -> p88DupPagerank,
+    "p89_table_profile" -> p89TableProfile,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5064,6 +5096,30 @@ object Pipeline extends QueryModule {
         |SELECT doc_id, ty, tx,
         |  round(CAST(SUM(bv) AS DOUBLE) / 3, 6) AS px_mean
         |FROM b GROUP BY doc_id, ty, tx""".stripMargin,
+    "p89_table_profile" ->
+      """WITH st AS (
+        |  SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS v
+        |  FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |  FROM documents),
+        |g AS (SELECT column_name, v, COUNT(*) AS cnt FROM st GROUP BY 1, 2),
+        |s AS (SELECT column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_nulls,
+        |    COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS n_distinct,
+        |    MIN(v) AS min_value, MAX(v) AS max_value
+        |  FROM g GROUP BY 1),
+        |t AS (SELECT column_name, v AS top_value, cnt AS top_cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY column_name
+        |      ORDER BY cnt DESC, v ASC) AS rk
+        |  FROM g WHERE v IS NOT NULL)
+        |SELECT s.column_name, n_rows, n_nulls, n_distinct,
+        |  min_value, max_value, t.top_value, t.top_cnt
+        |FROM s JOIN t ON s.column_name = t.column_name AND t.rk = 1"""
+        .stripMargin,
     "p88_dup_pagerank" ->
       s"""WITH p AS ($sqlP02),
          |edges AS (

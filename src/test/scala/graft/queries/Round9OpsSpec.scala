@@ -91,6 +91,30 @@ class Round9OpsSpec extends SparkSpec {
       rows.map { case (k, v) => k -> v._2 })
   }
 
+  test("p89: one profile row per column, counts reconcile exactly") {
+    val rows = run("p89_table_profile").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val docs = Tables.documents(spark, sf)
+    assert(rows.keySet == docs.columns.toSet)
+    val n = docs.count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nulls") == 0L) // driver tables carry no nulls
+      assert(r.getAs[Long]("n_distinct") <= n)
+      assert(r.getAs[Long]("top_cnt") >= 1L)
+      assert(r.getAs[String]("min_value") <= r.getAs[String]("max_value"))
+    }
+    // a primary key profiles as all-distinct with a count-1 mode
+    assert(rows("doc_id").getAs[Long]("n_distinct") == n)
+    assert(rows("doc_id").getAs[Long]("top_cnt") == 1L)
+    // the modal lang matches a direct computation
+    val (topLang, topCnt) = docs.groupBy("lang").count()
+      .orderBy(col("count").desc, col("lang").asc).limit(1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).head
+    assert(rows("lang").getAs[String]("top_value") == topLang)
+    assert(rows("lang").getAs[Long]("top_cnt") == topCnt)
+  }
+
   test("p85: exactly the latest row per key survives compaction") {
     val rows = run("p85_upsert_latest").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->

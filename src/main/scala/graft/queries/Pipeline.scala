@@ -3341,6 +3341,43 @@ object Pipeline extends QueryModule {
     stats.join(top, "column_name")
   }
 
+  /** Join-key (FK) discovery — the schema-inference sibling of p89's
+    * profiler: a candidate (child, parent) column pair is a foreign key
+    * iff every distinct child value appears in the parent column
+    * (containment), the test a catalog runs when onboarding an unknown
+    * schema. Five true TPC-H edges plus one deliberate negative are
+    * checked; each pair costs one distinct on the child + one keyed
+    * LEFT ANTI join against the parent's distinct values — linear per
+    * pair, no pairwise value work, and the summary carries counts so a
+    * NEAR-containment (dirty FK) is visible, not just the boolean. */
+  private def p90FkDiscovery: Q = (s, d) => {
+    def pair(childTbl: String, child: DataFrame, childCol: String,
+        parentTbl: String, parent: DataFrame, parentCol: String): DataFrame = {
+      val c = child.select(col(childCol).as("v")).distinct()
+      val p = parent.select(col(parentCol).as("v")).distinct()
+      val unmatched = c.join(p, Seq("v"), "left_anti")
+      c.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(unmatched.agg(count(lit(1)).as("n_unmatched")))
+        .select(
+          lit(s"$childTbl.$childCol").as("child_col"),
+          lit(s"$parentTbl.$parentCol").as("parent_col"),
+          col("n_child_distinct"), col("n_unmatched"),
+          when(col("n_unmatched") === 0, 1).otherwise(0).as("is_fk"))
+    }
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val cu = Tables.customer(s, d); val n = Tables.nation(s, d)
+    val su = Tables.supplier(s, d); val r = Tables.region(s, d)
+    Seq(
+      pair("lineitem", li, "l_orderkey", "orders", o, "o_orderkey"),
+      pair("orders", o, "o_custkey", "customer", cu, "c_custkey"),
+      pair("customer", cu, "c_nationkey", "nation", n, "n_nationkey"),
+      pair("supplier", su, "s_nationkey", "nation", n, "n_nationkey"),
+      pair("nation", n, "n_regionkey", "region", r, "r_regionkey"),
+      // deliberate negative: order keys are NOT customer keys
+      pair("orders", o, "o_orderkey", "customer", cu, "c_custkey"),
+    ).reduce(_ unionAll _)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3373,6 +3410,7 @@ object Pipeline extends QueryModule {
     "p87_ref_integrity" -> p87RefIntegrity,
     "p88_dup_pagerank" -> p88DupPagerank,
     "p89_table_profile" -> p89TableProfile,
+    "p90_fk_discovery" -> p90FkDiscovery,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5096,6 +5134,28 @@ object Pipeline extends QueryModule {
         |SELECT doc_id, ty, tx,
         |  round(CAST(SUM(bv) AS DOUBLE) / 3, 6) AS px_mean
         |FROM b GROUP BY doc_id, ty, tx""".stripMargin,
+    "p90_fk_discovery" -> {
+      def blk(ct: String, cc: String, pt: String, pc: String): String =
+        s"""SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
+           |  (SELECT CAST(COUNT(DISTINCT $cc) AS BIGINT) FROM $ct)
+           |    AS n_child_distinct,
+           |  (SELECT CAST(COUNT(*) AS BIGINT)
+           |   FROM (SELECT DISTINCT $cc AS v FROM $ct) q
+           |   WHERE v NOT IN (SELECT $pc FROM $pt)) AS n_unmatched"""
+          .stripMargin
+      val blocks = Seq(
+        blk("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        blk("orders", "o_custkey", "customer", "c_custkey"),
+        blk("customer", "c_nationkey", "nation", "n_nationkey"),
+        blk("supplier", "s_nationkey", "nation", "n_nationkey"),
+        blk("nation", "n_regionkey", "region", "r_regionkey"),
+        blk("orders", "o_orderkey", "customer", "c_custkey"),
+      ).mkString("\nUNION ALL\n")
+      s"""SELECT child_col, parent_col, n_child_distinct, n_unmatched,
+         |  CAST(CASE WHEN n_unmatched = 0 THEN 1 ELSE 0 END AS INT)
+         |    AS is_fk
+         |FROM ($blocks)""".stripMargin
+    },
     "p89_table_profile" ->
       """WITH st AS (
         |  SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS v

@@ -115,6 +115,20 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows("lang").getAs[Long]("top_cnt") == topCnt)
   }
 
+  test("p90: true FK edges contain fully, the negative pair does not") {
+    val rows = run("p90_fk_discovery").collect()
+      .map(r => r.getAs[String]("child_col") ->
+        (r.getAs[Long]("n_unmatched"), r.getAs[Int]("is_fk"))).toMap
+    assert(rows.size == 6)
+    val negatives = rows.filter { case (_, (_, fk)) => fk == 0 }
+    // exactly the deliberate negative fails containment, loudly
+    assert(negatives.keySet == Set("orders.o_orderkey"))
+    assert(negatives("orders.o_orderkey")._1 > 0)
+    rows.collect { case (c, (unm, 1)) =>
+      assert(unm == 0L, s"$c marked FK with unmatched values")
+    }
+  }
+
   test("p85: exactly the latest row per key survives compaction") {
     val rows = run("p85_upsert_latest").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->

@@ -3378,6 +3378,27 @@ object Pipeline extends QueryModule {
     ).reduce(_ unionAll _)
   }
 
+  /** Tombstone-aware CDC compaction — p85 completed with DELETE
+    * semantics: change rows whose event_id ≡ 0 (mod 17) are tombstones,
+    * and a key whose LATEST row is a tombstone disappears from the
+    * compacted view entirely (the delete half of merge-on-read; a stale
+    * tombstone under a newer upsert is ignored like any superseded row).
+    * Same native bounded-heap top-1 per key as p85 — the tombstone
+    * filter is applied AFTER the latest-row resolution, a codegen'd map
+    * over ≤ keys rows, so deletes add zero shuffle. */
+  private def p91UpsertTombstones: Q = (s, d) => {
+    val u = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        when(pmod(col("event_id"), lit(17L)) === 0, 1).otherwise(0)
+          .as("is_delete"))
+    graft.plans.TopKPerKey.topK(u, Seq("user_id", "event_type"),
+        Seq(("ts_us", false), ("event_id", false)), 1)
+      .filter(col("is_delete") === 0)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"), col("value"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3411,6 +3432,7 @@ object Pipeline extends QueryModule {
     "p88_dup_pagerank" -> p88DupPagerank,
     "p89_table_profile" -> p89TableProfile,
     "p90_fk_discovery" -> p90FkDiscovery,
+    "p91_upsert_tombstones" -> p91UpsertTombstones,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5214,6 +5236,17 @@ object Pipeline extends QueryModule {
         |    MAX(vec_id) AS max_id
         |  FROM v WHERE vec_id NOT IN (SELECT doc_id FROM d))
         |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin,
+    "p91_upsert_tombstones" ->
+      """WITH u AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    value,
+        |    CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS is_delete
+        |  FROM events),
+        |r AS (SELECT u.*, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us DESC, event_id DESC) AS rk FROM u)
+        |SELECT user_id, event_type, event_id, ts_us, value
+        |FROM r WHERE rk = 1 AND is_delete = 0""".stripMargin,
     "p85_upsert_latest" ->
       """WITH u AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

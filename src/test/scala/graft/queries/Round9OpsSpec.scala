@@ -129,6 +129,19 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("p91: a key vanishes iff its latest row is a tombstone") {
+    val latest = run("p85_upsert_latest").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("event_id")).toMap
+    val kept = run("p91_upsert_tombstones").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Long]("event_id")).toMap
+    val (deleted, surviving) = latest.partition(_._2 % 17 == 0)
+    assert(kept == surviving, "survivors differ from p85 minus tombstones")
+    assert(deleted.nonEmpty, "fixture produced no tombstoned key; weak test")
+    assert(deleted.keySet.intersect(kept.keySet).isEmpty)
+  }
+
   test("p85: exactly the latest row per key survives compaction") {
     val rows = run("p85_upsert_latest").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->

@@ -1,0 +1,60 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-session registry of NAMED derived artifacts — expensive subtrees
+  * that many operators consume (the MinHash near-dup pair graph, its
+  * connected-component labels). At production scale these are parquet
+  * side-tables written once per corpus build and read by every
+  * downstream job; within one engine session the same economics apply:
+  * build once, checkpoint, hand every consumer the same materialized
+  * frame instead of re-running the suite's most expensive stage per
+  * consumer (pre-round-10, p32/p41/p55/p82/p88 each re-built p02's
+  * MinHash+LSH pipeline from the raw corpus).
+  *
+  * Keyed on (session identity, dataset dir, staging mode, artifact
+  * name) so a fresh session, a different corpus, or an A/B staging
+  * experiment (ReuseStageSpec flips `graft.stage.materialize`) never
+  * sees a stale artifact. `graft.artifacts.reuse=false` restores
+  * rebuild-per-consumer — kept so the saving stays measurable
+  * (graft.tools.TimeQuery A/Bs it).
+  *
+  * Entries live until the JVM exits: the registry is sized for the
+  * engine's actual lifecycle (one long-lived session per process, a
+  * handful of named artifacts, each a per-doc-row footprint) — the same
+  * deliberate cost Stage.materialize already accepts for checkpoint
+  * blocks. */
+object Artifacts {
+
+  private val cache =
+    new ConcurrentHashMap[(Int, String, String, String), DataFrame]()
+
+  /** The artifact named `name` for dataset `dir`, building (and
+    * remembering) it on first request. Reuse is per-session and
+    * per-staging-mode; with `graft.artifacts.reuse=false` every call
+    * rebuilds. */
+  def cached(s: SparkSession, dir: String, name: String)
+      (build: => DataFrame): DataFrame = {
+    if (s.conf.get("graft.artifacts.reuse", "true") != "true") return build
+    val mode = s.conf.get("graft.stage.materialize", "local")
+    val key = (System.identityHashCode(s), dir, mode, name)
+    // get-then-put rather than computeIfAbsent: the latter would hold
+    // the map's bin lock through a plan build. Verify/Bench drive
+    // queries sequentially, and a rare racing duplicate build is
+    // correct, just wasted work — last writer wins.
+    Option(cache.get(key)).getOrElse {
+      val df = build
+      cache.put(key, df)
+      df
+    }
+  }
+
+  /** Forget everything cached for this session (spec hygiene when a
+    * suite mutates the corpus under a fixed dir). */
+  def invalidate(s: SparkSession): Unit = {
+    val id = System.identityHashCode(s)
+    cache.keySet.removeIf(_._1 == id)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Pipeline
+
+/** The session artifact registry (graft.Artifacts): the near-dup pair
+  * graph and its cluster labels are built ONCE per (session, dataset)
+  * and shared by every consumer — the round-10 production shape, where
+  * signature/pair tables are persisted side-tables, not per-query
+  * rebuilds. */
+class ArtifactsSpec extends SparkSpec {
+
+  test("nearDupPairs is the same materialized frame on every request") {
+    val a = Pipeline.nearDupPairs(spark, sf)
+    val b = Pipeline.nearDupPairs(spark, sf)
+    assert(a eq b, "second request must return the cached frame")
+    val c = Pipeline.dupClusterLabels(spark, sf)
+    assert(c eq Pipeline.dupClusterLabels(spark, sf))
+  }
+
+  test("graft.artifacts.reuse=false restores rebuild-per-consumer") {
+    spark.conf.set("graft.artifacts.reuse", "false")
+    try {
+      val a = Pipeline.nearDupPairs(spark, sf)
+      val b = Pipeline.nearDupPairs(spark, sf)
+      assert(!(a eq b), "reuse=false must build a fresh frame per call")
+    } finally spark.conf.unset("graft.artifacts.reuse")
+  }
+
+  test("cached and rebuilt pair graphs hold identical rows") {
+    val cached = Pipeline.nearDupPairs(spark, sf)
+      .orderBy("doc_a", "doc_b").collect()
+    val fresh = {
+      spark.conf.set("graft.artifacts.reuse", "false")
+      try Pipeline.nearDupPairs(spark, sf).orderBy("doc_a", "doc_b").collect()
+      finally spark.conf.unset("graft.artifacts.reuse")
+    }
+    assert(cached.toSeq == fresh.toSeq)
+  }
+
+  test("artifacts are keyed per dataset dir, not globally") {
+    val a = Pipeline.nearDupPairs(spark, sf)
+    val mini = graft.queries.PipelineMiniSpec.dir
+    val m = Pipeline.nearDupPairs(spark, mini)
+    assert(!(a eq m), "different dirs must not share an artifact")
+    // the mini corpus plants exactly the (0,1),(0,2),(1,2) triangle
+    val pairs = m.select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("invalidate drops this session's artifacts") {
+    val a = Pipeline.nearDupPairs(spark, sf)
+    Artifacts.invalidate(spark)
+    val b = Pipeline.nearDupPairs(spark, sf)
+    assert(!(a eq b), "invalidate must force a rebuild")
+  }
+}

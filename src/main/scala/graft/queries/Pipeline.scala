@@ -3336,35 +3336,70 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("degree"), col("rank"))
   }
 
+  /** The documents table's column list — the ONE list p89's Spark
+    * unpivot, its loud schema check, and its generated DuckDB oracle all
+    * derive from, so the two sides can never silently desynchronize
+    * (round-9 ADVICE: the oracle used to hand-maintain this list). */
+  private[graft] val DocumentsColumns =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
   /** Table profiler — the ANALYZE/data-profiling op an ingestion
     * pipeline runs on every new source: per column, row count, null
     * count, exact distinct count, lexicographic min/max (values profiled
     * as strings, binary collation on both engines), and the modal value
-    * with its count. ONE scan: every column unpivots into (column_name,
-    * value) rows (codegen'd explode of a struct array, no per-column
-    * re-scan), one (column, value)-keyed count shuffle feeds both the
-    * per-column summary and the mode; the mode is the native bounded-
-    * heap top-1 per column, so nothing sorts the value table globally.
-    * Output is |columns| rows, whatever the corpus size. */
+    * with its count. The count/distinct/mode shuffle is DIGEST-KEYED:
+    * the unpivoted rows are reduced to (column_name, 16-byte md5 digest)
+    * before the keyed count, so no full value — in particular no multi-KB
+    * `text` payload — ever rides an exchange key (the round-9 scale nit).
+    * The modal VALUE is recovered afterwards by one narrow join of the
+    * per-column argmax digests back to a re-scan, with min(v) resolving
+    * count ties exactly like the oracle's ORDER BY cnt DESC, v ASC;
+    * min/max come from a no-unpivot per-column global aggregate whose
+    * partials are one value per column per task. Digest collisions are
+    * the p01 content-hash assumption (128-bit md5, negligible at any
+    * corpus size). Output is |columns| rows, whatever the corpus size. */
   private def p89TableProfile: Q = (s, d) => {
     val df = Tables.documents(s, d)
-    val stacked = df.select(explode(array(df.columns.toSeq.map(c =>
+    val cols = df.columns.toSeq
+    require(cols == DocumentsColumns,
+      s"documents schema drifted: $cols vs $DocumentsColumns — update " +
+        "Pipeline.DocumentsColumns (the p89 oracle regenerates from it)")
+    def unpivot = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("column_name"),
           col(c).cast(StringType).as("v"))): _*)).as("e"))
       .select(col("e.column_name").as("column_name"), col("e.v").as("v"))
-    val grouped = stacked.groupBy("column_name", "v")
+    val grouped = unpivot
+      .select(col("column_name"), unhex(md5(col("v"))).as("dg"))
+      .groupBy("column_name", "dg")
       .agg(count(lit(1)).as("cnt"))
       .staged
     val stats = grouped.groupBy("column_name").agg(
       sum(col("cnt")).as("n_rows"),
-      sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
-      count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
-      min(col("v")).as("min_value"), max(col("v")).as("max_value"))
-    val top = graft.plans.TopKPerKey.topK(grouped.filter(col("v").isNotNull),
-        Seq("column_name"), Seq(("cnt", false), ("v", true)), 1)
-      .select(col("column_name"), col("v").as("top_value"),
-        col("cnt").as("top_cnt"))
-    stats.join(top, "column_name")
+      sum(when(col("dg").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+      count(when(col("dg").isNotNull, lit(1))).as("n_distinct"))
+    val minmaxRow = df.agg(
+      min(col(cols.head).cast(StringType)).as(s"mn_${cols.head}"),
+      cols.tail.flatMap(c => Seq(
+        min(col(c).cast(StringType)).as(s"mn_$c"),
+        max(col(c).cast(StringType)).as(s"mx_$c"))) :+
+        max(col(cols.head).cast(StringType)).as(s"mx_${cols.head}"): _*)
+    val minmax = minmaxRow.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"),
+          col(s"mn_$c").as("min_value"),
+          col(s"mx_$c").as("max_value"))): _*)).as("e"))
+      .select("e.*")
+    val maxc = grouped.filter(col("dg").isNotNull)
+      .groupBy("column_name").agg(max(col("cnt")).as("top_cnt"))
+    val cand = grouped.filter(col("dg").isNotNull)
+      .join(broadcast(maxc), "column_name")
+      .filter(col("cnt") === col("top_cnt"))
+      .select(col("column_name"), col("dg"), col("top_cnt"))
+    val top = unpivot
+      .select(col("column_name"), col("v"), unhex(md5(col("v"))).as("dg"))
+      .join(cand, Seq("column_name", "dg"))
+      .groupBy("column_name")
+      .agg(min(col("v")).as("top_value"), max(col("top_cnt")).as("top_cnt"))
+    stats.join(broadcast(minmax), "column_name").join(top, "column_name")
   }
 
   /** Join-key (FK) discovery — the schema-inference sibling of p89's
@@ -5205,14 +5240,13 @@ object Pipeline extends QueryModule {
          |FROM ($blocks)""".stripMargin
     },
     "p89_table_profile" ->
-      """WITH st AS (
-        |  SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS v
-        |  FROM documents
-        |  UNION ALL SELECT 'text', text FROM documents
-        |  UNION ALL SELECT 'lang', lang FROM documents
-        |  UNION ALL SELECT 'source', source FROM documents
-        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
-        |  FROM documents),
+      // the unpivot is GENERATED from DocumentsColumns — the same list the
+      // Spark side checks its scan against — so schema drift turns into
+      // one loud require, never a silent two-sided desync (round-9 ADVICE)
+      s"""WITH st AS (
+        |  ${DocumentsColumns.map(c =>
+             s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS v" +
+               " FROM documents").mkString("\n  UNION ALL ")}),
         |g AS (SELECT column_name, v, COUNT(*) AS cnt FROM st GROUP BY 1, 2),
         |s AS (SELECT column_name, CAST(SUM(cnt) AS BIGINT) AS n_rows,
         |    CAST(SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT)

@@ -212,6 +212,19 @@ class PlanShapeSpec extends SparkSpec {
       !p87.contains("CartesianProduct"), s"p87 went all-pairs:\n$p87")
   }
 
+  test("p89's profile shuffles are digest-keyed — raw values never key an exchange") {
+    // staging off so localCheckpoint doesn't truncate the plan under test
+    spark.conf.set("graft.stage.materialize", "none")
+    val p = try plan("p89_table_profile")
+      finally spark.conf.unset("graft.stage.materialize")
+    val exch = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exch.nonEmpty, s"p89 lost its keyed count shuffle:\n$p")
+    assert(exch.forall(!_.contains(" v#")),
+      s"p89 shuffles raw values as keys:\n$p")
+    assert(exch.exists(_.contains("dg#")), s"p89 lost the digest key:\n$p")
+  }
+
   test("catalog registration leaves row-count and column stats behind") {
     graft.sql.SparkSqlRunner.ensureRegistered(spark, sf)
     val stats = spark.table("customer").queryExecution.optimizedPlan.stats

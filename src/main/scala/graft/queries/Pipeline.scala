@@ -3402,41 +3402,135 @@ object Pipeline extends QueryModule {
     stats.join(broadcast(minmax), "column_name").join(top, "column_name")
   }
 
+  /** The FK-discovery domain: every integral and string column of the
+    * relational schema, tagged with its type family, derived from the
+    * table schemas and mirrored here so the generated oracle and the
+    * Spark side can never silently diverge (the Spark side
+    * require-checks the live schemas against this list, the p89
+    * pattern). Join keys live in the integral and string families;
+    * float and timestamp columns are measures with no equality-stable
+    * FK semantics, so they are not candidates. */
+  private[graft] val FkDomain: Seq[(String, String, String)] = Seq(
+    ("region", "r_regionkey", "int"), ("region", "r_name", "str"),
+    ("nation", "n_nationkey", "int"), ("nation", "n_name", "str"),
+    ("nation", "n_regionkey", "int"),
+    ("customer", "c_custkey", "int"), ("customer", "c_name", "str"),
+    ("customer", "c_nationkey", "int"), ("customer", "c_mktsegment", "str"),
+    ("supplier", "s_suppkey", "int"), ("supplier", "s_name", "str"),
+    ("supplier", "s_nationkey", "int"),
+    ("part", "p_partkey", "int"), ("part", "p_name", "str"),
+    ("part", "p_brand", "str"), ("part", "p_type", "str"),
+    ("part", "p_size", "int"),
+    ("orders", "o_orderkey", "int"), ("orders", "o_custkey", "int"),
+    ("orders", "o_orderstatus", "str"), ("orders", "o_orderpriority", "str"),
+    ("lineitem", "l_orderkey", "int"), ("lineitem", "l_partkey", "int"),
+    ("lineitem", "l_suppkey", "int"), ("lineitem", "l_linenumber", "int"),
+    ("lineitem", "l_returnflag", "str"), ("lineitem", "l_linestatus", "str"))
+
+  /** All ordered cross-table same-family (child, parent) pairs over
+    * [[FkDomain]] — the schema-driven candidate enumeration both
+    * engines share. */
+  private[graft] val FkCandidatePairs
+      : Seq[((String, String, String), (String, String, String))] =
+    for {
+      c <- FkDomain; p <- FkDomain
+      if c._1 != p._1 // an FK relates two tables; skip within-table pairs
+      if c._3 == p._3 // type-compatible = same family (int↔int, str↔str)
+    } yield (c, p)
+
   /** Join-key (FK) discovery — the schema-inference sibling of p89's
-    * profiler: a candidate (child, parent) column pair is a foreign key
-    * iff every distinct child value appears in the parent column
-    * (containment), the test a catalog runs when onboarding an unknown
-    * schema. Five true TPC-H edges plus one deliberate negative are
-    * checked; each pair costs one distinct on the child + one keyed
-    * LEFT ANTI join against the parent's distinct values — linear per
-    * pair, no pairwise value work, and the summary carries counts so a
-    * NEAR-containment (dirty FK) is visible, not just the boolean. */
+    * profiler, with the candidates ENUMERATED from the schema rather
+    * than hand-listed (the round-9 gap): every cross-table ordered pair
+    * of integral columns is a candidate, a pair survives iff the parent
+    * is exactly unique and the child's exact NDV is ≤ the parent's, and
+    * a surviving pair is an FK iff every distinct child value appears in
+    * the parent (containment). The catalog's ANALYZE stats (the same
+    * NDVs CBO join-reorder reads) prune hopeless pairs before any data
+    * moves — with a 2× margin, far beyond HLL error, so the approximate
+    * prune can never drop a pair the exact gate would keep; the exact
+    * gate computed in-plan from the profiles stays authoritative, which
+    * is what keeps the DuckDB twin reproducible. Each column's distinct
+    * table is built ONCE and shared by every pair it appears in (the
+    * round-9 version re-distincted per pair); each surviving pair costs
+    * one keyed LEFT ANTI join of two distinct tables — linear, no
+    * pairwise value work — and the summary carries counts so a
+    * NEAR-containment (dirty FK) is visible, not just the boolean.
+    * Dense-integer key spaces make some containments hold by accident
+    * (region keys ⊂ nation keys): reported as found — containment-based
+    * discovery over-approximates by design and the ranking/pruning
+    * belongs to the consumer, exactly like the published
+    * inclusion-dependency miners. */
   private def p90FkDiscovery: Q = (s, d) => {
-    def pair(childTbl: String, child: DataFrame, childCol: String,
-        parentTbl: String, parent: DataFrame, parentCol: String): DataFrame = {
-      val c = child.select(col(childCol).as("v")).distinct()
-      val p = parent.select(col(parentCol).as("v")).distinct()
-      val unmatched = c.join(p, Seq("v"), "left_anti")
-      c.agg(count(lit(1)).as("n_child_distinct"))
-        .crossJoin(unmatched.agg(count(lit(1)).as("n_unmatched")))
+    import org.apache.spark.sql.types.{ByteType, ShortType}
+    val tables: Map[String, DataFrame] = Map(
+      "region" -> Tables.region(s, d), "nation" -> Tables.nation(s, d),
+      "customer" -> Tables.customer(s, d),
+      "supplier" -> Tables.supplier(s, d), "part" -> Tables.part(s, d),
+      "orders" -> Tables.orders(s, d), "lineitem" -> Tables.lineitem(s, d))
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    val live = FkDomain.map(_._1).distinct.flatMap(t =>
+      tables(t).schema.fields.collect {
+        case f if integral(f.dataType) => (t, f.name, "int")
+        case f if f.dataType == StringType => (t, f.name, "str")
+      })
+    require(live == FkDomain,
+      s"relational schema drifted: $live vs $FkDomain — update " +
+        "Pipeline.FkDomain (the p90 oracle regenerates from it)")
+    // approximate prune off the registered catalog's ANALYZE stats
+    graft.sql.SparkSqlRunner.ensureRegistered(s, d)
+    val approx: Map[(String, String), (Option[Long], Option[Long])] =
+      FkDomain.map { case (t, c, _) =>
+        val stats = s.table(t).queryExecution.optimizedPlan.stats
+        val nd = stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == c => cs.distinctCount.map(_.toLong)
+        }.flatten
+        (t, c) -> (nd, stats.rowCount.map(_.toLong))
+      }.toMap
+    def mayBeUnique(k: (String, String, String)): Boolean =
+      approx((k._1, k._2)) match {
+        case (Some(nd), Some(n)) => nd * 2L >= n
+        case _                   => true // no stats → never prune
+      }
+    def mayContainFewer(c: (String, String, String),
+        p: (String, String, String)): Boolean =
+      (approx((c._1, c._2))._1, approx((p._1, p._2))._1) match {
+        case (Some(cn), Some(pn)) => cn <= pn * 2L
+        case _                    => true
+      }
+    val candidates = FkCandidatePairs.filter { case (c, p) =>
+      mayBeUnique(p) && mayContainFewer(c, p)
+    }
+    // shared artifacts: one distinct table + one-row profile per column,
+    // one row count per table — every pair joins these, nothing rebuilds
+    val needed = candidates.flatMap(cp => Seq(cp._1, cp._2)).distinct
+    val dist: Map[(String, String), DataFrame] =
+      needed.map { case (t, c, fam) =>
+        val v = if (fam == "int") col(c).cast(LongType) else col(c)
+        (t, c) -> tables(t).select(v.as("v"))
+          .filter(col("v").isNotNull).distinct().staged
+      }.toMap
+    val nd: Map[(String, String), DataFrame] = needed.map { case (t, c, _) =>
+      (t, c) -> dist((t, c)).agg(count(lit(1)).as("nd"))
+    }.toMap
+    val rows: Map[String, DataFrame] = needed.map(_._1).distinct.map(t =>
+      t -> tables(t).agg(count(lit(1)).as("n_rows")).staged).toMap
+    val pairFrames = candidates.map { case ((ct, cc, _), (pt, pc, _)) =>
+      val unmatched = dist((ct, cc)).join(dist((pt, pc)), Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_unmatched"))
+      nd((ct, cc)).select(col("nd").as("n_child_distinct"))
+        .crossJoin(nd((pt, pc)).select(col("nd").as("parent_nd")))
+        .crossJoin(rows(pt))
+        .crossJoin(unmatched)
+        .filter(col("parent_nd") === col("n_rows") && // exact: parent unique
+          col("n_child_distinct") <= col("parent_nd")) // exact NDV gate
         .select(
-          lit(s"$childTbl.$childCol").as("child_col"),
-          lit(s"$parentTbl.$parentCol").as("parent_col"),
+          lit(s"$ct.$cc").as("child_col"),
+          lit(s"$pt.$pc").as("parent_col"),
           col("n_child_distinct"), col("n_unmatched"),
           when(col("n_unmatched") === 0, 1).otherwise(0).as("is_fk"))
     }
-    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
-    val cu = Tables.customer(s, d); val n = Tables.nation(s, d)
-    val su = Tables.supplier(s, d); val r = Tables.region(s, d)
-    Seq(
-      pair("lineitem", li, "l_orderkey", "orders", o, "o_orderkey"),
-      pair("orders", o, "o_custkey", "customer", cu, "c_custkey"),
-      pair("customer", cu, "c_nationkey", "nation", n, "n_nationkey"),
-      pair("supplier", su, "s_nationkey", "nation", n, "n_nationkey"),
-      pair("nation", n, "n_regionkey", "region", r, "r_regionkey"),
-      // deliberate negative: order keys are NOT customer keys
-      pair("orders", o, "o_orderkey", "customer", cu, "c_custkey"),
-    ).reduce(_ unionAll _)
+    pairFrames.reduce(_ unionAll _)
   }
 
   /** Tombstone-aware CDC compaction — p85 completed with DELETE
@@ -5218,22 +5312,31 @@ object Pipeline extends QueryModule {
         |  round(CAST(SUM(bv) AS DOUBLE) / 3, 6) AS px_mean
         |FROM b GROUP BY doc_id, ty, tx""".stripMargin,
     "p90_fk_discovery" -> {
-      def blk(ct: String, cc: String, pt: String, pc: String): String =
+      // GENERATED from the same FkDomain/FkCandidatePairs enumeration the
+      // Spark side require-checks against the live schemas, with the same
+      // exact gate (parent unique, child NDV <= parent NDV) — the
+      // approximate catalog-stats prune on the Spark side only skips
+      // pairs this WHERE clause rejects anyway
+      def blk(ct: String, cc: String, pt: String, pc: String,
+          fam: String): String = {
+        def v(x: String) = if (fam == "int") s"CAST($x AS BIGINT)" else x
         s"""SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
            |  (SELECT CAST(COUNT(DISTINCT $cc) AS BIGINT) FROM $ct)
            |    AS n_child_distinct,
            |  (SELECT CAST(COUNT(*) AS BIGINT)
-           |   FROM (SELECT DISTINCT $cc AS v FROM $ct) q
-           |   WHERE v NOT IN (SELECT $pc FROM $pt)) AS n_unmatched"""
+           |   FROM (SELECT DISTINCT ${v(cc)} AS v FROM $ct
+           |         WHERE $cc IS NOT NULL) q
+           |   WHERE v NOT IN (SELECT ${v(pc)} FROM $pt
+           |                   WHERE $pc IS NOT NULL)) AS n_unmatched
+           |WHERE (SELECT COUNT(DISTINCT $pc) FROM $pt)
+           |    = (SELECT COUNT(*) FROM $pt)
+           |  AND (SELECT COUNT(DISTINCT $cc) FROM $ct)
+           |   <= (SELECT COUNT(DISTINCT $pc) FROM $pt)"""
           .stripMargin
-      val blocks = Seq(
-        blk("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        blk("orders", "o_custkey", "customer", "c_custkey"),
-        blk("customer", "c_nationkey", "nation", "n_nationkey"),
-        blk("supplier", "s_nationkey", "nation", "n_nationkey"),
-        blk("nation", "n_regionkey", "region", "r_regionkey"),
-        blk("orders", "o_orderkey", "customer", "c_custkey"),
-      ).mkString("\nUNION ALL\n")
+      }
+      val blocks = FkCandidatePairs.map { case ((ct, cc, fam), (pt, pc, _)) =>
+        blk(ct, cc, pt, pc, fam)
+      }.mkString("\nUNION ALL\n")
       s"""SELECT child_col, parent_col, n_child_distinct, n_unmatched,
          |  CAST(CASE WHEN n_unmatched = 0 THEN 1 ELSE 0 END AS INT)
          |    AS is_fk

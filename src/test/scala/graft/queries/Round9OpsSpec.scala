@@ -115,17 +115,33 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows("lang").getAs[Long]("top_cnt") == topCnt)
   }
 
-  test("p90: true FK edges contain fully, the negative pair does not") {
+  test("p90: schema enumeration rediscovers every true FK edge") {
     val rows = run("p90_fk_discovery").collect()
-      .map(r => r.getAs[String]("child_col") ->
-        (r.getAs[Long]("n_unmatched"), r.getAs[Int]("is_fk"))).toMap
-    assert(rows.size == 6)
-    val negatives = rows.filter { case (_, (_, fk)) => fk == 0 }
-    // exactly the deliberate negative fails containment, loudly
-    assert(negatives.keySet == Set("orders.o_orderkey"))
-    assert(negatives("orders.o_orderkey")._1 > 0)
-    rows.collect { case (c, (unm, 1)) =>
-      assert(unm == 0L, s"$c marked FK with unmatched values")
+      .map(r => (r.getAs[String]("child_col"), r.getAs[String]("parent_col"))
+        -> (r.getAs[Long]("n_unmatched"), r.getAs[Int]("is_fk"))).toMap
+    // all seven true TPC-H edges must fall out of the enumeration
+    val trueEdges = Seq(
+      "lineitem.l_orderkey" -> "orders.o_orderkey",
+      "lineitem.l_partkey" -> "part.p_partkey",
+      "lineitem.l_suppkey" -> "supplier.s_suppkey",
+      "orders.o_custkey" -> "customer.c_custkey",
+      "customer.c_nationkey" -> "nation.n_nationkey",
+      "supplier.s_nationkey" -> "nation.n_nationkey",
+      "nation.n_regionkey" -> "region.r_regionkey")
+    trueEdges.foreach { e =>
+      assert(rows.contains(e), s"true edge $e not discovered")
+      assert(rows(e) == (0L, 1), s"true edge $e not flagged FK: ${rows(e)}")
+    }
+    // enumeration produces candidates beyond the hand-list — and at least
+    // one fails containment, proving the negative side is exercised
+    assert(rows.size > trueEdges.size, "enumeration degenerated to a hand list")
+    assert(rows.values.exists { case (unm, fk) => fk == 0 && unm > 0 },
+      "no near-miss candidate surfaced — the negative path is dead")
+    // the gate invariants: an FK row never carries unmatched values, a
+    // non-FK row always does, and no within-table pair ever appears
+    rows.foreach { case ((c, p), (unm, fk)) =>
+      assert(if (fk == 1) unm == 0L else unm > 0L, s"($c,$p) inconsistent")
+      assert(c.split("\\.")(0) != p.split("\\.")(0), s"within-table pair $c->$p")
     }
   }
 

@@ -55,12 +55,19 @@ object Ingest {
       outPath: String,
       sep: String = "\t",
       header: Boolean = true,
-      singleFile: Boolean = true): Unit =
+      singleFile: Boolean = true,
+      preserveOrder: Boolean = false): Unit =
     // repartition(1), not coalesce(1): coalesce would propagate the
     // single-task constraint up through the whole final stage and run a
     // map-only query serially; the explicit exchange keeps the compute
-    // parallel and only the write is one task.
-    (if (singleFile) df.repartition(1) else df).write
+    // parallel and only the write is one task. The exception is an
+    // ORDER BY result (preserveOrder): a round-robin exchange would
+    // scramble the global sort, so there coalesce(1) concatenates the
+    // range-sorted partitions in order — the reference's sorted result
+    // file, paid for with the serial final stage it implies.
+    (if (!singleFile) df
+     else if (preserveOrder) df.coalesce(1)
+     else df.repartition(1)).write
       .mode(SaveMode.Overwrite)
       .option("sep", sep)
       .option("header", header.toString)

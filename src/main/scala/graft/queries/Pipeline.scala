@@ -3239,16 +3239,31 @@ object Pipeline extends QueryModule {
     * Shape: one (type, hour)-keyed count shuffle over the feed, a
     * per-type aggregate bounded by |types| rows, and a broadcast join
     * back — no window, no sort. */
-  private def p84HourlyAnomaly: Q = (s, d) => {
-    val hourly = Tables.events(s, d)
+  private def p84HourlyAnomaly: Q = (s, d) =>
+    p84Gate(Tables.events(s, d)
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The 3σ gate over an (event_type, hour, c) counts frame — split from
+    * the scan so the int64-envelope guard is testable with synthetic
+    * counts no real fixture could reach. */
+  private[graft] def p84Gate(hourly: DataFrame): DataFrame = {
     val stats = hourly.groupBy("event_type").agg(
       count(lit(1)).as("n_hours"), sum(col("c")).as("s"),
-      sum(col("c") * col("c")).as("ss"))
+      sum(col("c") * col("c")).as("ss"), max(col("c")).as("max_c"))
     val dev = col("n_hours") * col("c") - col("s")
+    // int64 safety envelope, enforced loudly: with M = max hourly count
+    // and n hours, every product the gate forms is bounded by (n·M)² and
+    // 9(n·M)², so n·M < 1e9 keeps all of them under Long.Max — a feed
+    // beyond it must fail the job (pre-scale the counts), never silently
+    // wrap and flip the 3σ verdict. assert_true returns NULL on pass, so
+    // the filter keeps every row and cannot be pruned out of the plan.
     hourly.join(broadcast(stats), "event_type")
+      .filter(assert_true(col("n_hours") * col("max_c") < lit(1000000000L),
+        concat(lit("p84: hourly counts exceed the exact-int64 z² envelope" +
+          " (n_hours*max_c >= 1e9) for event_type "), col("event_type")))
+        .isNull)
       .filter(col("n_hours") >= 2 &&
         dev * dev > lit(9L) * (col("n_hours") * col("ss") - col("s") * col("s")))
       .select(col("event_type"), col("hour"), col("c"), col("n_hours"),

@@ -472,8 +472,14 @@ object Streams {
             state: GroupState[LatestRow]) =>
           val prev = state.getOption
           val next = batch.foldLeft(prev) { (best, e) =>
+            // full microseconds, not getTime*1000: getTime truncates to
+            // milliseconds, and two same-key updates inside one ms would
+            // then resolve by event_id tiebreak here but by true µs order
+            // in the batch twin p85 (unix_micros) — the sub-ms fraction
+            // lives in getNanos alongside the ms the Timestamp carries
+            val us = e.ts.getTime * 1000 + (e.ts.getNanos % 1000000) / 1000
             val cand = LatestRow(e.user_id, e.event_type, e.event_id,
-              e.ts.getTime * 1000, e.value)
+              us, e.value)
             best match {
               case Some(b) if b.ts_us > cand.ts_us ||
                 (b.ts_us == cand.ts_us && b.event_id >= cand.event_id) => best

@@ -91,6 +91,25 @@ class Round9OpsSpec extends SparkSpec {
       rows.map { case (k, v) => k -> v._2 })
   }
 
+  test("p84's int64 envelope guard passes real scales, fails loudly beyond") {
+    import spark.implicits._
+    val ok = (("click", "h1", 100L) +: (2 to 11).map(i =>
+      ("click", s"h$i", 5L))).toDF("event_type", "hour", "c")
+    // within the envelope: the guard is invisible and the 3σ gate flags
+    // the hot hour
+    assert(Pipeline.p84Gate(ok).collect().map(_.getString(1)).toSeq == Seq("h1"))
+    // beyond n_hours*max_c >= 1e9 the int64 products could wrap: the job
+    // must DIE with the envelope message, never emit a silent verdict
+    val hot = Seq(("click", "h1", 600000000L), ("click", "h2", 500000000L))
+      .toDF("event_type", "hour", "c")
+    val e = intercept[Exception] { Pipeline.p84Gate(hot).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("envelope")),
+      s"wrong failure: ${messages(e)}")
+  }
+
   test("p89: one profile row per column, counts reconcile exactly") {
     val rows = run("p89_table_profile").collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap

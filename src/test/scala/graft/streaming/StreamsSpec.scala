@@ -164,6 +164,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("latestPerKey resolves sub-millisecond updates by true microseconds") {
+    implicit val sqlCtx = spark.sqlContext
+    // two updates for one key INSIDE the same millisecond: the higher-µs
+    // row must reign even though its event_id is LOWER — the p85 batch
+    // twin orders by unix_micros(ts), and the r9 getTime*1000 truncation
+    // would have fallen back to the event_id tiebreak here (id 21 wins)
+    def atMicros(us: Int): Timestamp = {
+      val t = new Timestamp(T0.getTime)
+      t.setNanos(us * 1000); t
+    }
+    val in = MemoryStream[Event]
+    val q = latestPerKey(in.toDS())
+      .writeStream.format("memory").queryName("latest_us")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Event(21L, atMicros(250), 9L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      in.addData(Event(20L, atMicros(750), 9L, "click", 2.0, "{}"))
+      q.processAllAvailable()
+      val hist = spark.table("latest_us")
+        .select("event_id", "ts_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(hist.length == 2, "the newer-µs row must re-emit")
+      assert(hist.last._1 == 20L, s"µs order lost: $hist")
+      // and the state carries full microseconds, not ms*1000
+      assert(hist.map(_._2).toSet == Set(T0.getTime * 1000 + 250,
+        T0.getTime * 1000 + 750))
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs clicks with purchases in the window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -212,6 +212,64 @@ class PlanShapeSpec extends SparkSpec {
       !p87.contains("CartesianProduct"), s"p87 went all-pairs:\n$p87")
   }
 
+  // the round-9 verdict's plan audit, made mechanical for the WHOLE bench
+  // headline list: the multiset of shape-relevant nodes per query
+  // (graft.tools.PlanFingerprint). A lost broadcast, an extra shuffle or
+  // a window that used to be a bounded heap fails here as a fingerprint
+  // diff, not rounds later as a bench forensic. Regenerate after an
+  // INTENDED plan change with: sbt "runMain graft.tools.PlanFingerprint".
+  private val HeadlineFingerprints: Map[String, Map[String, Int]] = Map(
+    "q19_agg_group" -> Map("Exchange" -> 1, "HashAggregate" -> 2),
+    "q30_top_revenue" -> Map("BroadcastExchange" -> 2,
+      "BroadcastHashJoin" -> 2, "Exchange" -> 1, "HashAggregate" -> 2,
+      "TakeOrderedAndProject" -> 1),
+    "q31_local_volume" -> Map("BroadcastExchange" -> 5,
+      "BroadcastHashJoin" -> 5, "Exchange" -> 1, "HashAggregate" -> 2),
+    "q32_returned_items" -> Map("BroadcastExchange" -> 2,
+      "BroadcastHashJoin" -> 2, "Exchange" -> 1, "HashAggregate" -> 2,
+      "TakeOrderedAndProject" -> 1),
+    "q11_join_merge" -> Map("Exchange" -> 2, "Sort" -> 2,
+      "SortMergeJoin" -> 1),
+    "q13_sort_desc" -> Map("Exchange" -> 1, "Sort" -> 1),
+    "q14_sort_multikey" -> Map("Exchange" -> 1, "Sort" -> 1),
+    "q28_window_rank" -> Map("Exchange" -> 1, "Sort" -> 2, "Window" -> 1,
+      "WindowGroupLimit" -> 2),
+    "q09_join_multikey" -> Map("Exchange" -> 1, "Sort" -> 1, "Window" -> 1),
+    "q15_distinct" -> Map("Exchange" -> 1, "HashAggregate" -> 2),
+    "p01_exact_dedup" -> Map("Exchange" -> 1, "HashAggregate" -> 2),
+    "p02_minhash_neardup" -> Map("BroadcastExchange" -> 5,
+      "BroadcastHashJoin" -> 5, "Exchange" -> 14, "Generate" -> 10,
+      "HashAggregate" -> 14, "ObjectHashAggregate" -> 4),
+    "p04_ann_cosine_topk" -> Map("BroadcastExchange" -> 1,
+      "BroadcastNestedLoopJoin" -> 1, "Exchange" -> 2, "Sort" -> 2,
+      "TopKPerKeyFinal" -> 1, "TopKPerKeyPartial" -> 1, "Window" -> 1,
+      "WindowGroupLimit" -> 2),
+    "p42_ann_quantized" -> Map("BroadcastExchange" -> 7,
+      "BroadcastHashJoin" -> 2, "BroadcastNestedLoopJoin" -> 5,
+      "Exchange" -> 9, "Generate" -> 4, "HashAggregate" -> 8,
+      "ObjectHashAggregate" -> 4, "Sort" -> 2, "TopKPerKeyFinal" -> 2,
+      "TopKPerKeyPartial" -> 2, "Window" -> 1, "WindowGroupLimit" -> 2),
+    "p06_text_stats" -> Map("Exchange" -> 1),
+    "p11_events_sessions" -> Map("Exchange" -> 1, "HashAggregate" -> 2,
+      "Sort" -> 1, "Window" -> 2),
+    "p15_asof_join" -> Map("Exchange" -> 1, "Sort" -> 1, "Window" -> 1))
+
+  test("every bench headline query keeps its pinned plan fingerprint") {
+    assert(HeadlineFingerprints.keySet == graft.Bench.headline.toSet,
+      "fingerprint list drifted from Bench.headline")
+    // full cold plans: no checkpoint truncation, no cached artifacts
+    spark.conf.set("graft.stage.materialize", "none")
+    spark.conf.set("graft.artifacts.reuse", "false")
+    try HeadlineFingerprints.foreach { case (q, expect) =>
+      val got = graft.tools.PlanFingerprint.of(plan(q))
+      assert(got == expect,
+        s"$q plan shape drifted:\n  expected $expect\n  got      $got")
+    } finally {
+      spark.conf.unset("graft.stage.materialize")
+      spark.conf.unset("graft.artifacts.reuse")
+    }
+  }
+
   test("p89's profile shuffles are digest-keyed — raw values never key an exchange") {
     // staging off so localCheckpoint doesn't truncate the plan under test
     spark.conf.set("graft.stage.materialize", "none")

@@ -3569,6 +3569,40 @@ object Pipeline extends QueryModule {
         col("ts_us"), col("value"))
   }
 
+  /** Benchmark-decontamination audit — the check every training corpus
+    * runs before release: does a training document share a LONG n-gram
+    * with the held-out evaluation set? (Tokens leak benchmarks into
+    * training data; n-gram overlap is the published detection standard,
+    * with widths in the 8–13 range — 8 here.) The eval set is the
+    * doc_id ≡ 7 (mod 29) slice, a fixture stand-in for the benchmark
+    * suite; per contaminated train doc the report carries its distinct
+    * 8-gram count, how many of those appear anywhere in the eval set,
+    * and the fraction. Shape: two shingle explodes, per-side distinct,
+    * one keyed LEFT SEMI join, two doc-keyed counts. At deploy scale
+    * the eval n-gram set is benchmark-sized (MBs against a 100 TB
+    * corpus), so AQE broadcasts the semi join and the only real shuffle
+    * is doc-keyed; grams travel as portable 60-bit ids, never strings.
+    * [[graft.streaming.Streams.contaminationMatches]] is the continuous
+    * twin over an arriving document feed. */
+  private[graft] val ContamW = 8
+  private def p92Decontaminate: Q = (s, d) => {
+    val docs = docsBalanced(s, d)
+    val evalGrams = shingleRowsOf(
+        docs.filter(pmod(col("doc_id"), lit(29L)) === 7), ContamW)
+      .select(h60(col("shingle")).as("g")).distinct()
+    val trainGrams = shingleRowsOf(
+        docs.filter(pmod(col("doc_id"), lit(29L)) =!= 7), ContamW)
+      .select(col("doc_id"), h60(col("shingle")).as("g")).distinct()
+      .staged
+    trainGrams.join(evalGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      .join(trainGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
+        "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast(DoubleType) / col("n_grams"), 6)
+          .as("contam_frac"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3603,6 +3637,7 @@ object Pipeline extends QueryModule {
     "p89_table_profile" -> p89TableProfile,
     "p90_fk_discovery" -> p90FkDiscovery,
     "p91_upsert_tombstones" -> p91UpsertTombstones,
+    "p92_decontaminate" -> p92Decontaminate,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5414,6 +5449,21 @@ object Pipeline extends QueryModule {
         |    MAX(vec_id) AS max_id
         |  FROM v WHERE vec_id NOT IN (SELECT doc_id FROM d))
         |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin,
+    "p92_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${sqlShingles("t", ContamW)}) AS shingle
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+         |g AS (SELECT DISTINCT doc_id, ${sqlH60("shingle")} AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 7),
+         |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 29 <> 7),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |  FROM tr GROUP BY 1),
+         |hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+         |  FROM tr WHERE g IN (SELECT g FROM ev) GROUP BY 1)
+         |SELECT h.doc_id, t.n_grams, h.n_contaminated,
+         |  ROUND(CAST(h.n_contaminated AS DOUBLE) / t.n_grams, 6)
+         |    AS contam_frac
+         |FROM hit h JOIN tot t ON h.doc_id = t.doc_id""".stripMargin,
     "p91_upsert_tombstones" ->
       """WITH u AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

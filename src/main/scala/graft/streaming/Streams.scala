@@ -230,6 +230,36 @@ object Streams {
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
+  /** Streaming decontamination — the continuous twin of batch
+    * p92_decontaminate: each ARRIVING document is checked for long-n-gram
+    * overlap against the STATIC eval-set gram index (built offline from
+    * the benchmark suite, broadcast-sized), and contaminated docs are
+    * flagged with their overlap counts before they ever enter the
+    * training corpus. The eval index aggregates (statically) to one
+    * broadcast array row, so the streaming side is a STATELESS per-row
+    * intersect — Append-legal with no watermark and no shuffle at all,
+    * the same "benchmark set is MBs against the corpus" economics the
+    * batch op banks on. */
+  def contaminationMatches(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    import graft.functions.Portable
+    import graft.queries.Pipeline.ContamW
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val evalArr = evalGrams.agg(collect_set(col("g")).as("eg"))
+    docs
+      .select(col("doc_id"), array_distinct(transform(
+          Portable.shingles(Portable.tokens(col("text")), ContamW),
+          x => Portable.h60(x))).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .crossJoin(broadcast(evalArr))
+      .select(col("doc_id"),
+        size(col("gs")).cast(LongType).as("n_grams"),
+        size(array_intersect(col("gs"), col("eg"))).cast(LongType)
+          .as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("contam_frac",
+        round(col("n_contaminated").cast(DoubleType) / col("n_grams"), 6))
+  }
+
   /** Streaming BPE tokenization — the serving path of the p62/p66
     * tokenizer: arriving documents are tokenized with the STATICALLY
     * learned merge tables (one ≤1-row frame per round, in rank order —

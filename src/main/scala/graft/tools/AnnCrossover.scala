@@ -22,6 +22,7 @@ import graft.functions.VectorDotLong.vdotl
   */
 object AnnCrossover {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("bandwidth")) { bandwidth(args.drop(1)); return }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = args.lift(1).getOrElse("5,25,50").split(",").map(_.trim.toInt)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
@@ -78,6 +79,80 @@ object AnnCrossover {
     spark.stop()
   }
 
+  /** The bandwidth-bound regime probe (round-9 VERDICT item 6): the
+    * local-scale table above is CPU-bound — at 64 dims a 100k corpus
+    * fits in cache, so the int8 scan buys nothing. This mode generates
+    * a deterministic synthetic corpus large enough that the float
+    * vectors no longer fit in any cache (2M × 256-d float32 = 2.0 GB vs
+    * 0.5 GB of int8 codes) and measures the same three shapes, so the
+    * "wins once the scan is memory-bound" half of the claim gets a
+    * recorded number too.
+    *
+    *   sbt "runMain graft.tools.AnnCrossover bandwidth [n] [dim] [reps] [work]"
+    *   (defaults: 2000000  256  3  /tmp/graft-annx-bw)
+    */
+  private def bandwidth(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(2000000L)
+    val dim = args.lift(1).map(_.toInt).getOrElse(256)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val work = args.lift(3).getOrElse("/tmp/graft-annx-bw")
+    val spark = Session.local()
+    // hash-derived floats in [-1, 1): deterministic, incompressible —
+    // the parquet bytes on disk track the in-memory footprint
+    spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i =>
+          ((pmod(hash(col("id"), i), lit(20001)) - lit(10000)) /
+            lit(10000.0)).cast("float")).as("embedding"),
+        lit(0).as("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/embeddings.parquet")
+    def time(thunk: => DataFrame): Double =
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        thunk.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    // untimed warmup (codegen + parquet footers), then the three shapes
+    time(SparkEntry.queries("p04_ann_cosine_topk")(spark, work))
+    val t04 = time(SparkEntry.queries("p04_ann_cosine_topk")(spark, work))
+    val t42 = time(SparkEntry.queries("p42_ann_quantized")(spark, work))
+    graft.queries.Pipeline.quantizedVectors(spark, work)
+      .write.mode(SaveMode.Overwrite).parquet(s"$work/qindex.parquet")
+    val tAmort = time(searchOnly(spark, s"$work/qindex.parquet"))
+    // the int8 SCAN phase alone (candidate top-20 over the codes, no
+    // re-rank): the byte-for-byte twin of p04's float scan, isolating
+    // the bandwidth claim from the re-rank's implementation
+    val tScan = time(scanPhase(spark, s"$work/qindex.parquet"))
+    println(f"ANNX-BW n=$n dim=$dim p04=$t04%6.2f p42=$t42%6.2f " +
+      f"ratio=${t42 / t04}%5.2f p42amort=$tAmort%6.2f " +
+      f"amortRatio=${tAmort / t04}%5.2f qscan=$tScan%6.2f " +
+      f"qscanRatio=${tScan / t04}%5.2f")
+    spark.stop()
+  }
+
+  /** The integer-dot candidate phase over the persisted codes: wide scan
+    * of (vec_id, qv) ONLY — 1 byte per dimension off disk — into the
+    * two-phase top-20. This is the half of p42 the bandwidth claim is
+    * about; [[searchOnly]] adds the float re-rank on top. */
+  private def scanPhase(s: SparkSession, qindexPath: String): DataFrame = {
+    val q = s.read.parquet(qindexPath)
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("qv").as("qpv"))
+    val cands = q.select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        vdotl(col("qpv"), col("qv")).as("qsim"))
+    val local = Window
+      .partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    cands
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 20)
+      .withColumn("qrnk", row_number().over(global)).filter(col("qrnk") <= 20)
+      .select("probe_id", "vec_id", "qsim")
+  }
+
   /** p42's search phase alone, reading the persisted quantized index:
     * integer-dot wide scan over the int8 codes, two-phase top-20, float
     * re-rank of the survivors — identical shapes to p42, minus the
@@ -87,22 +162,9 @@ object AnnCrossover {
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("qv").as("qpv"))
-    val cands = q.select(col("vec_id"), col("qv"))
-      .crossJoin(broadcast(probes.select(col("probe_id"), col("qpv"))))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"),
-        vdotl(col("qpv"), col("qv")).as("qsim"))
-    val local = Window
-      .partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
-      .orderBy(col("qsim").desc, col("vec_id").asc)
-    val global = Window.partitionBy("probe_id")
-      .orderBy(col("qsim").desc, col("vec_id").asc)
     val rerank = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
-    val survivors = cands
-      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 20)
-      .withColumn("qrnk", row_number().over(global)).filter(col("qrnk") <= 20)
-      .select("probe_id", "vec_id", "qsim")
+    val survivors = scanPhase(s, qindexPath)
     q.select(col("vec_id"), col("v"), col("nrm"))
       .join(broadcast(survivors), "vec_id")
       .join(broadcast(probes.select(col("probe_id"), col("pv"),

@@ -194,6 +194,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationMatches flags a streamed doc overlapping the eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.queries.Pipeline
+    val evalDoc = "a b c d e f g h i j k l m n o p"
+    val evalGrams = Pipeline.shingleRowsOf(
+        Seq((7L, evalDoc)).toDF("doc_id", "text"), Pipeline.ContamW)
+      .select(graft.functions.Portable.h60(col("shingle")).as("g"))
+      .distinct()
+    val in = MemoryStream[(Long, String)]
+    val q = contaminationMatches(
+        in.toDF().toDF("doc_id", "text"), evalGrams)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // shares the 8-gram "c d e f g h i j" (and more) with the eval doc
+        (100L, "x y c d e f g h i j k z w v u t"),
+        // clean: same vocabulary, never 8 aligned tokens
+        (101L, "a b c q d e f q g h i q j k l q"),
+        // too short for any 8-gram: must be dropped, not crash
+        (102L, "a b c"))
+      q.processAllAvailable()
+      val rows = spark.table("contam").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._1).toSeq == Seq(100L), s"wrong docs flagged: ${rows.toSeq}")
+      val (_, n, c) = rows.head
+      assert(n == 9 && c == 2, s"expected 2 of 9 grams contaminated, got $c of $n")
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs clicks with purchases in the window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

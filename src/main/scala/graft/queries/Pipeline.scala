@@ -3538,7 +3538,11 @@ object Pipeline extends QueryModule {
         .crossJoin(rows(pt))
         .crossJoin(unmatched)
         .filter(col("parent_nd") === col("n_rows") && // exact: parent unique
-          col("n_child_distinct") <= col("parent_nd")) // exact NDV gate
+          col("n_child_distinct") <= col("parent_nd") && // exact NDV gate
+          // no evidence, no claim: empty sides satisfy containment
+          // vacuously, and a discovery op must not report an edge it
+          // never saw a value for (EmptyInputSpec)
+          col("n_child_distinct") >= 1 && col("parent_nd") >= 1)
         .select(
           lit(s"$ct.$cc").as("child_col"),
           lit(s"$pt.$pc").as("parent_col"),
@@ -5381,7 +5385,9 @@ object Pipeline extends QueryModule {
            |WHERE (SELECT COUNT(DISTINCT $pc) FROM $pt)
            |    = (SELECT COUNT(*) FROM $pt)
            |  AND (SELECT COUNT(DISTINCT $cc) FROM $ct)
-           |   <= (SELECT COUNT(DISTINCT $pc) FROM $pt)"""
+           |   <= (SELECT COUNT(DISTINCT $pc) FROM $pt)
+           |  AND (SELECT COUNT(DISTINCT $cc) FROM $ct) >= 1
+           |  AND (SELECT COUNT(DISTINCT $pc) FROM $pt) >= 1"""
           .stripMargin
       }
       val blocks = FkCandidatePairs.map { case ((ct, cc, fam), (pt, pc, _)) =>

@@ -33,7 +33,10 @@ object ScaleProbe {
     // zero-shuffle propensity sampling, integer 3σ feed anomaly, and
     // the bounded-heap CDC compaction
     "p82_soft_dedup_weights", "p83_quality_sampling",
-    "p84_hourly_anomaly", "p85_upsert_latest", "p88_dup_pagerank")
+    "p84_hourly_anomaly", "p85_upsert_latest", "p88_dup_pagerank",
+    // round-10 additions: profiler (digest-keyed shuffle), schema-driven
+    // FK discovery, benchmark decontamination
+    "p89_table_profile", "p90_fk_discovery", "p92_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

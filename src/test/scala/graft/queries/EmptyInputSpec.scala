@@ -37,6 +37,7 @@ class EmptyInputSpec extends SparkSpec {
     "p65_incremental_neardup", "p66_bpe_apply", "p67_temperature_mix",
     "p82_soft_dedup_weights", "p83_quality_sampling",
     "p84_hourly_anomaly", "p85_upsert_latest", "p86_image_resize",
+    "p89_table_profile", "p90_fk_discovery", "p92_decontaminate",
     "q19_agg_group", "q30_top_revenue", "q53_topk_native",
     "s08_sql_agg_groupby", "s15_sql_cte_window",
     "s25_sql_small_qty_revenue", "s28_sql_pricing_summary")

@@ -25,6 +25,10 @@ class ReuseStageSpec extends SparkSpec {
       try assert(run() == expect, s"mode=$mode diverged")
       finally spark.conf.unset("graft.stage.materialize")
     }
+    // drop the persist-mode blocks from the shared session: cached plan
+    // fragments would otherwise substitute InMemoryRelation into any
+    // later suite's matching subtrees (order-dependent plan shapes)
+    spark.catalog.clearCache()
   }
 
   test("reliable mode writes recoverable checkpoint files") {

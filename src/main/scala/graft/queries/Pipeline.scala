@@ -3516,40 +3516,60 @@ object Pipeline extends QueryModule {
     val candidates = FkCandidatePairs.filter { case (c, p) =>
       mayBeUnique(p) && mayContainFewer(c, p)
     }
-    // shared artifacts: one distinct table + one-row profile per column,
-    // one row count per table — every pair joins these, nothing rebuilds
+    // ONE stacked distinct-value table over every column any candidate
+    // touches, then ONE (family, value)-keyed self-join counting shared
+    // values for ALL pairs at once — the SPIDER/BINDER-family
+    // inclusion-dependency shape. Per value the join fan-out is bounded
+    // by (#columns containing it)² ≤ |domain|², so the whole discovery
+    // is two keyed shuffles however many candidate pairs the schema
+    // yields (the per-pair anti-join form paid 27 distincts + 78 joins:
+    // measured 14.3 → see PLANS.md). Integers stack through a cast to
+    // their canonical decimal string, which is injective, so
+    // string-equality on the stack is integer-equality on the data.
     val needed = candidates.flatMap(cp => Seq(cp._1, cp._2)).distinct
-    val dist: Map[(String, String), DataFrame] =
-      needed.map { case (t, c, fam) =>
-        val v = if (fam == "int") col(c).cast(LongType) else col(c)
-        (t, c) -> tables(t).select(v.as("v"))
-          .filter(col("v").isNotNull).distinct().staged
-      }.toMap
-    val nd: Map[(String, String), DataFrame] = needed.map { case (t, c, _) =>
-      (t, c) -> dist((t, c)).agg(count(lit(1)).as("nd"))
-    }.toMap
-    val rows: Map[String, DataFrame] = needed.map(_._1).distinct.map(t =>
-      t -> tables(t).agg(count(lit(1)).as("n_rows")).staged).toMap
-    val pairFrames = candidates.map { case ((ct, cc, _), (pt, pc, _)) =>
-      val unmatched = dist((ct, cc)).join(dist((pt, pc)), Seq("v"), "left_anti")
-        .agg(count(lit(1)).as("n_unmatched"))
-      nd((ct, cc)).select(col("nd").as("n_child_distinct"))
-        .crossJoin(nd((pt, pc)).select(col("nd").as("parent_nd")))
-        .crossJoin(rows(pt))
-        .crossJoin(unmatched)
-        .filter(col("parent_nd") === col("n_rows") && // exact: parent unique
-          col("n_child_distinct") <= col("parent_nd") && // exact NDV gate
-          // no evidence, no claim: empty sides satisfy containment
-          // vacuously, and a discovery op must not report an edge it
-          // never saw a value for (EmptyInputSpec)
-          col("n_child_distinct") >= 1 && col("parent_nd") >= 1)
-        .select(
-          lit(s"$ct.$cc").as("child_col"),
-          lit(s"$pt.$pc").as("parent_col"),
-          col("n_child_distinct"), col("n_unmatched"),
-          when(col("n_unmatched") === 0, 1).otherwise(0).as("is_fk"))
-    }
-    pairFrames.reduce(_ unionAll _)
+    val stacked = needed.map { case (t, c, fam) =>
+        val v = if (fam == "int") col(c).cast(LongType).cast(StringType)
+                else col(c)
+        tables(t).select(lit(fam).as("fam"), lit(s"$t.$c").as("cid"),
+          v.as("v")).filter(col("v").isNotNull)
+      }.reduce(_ unionAll _)
+      .distinct()
+      .staged
+    val profile = stacked.groupBy("fam", "cid")
+      .agg(count(lit(1)).as("nd"))
+    val matched = stacked
+      .join(stacked.select(col("fam"), col("cid").as("pcid"), col("v")),
+        Seq("fam", "v"))
+      .filter(col("cid") =!= col("pcid"))
+      .groupBy("cid", "pcid").agg(count(lit(1)).as("n_matched"))
+    val rowsPerTable = needed.map(_._1).distinct.map(t =>
+        tables(t).agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("ptbl"), col("n_rows")))
+      .reduce(_ unionAll _)
+    val candDf = s.createDataFrame(candidates.map {
+        case ((ct, cc, fam), (pt, pc, _)) =>
+          (fam, s"$ct.$cc", s"$pt.$pc", pt)
+      }).toDF("fam", "ccid", "pcid", "ptbl")
+    // every gate joins tiny frames (|columns| / |tables| rows); a column
+    // with NO values has no profile row, so the inner joins double as
+    // the no-evidence-no-claim gate (EmptyInputSpec: empty tables must
+    // yield zero vacuous FK claims)
+    candDf
+      .join(profile.select(col("fam"), col("cid").as("ccid"),
+        col("nd").as("n_child_distinct")), Seq("fam", "ccid"))
+      .join(profile.select(col("fam"), col("cid").as("pcid"),
+        col("nd").as("parent_nd")), Seq("fam", "pcid"))
+      .join(broadcast(rowsPerTable), "ptbl")
+      .join(matched.withColumnRenamed("cid", "ccid"),
+        Seq("ccid", "pcid"), "left_outer")
+      .filter(col("parent_nd") === col("n_rows") && // exact: parent unique
+        col("n_child_distinct") <= col("parent_nd")) // exact NDV gate
+      .select(col("ccid").as("child_col"), col("pcid").as("parent_col"),
+        col("n_child_distinct"),
+        (col("n_child_distinct") - coalesce(col("n_matched"), lit(0L)))
+          .as("n_unmatched"),
+        when(col("n_child_distinct") === coalesce(col("n_matched"), lit(0L)),
+          1).otherwise(0).as("is_fk"))
   }
 
   /** Tombstone-aware CDC compaction — p85 completed with DELETE

@@ -260,6 +260,32 @@ object Streams {
         round(col("n_contaminated").cast(DoubleType) / col("n_grams"), 6))
   }
 
+  /** Streaming table profiler — the continuous twin of batch
+    * p89_table_profile: per-column row/null counts and an HLL
+    * distinct-count estimate over an ARRIVING document feed, the
+    * data-quality monitor an ingestion pipeline keeps running between
+    * full profiles. Same digest discipline as the batch op: the
+    * unpivoted value reduces to a portable 60-bit hash before any
+    * state, so per-column streaming state is (two counters + a 256-byte
+    * mergeable HLL register buffer — the [[graft.functions.HllAgg]]
+    * TypedImperativeAggregate doing double duty as a streaming state
+    * aggregate), bounded regardless of feed volume. Update output mode;
+    * |columns| result rows re-emitted as they refine. */
+  def runningProfile(docs: DataFrame): DataFrame = {
+    import graft.functions.Portable
+    val cols = docs.columns.toSeq
+    docs
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"),
+          col(c).cast("string").as("v"))): _*)).as("e"))
+      .select(col("e.column_name").as("column_name"),
+        Portable.h60(col("e.v")).as("dg"))
+      .groupBy("column_name")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("dg").isNull, lit(1))).as("n_nulls"),
+        graft.functions.HllAgg.hllAgg(col("dg")).as("n_distinct_est"))
+  }
+
   /** Streaming BPE tokenization — the serving path of the p62/p66
     * tokenizer: arriving documents are tokenized with the STATICALLY
     * learned merge tables (one ≤1-row frame per round, in rank order —

@@ -225,6 +225,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningProfile refines per-column counts and HLL distincts per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[(Long, String, String)]
+    val q = runningProfile(in.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("profile")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, "alpha", "en"), (2L, "beta", "en"))
+      q.processAllAvailable()
+      in.addData((3L, "alpha", "fr"))
+      q.processAllAvailable()
+      // update-mode memory sink keeps emission history; last emission per
+      // column carries the refined totals
+      val last = spark.table("profile").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (k, v) => k -> v.last._2 }
+      assert(last.keySet == Set("doc_id", "text", "lang"))
+      last.values.foreach { case (n, nulls, _) =>
+        assert(n == 3L && nulls == 0L)
+      }
+      // HLL at tiny cardinalities runs linear counting: near-exact
+      def est(c: String) = last(c)._3
+      assert(math.abs(est("doc_id") - 3.0) < 0.3, s"doc_id ${est("doc_id")}")
+      assert(math.abs(est("text") - 2.0) < 0.2, s"text ${est("text")}")
+      assert(math.abs(est("lang") - 2.0) < 0.2, s"lang ${est("lang")}")
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs clicks with purchases in the window") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -21,15 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rebuild-per-consumer — kept so the saving stays measurable
   * (graft.tools.TimeQuery A/Bs it).
   *
-  * Entries live until the JVM exits: the registry is sized for the
-  * engine's actual lifecycle (one long-lived session per process, a
-  * handful of named artifacts, each a per-doc-row footprint) — the same
-  * deliberate cost Stage.materialize already accepts for checkpoint
-  * blocks. */
+  * The outer map holds sessions WEAKLY (SparkSession has no custom
+  * equals, so WeakHashMap keys by session identity): a stopped,
+  * dereferenced session's artifacts become unreachable and the
+  * ContextCleaner reclaims their checkpoint blocks on GC — no
+  * identity-hash collisions, no JVM-lifetime pinning. Within a live
+  * session, entries persist deliberately: a handful of named
+  * artifacts, each a per-doc-row footprint — the same cost
+  * Stage.materialize already accepts for checkpoint blocks. */
 object Artifacts {
 
-  private val cache =
-    new ConcurrentHashMap[(Int, String, String, String), DataFrame]()
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      ConcurrentHashMap[(String, String, String), DataFrame]]())
 
   /** The artifact named `name` for dataset `dir`, building (and
     * remembering) it on first request. Reuse is per-session and
@@ -39,22 +43,28 @@ object Artifacts {
       (build: => DataFrame): DataFrame = {
     if (s.conf.get("graft.artifacts.reuse", "true") != "true") return build
     val mode = s.conf.get("graft.stage.materialize", "local")
-    val key = (System.identityHashCode(s), dir, mode, name)
+    val forSession = cache.synchronized {
+      var m = cache.get(s)
+      if (m == null) {
+        m = new ConcurrentHashMap[(String, String, String), DataFrame]()
+        cache.put(s, m)
+      }
+      m
+    }
+    val key = (dir, mode, name)
     // get-then-put rather than computeIfAbsent: the latter would hold
     // the map's bin lock through a plan build. Verify/Bench drive
     // queries sequentially, and a rare racing duplicate build is
     // correct, just wasted work — last writer wins.
-    Option(cache.get(key)).getOrElse {
+    Option(forSession.get(key)).getOrElse {
       val df = build
-      cache.put(key, df)
+      forSession.put(key, df)
       df
     }
   }
 
   /** Forget everything cached for this session (spec hygiene when a
     * suite mutates the corpus under a fixed dir). */
-  def invalidate(s: SparkSession): Unit = {
-    val id = System.identityHashCode(s)
-    cache.keySet.removeIf(_._1 == id)
-  }
+  def invalidate(s: SparkSession): Unit =
+    cache.synchronized { cache.remove(s): Unit }
 }

@@ -3492,15 +3492,19 @@ object Pipeline extends QueryModule {
     require(live == FkDomain,
       s"relational schema drifted: $live vs $FkDomain — update " +
         "Pipeline.FkDomain (the p90 oracle regenerates from it)")
-    // approximate prune off the registered catalog's ANALYZE stats
+    // approximate prune off the registered catalog's ANALYZE stats —
+    // one optimized plan per TABLE (stats carry every column), not per
+    // domain column
     graft.sql.SparkSqlRunner.ensureRegistered(s, d)
     val approx: Map[(String, String), (Option[Long], Option[Long])] =
-      FkDomain.map { case (t, c, _) =>
+      FkDomain.map(_._1).distinct.flatMap { t =>
         val stats = s.table(t).queryExecution.optimizedPlan.stats
-        val nd = stats.attributeStats.collectFirst {
-          case (a, cs) if a.name == c => cs.distinctCount.map(_.toLong)
-        }.flatten
-        (t, c) -> (nd, stats.rowCount.map(_.toLong))
+        FkDomain.filter(_._1 == t).map { case (_, c, _) =>
+          val nd = stats.attributeStats.collectFirst {
+            case (a, cs) if a.name == c => cs.distinctCount.map(_.toLong)
+          }.flatten
+          (t, c) -> (nd, stats.rowCount.map(_.toLong))
+        }
       }.toMap
     def mayBeUnique(k: (String, String, String)): Boolean =
       approx((k._1, k._2)) match {
@@ -3516,6 +3520,25 @@ object Pipeline extends QueryModule {
     val candidates = FkCandidatePairs.filter { case (c, p) =>
       mayBeUnique(p) && mayContainFewer(c, p)
     }
+    // a corpus whose stats prune every pair yields an empty report, not
+    // an empty-reduce crash (graceful-degradation contract)
+    if (candidates.isEmpty) fkEmptyReport(s)
+    else fkContainments(s, tables, candidates)
+  }
+
+  private def fkEmptyReport(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("child_col", StringType),
+        StructField("parent_col", StringType),
+        StructField("n_child_distinct", LongType),
+        StructField("n_unmatched", LongType),
+        StructField("is_fk", IntegerType))))
+  }
+
+  private def fkContainments(s: SparkSession, tables: Map[String, DataFrame],
+      candidates: Seq[((String, String, String), (String, String, String))])
+      : DataFrame = {
     // ONE stacked distinct-value table over every column any candidate
     // touches, then ONE (family, value)-keyed self-join counting shared
     // values for ALL pairs at once — the SPIDER/BINDER-family

@@ -46,22 +46,27 @@ object QueryMain {
     var random: Option[(String, Long)] = None
     var i = 0
     def die(msg: String): Nothing = { System.err.println(msg); sys.exit(1) }
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) die(s"$flag needs a value")
+      i += 1; args(i)
+    }
     while (i < args.length) {
       args(i) match {
         case "auto"   => auto = true
-        case "--data" => data = Some(args(i + 1)); i += 1
-        case "--txt"  => txt = Some(args(i + 1)); i += 1
+        case "--data" => data = Some(value("--data"))
+        case "--txt"  => txt = Some(value("--txt"))
         case "--random" =>
-          args(i + 1).split("=", 2) match {
+          value("--random").split("=", 2) match {
             case Array(dir, n) => random = Some((dir, n.toLong))
             case _ => die("--random wants <detDir>=<numRows>")
           }
-          i += 1
         case flag if flag.startsWith("--") => die(s"unknown flag $flag")
         case p => positional :+= p
       }
       i += 1
     }
+    if (Seq(data, txt, random).count(_.isDefined) > 1)
+      die("--data, --txt and --random are mutually exclusive")
     if (positional.length != 2)
       die("usage: graft.tools.QueryMain <query.sql> <resultfile> [auto] " +
         "[--data <dir> | --txt <dir> | --random <detDir>=<rows>]")
@@ -129,8 +134,11 @@ object QueryMain {
     * requested path. */
   def writeResult(df: DataFrame, outFile: String): Unit = {
     val tmp = Files.createTempDirectory("graft-querymain")
-    // preserveOrder: an ORDERBY query's result file must stay sorted
-    Ingest.writeDelimited(df, tmp.toString, preserveOrder = true)
+    // coalesce(1)'s order-preserving single file only when the query
+    // actually SORTED (a global Sort at the plan root, under any
+    // column-shaping nodes) — for everything else the repartition(1)
+    // path keeps the final stage parallel
+    Ingest.writeDelimited(df, tmp.toString, preserveOrder = isSorted(df))
     val part = Option(tmp.toFile.listFiles()).getOrElse(Array())
       .find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(
@@ -140,5 +148,19 @@ object QueryMain {
     Files.move(part.toPath, target, StandardCopyOption.REPLACE_EXISTING)
     Option(tmp.toFile.listFiles()).getOrElse(Array()).foreach(_.delete())
     Files.deleteIfExists(tmp): Unit
+  }
+
+  /** Does the query end in a global ORDER BY? Walks through the
+    * column-shaping nodes Catalyst may leave above the Sort. */
+  private def isSorted(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Sort, SubqueryAlias}
+    @annotation.tailrec
+    def walk(p: LogicalPlan): Boolean = p match {
+      case s: Sort          => s.global
+      case pr: Project      => walk(pr.child)
+      case a: SubqueryAlias => walk(a.child)
+      case _                => false
+    }
+    walk(df.queryExecution.optimizedPlan)
   }
 }

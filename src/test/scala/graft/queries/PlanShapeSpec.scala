@@ -27,14 +27,30 @@ class PlanShapeSpec extends SparkSpec {
     // upstream nodes from executedPlan anyway — a lineage-truncation
     // caveat for any assertion below); every other scale-path pair
     // generator must join on a key.
-    Seq("p02_minhash_neardup", "p12_simhash_pairs", "p13_cosine_neardup",
-      "p05_ann_lsh_bucketed", "p29_edit_neardup", "p33_knn_graph")
-      .foreach { q =>
-        val p = plan(q)
-        assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$q plans an all-pairs nested loop:\n$p")
-      }
+    // stage=none + no artifact reuse: under the default 'local' mode
+    // the staged/cached subtrees truncate to LogicalRDD scans and the
+    // no-all-pairs assertion would be vacuously true for p02
+    spark.conf.set("graft.stage.materialize", "none")
+    spark.conf.set("graft.artifacts.reuse", "false")
+    try {
+      Seq("p02_minhash_neardup", "p12_simhash_pairs", "p13_cosine_neardup",
+        "p05_ann_lsh_bucketed", "p29_edit_neardup")
+        .foreach { q =>
+          val p = plan(q)
+          assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"$q plans an all-pairs nested loop:\n$p")
+        }
+      // p33's full plan (visible now that staging is off) contains the
+      // p20 centroid ASSIGNMENT's broadcast cross against the constant
+      // 16-row codebook — the distributed-Lloyd shape p53's test also
+      // accepts; a cartesian (non-broadcast all-pairs) is still banned
+      val p33 = plan("p33_knn_graph")
+      assert(!p33.contains("CartesianProduct"), s"p33 plans a cartesian:\n$p33")
+    } finally {
+      spark.conf.unset("graft.stage.materialize")
+      spark.conf.unset("graft.artifacts.reuse")
+    }
   }
 
   test("map-only pipeline ops shuffle at most the input rebalance") {

@@ -3650,6 +3650,53 @@ object Pipeline extends QueryModule {
           .as("contam_frac"))
   }
 
+  /** Dedup-index quality monitoring — p72's recall@k story for the
+    * near-dup family: the capped-LSH index (p02) is probabilistic, and
+    * its recall degrades silently as the corpus drifts (band width,
+    * shingle length and the bucket cap were tuned for SOME duplicate
+    * structure), so a production pipeline continuously compares it to
+    * EXACT ground truth on a deterministic sample. Sample = doc_id ≡ 0
+    * (mod 2) here (a fixture-sized stand-in — production uses a
+    * fixed-size hash sample so the exact side stays bounded at any
+    * corpus size); ground truth is all-pairs exact Jaccard WITHIN the
+    * sample (a broadcast self-join of sample sketches — |S|² work by
+    * design, never corpus-pairwise), found = the p02 pair-graph
+    * artifact restricted to sample-internal pairs. One summary row:
+    * true/found/hit counts, recall (the number that decays), precision
+    * (structurally 1.0 — the LSH index exact-verifies every candidate,
+    * so it can only MISS pairs, never invent them; reported so a
+    * verify-stage regression is visible too). */
+  private def p93DedupRecall: Q = (s, d) => {
+    val sig = minhashSig(s, d)
+      .filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(col("doc_id"), col("shset"), col("n"))
+    val truth = sig
+      .select(col("doc_id").as("doc_a"), col("shset").as("sa"),
+        col("n").as("na"))
+      .crossJoin(broadcast(sig.select(col("doc_id").as("doc_b"),
+        col("shset").as("sb"), col("n").as("nb"))))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("ninter").cast(DoubleType) /
+        (col("na") + col("nb") - col("ninter")) >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+      .staged
+    val found = nearDupPairs(s, d)
+      .filter(pmod(col("doc_a"), lit(2L)) === 0 &&
+        pmod(col("doc_b"), lit(2L)) === 0)
+      .select(col("doc_a"), col("doc_b"))
+      .staged
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(found.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_found"), col("n_hit"),
+        when(col("n_true") > 0, round(col("n_hit").cast(DoubleType) /
+          col("n_true"), 6)).as("recall"),
+        when(col("n_found") > 0, round(col("n_hit").cast(DoubleType) /
+          col("n_found"), 6)).as("precision"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3685,6 +3732,7 @@ object Pipeline extends QueryModule {
     "p90_fk_discovery" -> p90FkDiscovery,
     "p91_upsert_tombstones" -> p91UpsertTombstones,
     "p92_decontaminate" -> p92Decontaminate,
+    "p93_dedup_recall" -> p93DedupRecall,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5498,6 +5546,40 @@ object Pipeline extends QueryModule {
         |    MAX(vec_id) AS max_id
         |  FROM v WHERE vec_id NOT IN (SELECT doc_id FROM d))
         |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin,
+    "p93_dedup_recall" ->
+      // found = the full p02 oracle restricted to sample-internal pairs;
+      // truth = an INDEPENDENT exact all-pairs Jaccard over the sample's
+      // distinct shingle-id sets (own CTE names, no reuse of p02's
+      // internals beyond the shared tokenizer/shingle fragments)
+      s"""WITH p AS ($sqlP02),
+         |found AS (SELECT doc_a, doc_b FROM p
+         |  WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+         |tsh AS (
+         |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents
+         |        WHERE doc_id % 2 = 0)),
+         |tsig AS (SELECT doc_id,
+         |    list(DISTINCT ${sqlH60("shingle")}) AS shset,
+         |    len(shset) AS n
+         |  FROM tsh GROUP BY doc_id),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tsig a JOIN tsig b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+         |    / (a.n + b.n - len(list_intersect(a.shset, b.shset)))
+         |    >= $JaccardThreshold),
+         |hit AS (SELECT f.doc_a FROM found f
+         |  JOIN truth t ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b),
+         |c AS (SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM found) AS n_found,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit)
+         |SELECT n_true, n_found, n_hit,
+         |  CASE WHEN n_true > 0
+         |    THEN ROUND(CAST(n_hit AS DOUBLE) / n_true, 6) END AS recall,
+         |  CASE WHEN n_found > 0
+         |    THEN ROUND(CAST(n_hit AS DOUBLE) / n_found, 6) END AS precision
+         |FROM c""".stripMargin,
     "p92_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(${sqlShingles("t", ContamW)}) AS shingle

@@ -43,6 +43,37 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.nonEmpty, "fixture produced no contamination at all")
   }
 
+  test("p93: recall reconciles against a driver-side exact ground truth") {
+    val row = Pipeline.queries("p93_dedup_recall")(spark, Sf01).collect()
+    assert(row.length == 1)
+    val r = row.head
+    val (nTrue, nFound, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= math.min(nTrue, nFound))
+    // independent ground truth: exact shingle-set Jaccard over the
+    // even-id sample, computed with plain Scala sets
+    val docs = Tables.documents(spark, Sf01)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> {
+        val t = r.getString(1).split(" ", -1)
+        (0 to t.length - Pipeline.ShingleW)
+          .map(i => t.slice(i, i + Pipeline.ShingleW).mkString(" ")).toSet
+      }).toMap
+    val ids = docs.keys.toSeq.sorted
+    val expectTrue = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = docs(ids(i)); b = docs(ids(j))
+      inter = (a & b).size
+      if a.nonEmpty && b.nonEmpty &&
+        inter.toDouble / (a.size + b.size - inter) >= Pipeline.JaccardThreshold
+    } yield 1).size
+    assert(nTrue.toInt == expectTrue, s"truth side: $nTrue vs $expectTrue")
+    // the verify stage makes the index precise by construction; at the
+    // current tuning the sample loses nothing, so recall is 1.0 too —
+    // if this decays after a parameter change, that is the op WORKING
+    assert(r.getDouble(4) == 1.0 && nFound > 0)
+  }
+
   test("p92: an empty eval slice yields an empty (not failing) report") {
     // the mini corpus has doc_ids 0-4 only, so the mod-29 eval slice is
     // empty and nothing can be contaminated

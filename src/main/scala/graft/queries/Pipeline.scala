@@ -2061,7 +2061,10 @@ object Pipeline extends QueryModule {
     * agg, one posexplode + (cell, dim)-keyed agg — linear in N×K×dims,
     * the textbook distributed-Lloyd shape; iterations are a driver-side
     * loop over DataFrames, state never leaves the cluster. */
-  private def p53KmeansCells: Q = (s, d) => {
+  /** The p53 k-means state, shared with p94's SemDeDup prune step: the
+    * staged quantized code table `qq` (vec_id, qv) and the final
+    * (vec_id, d2, cell) assignment after two Lloyd iterations. */
+  private def kmeansState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
       .staged
     def sqdist(a: Column, b: Column): Column =
@@ -2085,9 +2088,64 @@ object Pipeline extends QueryModule {
           p => p.getField("m")).as("cv"))
     val c0 = qq.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cell"), col("qv").as("cv"))
-    val a2 = assign(update(assign(c0)))
+    (qq, assign(update(assign(c0))))
+  }
+
+  private def p53KmeansCells: Q = (s, d) => {
+    val (_, a2) = kmeansState(s, d)
     a2.groupBy("cell")
       .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("sum_sqdist"))
+  }
+
+  /** SemDeDup semantic pruning (Abbas et al. 2023) — the keep/drop step
+    * the p53 cells exist for: within each k-means cell, examples whose
+    * pairwise quantized cosine reaches τ are semantic duplicates, and
+    * each duplicate group keeps exactly ONE example — the one FURTHEST
+    * from its centroid (largest d2: the paper's low-centroid-similarity
+    * pick, which biases the kept set toward the cell's diverse rim).
+    * The keep rule is pairwise-greedy, as in the released
+    * implementation: drop x iff some same-cell neighbor with sim ≥ τ
+    * outranks it by (d2 DESC, vec_id ASC) — no connected components, so
+    * the decision is one self-join, and the top-ranked member of any
+    * duplicate group (indeed of any cell) is never dropped. The
+    * similarity gate is integer-exact — cross-multiplied squared cosine
+    * over the int8 codes (dot > 0 ∧ 10⁴·dot² ≥ τ²·10⁴·|a|²·|b|²), no
+    * division or sqrt anywhere, so the probabilistic-looking op has an
+    * exact oracle. τ is calibrated to the QUANTIZED space — the per-dim
+    * min/max affine quantization recenters every dimension, deflating
+    * cosines (this corpus's within-cell max is ≈0.55 quantized), and
+    * SemDeDup tunes τ per embedding space anyway. Work: the cell-keyed
+    * self-join is Σ|cell|² like p33's IVF search — at 100 TB the
+    * codebook grows with the corpus so cells stay bounded and the pair
+    * work never approaches corpus². Output: the per-cell keep/drop
+    * census a curation report leads with. */
+  private val SemTau2E4 = 2025L // τ = 0.45 (quantized-space) ⇒ τ²·10⁴
+  private def p94SemdedupPrune: Q = (s, d) => {
+    val (qq, a2) = kmeansState(s, d)
+    val m = a2.join(qq, "vec_id")
+      .withColumn("aa", vdotl(col("qv"), col("qv")))
+      .select("vec_id", "cell", "d2", "qv", "aa")
+      .staged // read 3×: both self-join sides + the census
+    val dropped = m
+      .join(m.select(col("cell"), col("vec_id").as("o_id"),
+        col("d2").as("o_d2"), col("qv").as("o_qv"), col("aa").as("o_aa")),
+        Seq("cell"))
+      .filter(col("vec_id") =!= col("o_id"))
+      .withColumn("dot", vdotl(col("qv"), col("o_qv")))
+      .filter(col("dot") > 0 &&
+        lit(10000L) * col("dot") * col("dot") >=
+          lit(SemTau2E4) * col("aa") * col("o_aa"))
+      .filter(col("o_d2") > col("d2") ||
+        (col("o_d2") === col("d2") && col("o_id") < col("vec_id")))
+      .select("vec_id").distinct()
+    val kept = m.join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy("cell").agg(count(lit(1)).as("n_kept"))
+    m.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(kept, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_members") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
   }
 
   /** Trailing-interval sliding aggregate — the per-EVENT "activity in
@@ -2956,7 +3014,22 @@ object Pipeline extends QueryModule {
   /** The keyed BPE core over any (g, w, freq) word table — the per-key
     * twin of `bpeLearnMerges`, rounds-parametric for the property
     * suite. */
-  private[graft] def bpeLearnMergesBy(words: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeLearnMergesBy(words: DataFrame, rounds: Int): DataFrame =
+    bpeLearnStateBy(words, rounds)._1
+
+  /** The keyed learner returning BOTH the merge table and the final
+    * symbolized vocabulary (g, freq, l) — p64 reports the former, p95
+    * measures fertility on the latter. The apply step LEFT-joins each
+    * round's ≤1-per-key winner (NULL never merges in the fold), so a
+    * key that runs out of pairs keeps its vocabulary unchanged instead
+    * of losing it. Winners are PROVABLY identical to the former
+    * inner-join form: a key lacks a winner only when its vocabulary has
+    * no adjacent pair at all, and a pairless vocabulary passed through
+    * unchanged still yields no pair next round — so retired keys stop
+    * producing winners either way, and the oracle's inner-join replay
+    * of p64 still matches. */
+  private[graft] def bpeLearnStateBy(words: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val wf = words
       .withColumn("l", split(col("w"), ""))
       .select("g", "freq", "l")
@@ -2974,17 +3047,17 @@ object Pipeline extends QueryModule {
         .orderBy(col("cnt").desc, col("a"), col("b"))))
       .filter(col("rn") === 1).drop("rn")
     def applyMerge(syms: DataFrame, win: DataFrame): DataFrame = syms
-      .join(broadcast(win.select("g", "a", "b")), "g")
+      .join(broadcast(win.select("g", "a", "b")), Seq("g"), "left")
       .withColumn("l", expr(BpeMergeFold))
       .select("g", "freq", "l")
-    val (_, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
-      case ((syms, acc), r) =>
-        val win = winnersOf(syms).staged
-        (applyMerge(syms, win), acc :+ win.select(col("g"),
+    val (syms, winners) = (1 to rounds).foldLeft((wf, Seq.empty[DataFrame])) {
+      case ((s0, acc), r) =>
+        val win = winnersOf(s0).staged
+        (applyMerge(s0, win), acc :+ win.select(col("g"),
           lit(r).as("round"), col("a").as("left_sym"), col("b").as("right_sym"),
           concat(col("a"), col("b")).as("merged"), col("cnt")))
     }
-    winners.reduce(_ union _)
+    (winners.reduce(_ union _), syms)
   }
 
   /** Incremental NEAR-dedup — the fuzzy twin of p36's exact incremental
@@ -3697,6 +3770,84 @@ object Pipeline extends QueryModule {
           col("n_found"), 6)).as("precision"))
   }
 
+  /** Embedding-quality eval by kNN label agreement — the training-free
+    * health check an embedding table gets before anything trusts it
+    * (and the monitoring probe that catches a bad re-embedding run):
+    * each vector's 3 nearest neighbors (p33's IVF-bucketed exact-cosine
+    * graph) vote with their labels, the majority label (count DESC,
+    * label ASC on ties) is compared to the vector's own label, and the
+    * per-label census reports coverage and accuracy. A label whose
+    * accuracy dips marks a region where the embedding space no longer
+    * separates the classes — the drift signal for re-training. Votes,
+    * argmax, and censuses are exact integers (accuracy is one IEEE
+    * division at output); vectors alone in their IVF cell have no
+    * neighbors and are reported as unvoted coverage loss, not dropped.
+    * Cost beyond the graph build: one vec-keyed count, a per-vec argmax
+    * through the native top-k rewrite, and a label join that broadcasts
+    * at any corpus size (labels ride with vec ids, never vectors). */
+  private def p96KnnLabelEval: Q = (s, d) => {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = p33KnnGraph(s, d)
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .groupBy("vec_id", "nbr_label").agg(count(lit(1)).as("cnt"))
+    val pred = votes
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cnt").desc, col("nbr_label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nbr_label").as("pred_label"))
+    labels.join(pred, Seq("vec_id"), "left")
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        count(col("pred_label")).as("n_voted"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_voted"), col("n_correct"),
+        when(col("n_voted") > 0,
+          round(col("n_correct").cast(DoubleType) / col("n_voted"), 6))
+          .as("accuracy"))
+  }
+
+  /** Per-language tokenizer fertility audit — the vocabulary-allocation
+    * metric the multilingual-tokenizer papers (mT5, XLM-R, NLLB) report
+    * before fixing a vocab: symbols emitted per word OCCURRENCE by
+    * language under (a) the corpus-wide tokenizer p62 learns — where
+    * languages compete for the merge budget, so dominant languages
+    * tokenize shorter — and (b) each language's OWN tokenizer (p64's
+    * per-key learner), the fertility floor at the same merge budget.
+    * The gap per language is the parity cost of sharing one vocabulary,
+    * the number that decides vocab-size allocation. Every sum is an
+    * exact integer (freq × symbol counts over the vocab-bounded word
+    * tables — occurrences never re-tokenize, their vocab word does);
+    * fertility itself is one IEEE division + round at output. Cost: the
+    * two learners' corpus-sized token explode (shared shape), then
+    * everything vocab-bounded; the final join is |languages| rows. */
+  private def p95TokenizerFertility: Q = (s, d) => {
+    val wl = Tables.documents(s, d)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+      .staged // read twice: the global-side join and the own-side learner
+    val (_, gsyms) = bpeLearnState(corpusWordFreq(s, d), BpeRounds)
+    val glob = wl
+      .join(gsyms.select(col("w"), size(col("l")).as("gs")), "w")
+      .groupBy("lang").agg(
+        sum(col("freq")).as("n_occurrences"),
+        sum(col("freq") * length(col("w"))).as("syms_char"),
+        sum(col("freq") * col("gs")).as("syms_global"))
+    val own = bpeLearnStateBy(
+        wl.select(col("lang").as("g"), col("w"), col("freq")), BpeRounds)._2
+      .groupBy(col("g").as("lang"))
+      .agg(sum(col("freq") * size(col("l"))).as("syms_own"))
+    glob.join(own, "lang")
+      .select(col("lang"), col("n_occurrences"), col("syms_char"),
+        col("syms_global"), col("syms_own"),
+        round(col("syms_global").cast(DoubleType) / col("n_occurrences"), 6)
+          .as("fertility_global"),
+        round(col("syms_own").cast(DoubleType) / col("n_occurrences"), 6)
+          .as("fertility_own"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3733,6 +3884,9 @@ object Pipeline extends QueryModule {
     "p91_upsert_tombstones" -> p91UpsertTombstones,
     "p92_decontaminate" -> p92Decontaminate,
     "p93_dedup_recall" -> p93DedupRecall,
+    "p94_semdedup_prune" -> p94SemdedupPrune,
+    "p95_tokenizer_fertility" -> p95TokenizerFertility,
+    "p96_knn_label_eval" -> p96KnnLabelEval,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -3911,6 +4065,67 @@ object Pipeline extends QueryModule {
       |        ELSE least(127, CAST(floor((v[i] - mns[i]) * 255.0
       |          / (mxs[i] - mns[i])) AS BIGINT) - 128) END) AS qv
       |  FROM e, sa)""".stripMargin
+
+  // The p53 two-Lloyd-iteration chain (twin of `kmeansState`), shared
+  // by the p53 and p94 oracles. Prepend `sqlQuantCtes`; readers get
+  // `qq` (vec_id, qv) and `a2` (vec_id, d2, cell).
+  private val sqlKmeansCtes: String =
+    s"""qq AS (SELECT vec_id, qv FROM q),
+       |dims AS (SELECT unnest(generate_series(1,
+       |    (SELECT max(len(qv)) FROM qq))) AS i),
+       |c0 AS (SELECT vec_id AS cell, qv AS cv FROM qq
+       |  WHERE vec_id < $KmeansK),
+       |s1 AS (SELECT v.vec_id, c.cell,
+       |    list_sum(list_transform(generate_series(1, len(v.qv)),
+       |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
+       |  FROM qq v, c0 c),
+       |b1 AS (SELECT vec_id, MIN(d2) AS d2 FROM s1 GROUP BY 1),
+       |a1 AS (SELECT s1.vec_id, s1.d2, MIN(s1.cell) AS cell
+       |  FROM s1 JOIN b1 ON s1.vec_id = b1.vec_id AND s1.d2 = b1.d2
+       |  GROUP BY 1, 2),
+       |u1 AS (SELECT a1.cell, i AS j, SUM(qq.qv[i]) AS sx, COUNT(*) AS n
+       |  FROM a1 JOIN qq ON a1.vec_id = qq.vec_id, dims
+       |  WHERE i <= len(qq.qv) GROUP BY 1, 2),
+       |c1 AS (SELECT cell,
+       |    list((sx - ((sx % n) + n) % n) // n ORDER BY j) AS cv
+       |  FROM u1 GROUP BY 1),
+       |s2 AS (SELECT v.vec_id, c.cell,
+       |    list_sum(list_transform(generate_series(1, len(v.qv)),
+       |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
+       |  FROM qq v, c1 c),
+       |b2 AS (SELECT vec_id, MIN(d2) AS d2 FROM s2 GROUP BY 1),
+       |a2 AS (SELECT s2.vec_id, s2.d2, MIN(s2.cell) AS cell
+       |  FROM s2 JOIN b2 ON s2.vec_id = b2.vec_id AND s2.d2 = b2.d2
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // The p33 IVF-bucketed kNN-graph chain, shared by the p33 and p96
+  // oracles. Prepend WITH; readers get `r` (vec_id, nbr_id, sim, rnk).
+  private val sqlP33Chain: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      |  FROM n WHERE vec_id < 16),
+      |a0 AS (
+      |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+      |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+      |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
+      |  FROM n, c),
+      |a AS (
+      |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
+      |  WHERE arnk = 1),
+      |s AS (
+      |  SELECT x.vec_id, y.vec_id AS nbr_id,
+      |    round(list_sum(list_transform(generate_series(1, len(x.v)),
+      |      i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 6) AS sim
+      |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+      |r AS (SELECT vec_id, nbr_id, sim,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY sim DESC, nbr_id) AS INT) AS rnk FROM s)""".stripMargin
 
   // p13's full oracle text, shared with p49 (which text-verifies p13's
   // embedding-bucketed candidate pairs).
@@ -4861,36 +5076,79 @@ object Pipeline extends QueryModule {
          |  >= $ContainThreshold""".stripMargin,
     "p53_kmeans_cells" ->
       s"""WITH $sqlQuantCtes,
-         |qq AS (SELECT vec_id, qv FROM q),
-         |dims AS (SELECT unnest(generate_series(1,
-         |    (SELECT max(len(qv)) FROM qq))) AS i),
-         |c0 AS (SELECT vec_id AS cell, qv AS cv FROM qq
-         |  WHERE vec_id < $KmeansK),
-         |s1 AS (SELECT v.vec_id, c.cell,
-         |    list_sum(list_transform(generate_series(1, len(v.qv)),
-         |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
-         |  FROM qq v, c0 c),
-         |b1 AS (SELECT vec_id, MIN(d2) AS d2 FROM s1 GROUP BY 1),
-         |a1 AS (SELECT s1.vec_id, s1.d2, MIN(s1.cell) AS cell
-         |  FROM s1 JOIN b1 ON s1.vec_id = b1.vec_id AND s1.d2 = b1.d2
-         |  GROUP BY 1, 2),
-         |u1 AS (SELECT a1.cell, i AS j, SUM(qq.qv[i]) AS sx, COUNT(*) AS n
-         |  FROM a1 JOIN qq ON a1.vec_id = qq.vec_id, dims
-         |  WHERE i <= len(qq.qv) GROUP BY 1, 2),
-         |c1 AS (SELECT cell,
-         |    list((sx - ((sx % n) + n) % n) // n ORDER BY j) AS cv
-         |  FROM u1 GROUP BY 1),
-         |s2 AS (SELECT v.vec_id, c.cell,
-         |    list_sum(list_transform(generate_series(1, len(v.qv)),
-         |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
-         |  FROM qq v, c1 c),
-         |b2 AS (SELECT vec_id, MIN(d2) AS d2 FROM s2 GROUP BY 1),
-         |a2 AS (SELECT s2.vec_id, s2.d2, MIN(s2.cell) AS cell
-         |  FROM s2 JOIN b2 ON s2.vec_id = b2.vec_id AND s2.d2 = b2.d2
-         |  GROUP BY 1, 2)
+         |$sqlKmeansCtes
          |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
          |  CAST(SUM(d2) AS BIGINT) AS sum_sqdist
          |FROM a2 GROUP BY 1""".stripMargin,
+    "p94_semdedup_prune" ->
+      s"""WITH $sqlQuantCtes,
+         |$sqlKmeansCtes,
+         |m AS (SELECT a2.vec_id, a2.cell, a2.d2, qq.qv,
+         |    list_sum(list_transform(qq.qv, x -> x * x)) AS aa
+         |  FROM a2 JOIN qq USING (vec_id)),
+         |pr AS (SELECT a.vec_id, a.d2, a.aa,
+         |    b.vec_id AS o_id, b.d2 AS o_d2, b.aa AS o_aa,
+         |    list_sum(list_transform(generate_series(1, len(a.qv)),
+         |      i -> a.qv[i] * b.qv[i])) AS dot
+         |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |dropd AS (SELECT DISTINCT vec_id FROM pr
+         |  WHERE dot > 0 AND 10000 * dot * dot >= $SemTau2E4 * aa * o_aa
+         |    AND (o_d2 > d2 OR (o_d2 = d2 AND o_id < vec_id))),
+         |kept AS (SELECT m.cell, COUNT(*) AS n_kept FROM m
+         |  LEFT JOIN dropd ON m.vec_id = dropd.vec_id
+         |  WHERE dropd.vec_id IS NULL GROUP BY 1),
+         |mem AS (SELECT cell, COUNT(*) AS n_members FROM m GROUP BY 1)
+         |SELECT mem.cell, CAST(mem.n_members AS BIGINT) AS n_members,
+         |  CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(mem.n_members - COALESCE(kept.n_kept, 0) AS BIGINT)
+         |    AS n_dropped
+         |FROM mem LEFT JOIN kept USING (cell)""".stripMargin,
+    "p95_tokenizer_fertility" -> {
+      // global chain = sqlBpeChain (wf, sym0..symN keyed by w); per-lang
+      // chain mirrors the p64 oracle with l-prefixed names and the
+      // LEFT-join apply (winner-less languages keep their vocabulary)
+      val lround = (r: Int) => s"""
+         |lp$r AS (SELECT lang, l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+         |  FROM lsym${r - 1}, UNNEST(generate_series(1, len(l)-1)) AS u(i)
+         |  GROUP BY 1, 2, 3),
+         |lw$r AS (SELECT lang, a, b FROM lp$r
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY cnt DESC, a, b) = 1),
+         |lsym$r AS (SELECT lang, freq,
+         |    list_reduce(list_transform(l, s -> [s]), (acc, x) ->
+         |      CASE WHEN acc[len(acc)] = a AND x[1] = b
+         |           THEN list_concat(acc[1:len(acc)-1], [a || b])
+         |           ELSE list_concat(acc, x) END) AS l
+         |  FROM lsym${r - 1} LEFT JOIN lw$r USING (lang))"""
+      sqlBpeChain(BpeRounds) + s""",
+         |lwf AS (
+         |  SELECT lang, term AS w, COUNT(*) AS freq FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS term
+         |    FROM documents)
+         |  WHERE regexp_full_match(term, '[a-z]+') AND length(term) >= 2
+         |  GROUP BY 1, 2),
+         |lsym0 AS (SELECT lang, freq, string_split(w, '') AS l FROM lwf)"""
+        .stripMargin +
+        (1 to BpeRounds).map(r => "," + lround(r).stripMargin).mkString +
+        s"""
+         |,
+         |gj AS (SELECT lwf.lang, lwf.freq, length(lwf.w) AS wlen,
+         |    len(s.l) AS gs
+         |  FROM lwf JOIN sym$BpeRounds s ON lwf.w = s.w),
+         |gagg AS (SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+         |    CAST(SUM(freq * wlen) AS BIGINT) AS syms_char,
+         |    CAST(SUM(freq * gs) AS BIGINT) AS syms_global
+         |  FROM gj GROUP BY 1),
+         |own AS (SELECT lang, CAST(SUM(freq * len(l)) AS BIGINT) AS syms_own
+         |  FROM lsym$BpeRounds GROUP BY 1)
+         |SELECT g.lang, g.n_occurrences, g.syms_char, g.syms_global,
+         |  o.syms_own,
+         |  ROUND(CAST(g.syms_global AS DOUBLE) / g.n_occurrences, 6)
+         |    AS fertility_global,
+         |  ROUND(CAST(o.syms_own AS DOUBLE) / g.n_occurrences, 6)
+         |    AS fertility_own
+         |FROM gagg g JOIN own o ON g.lang = o.lang""".stripMargin
+    },
     "p55_dup_graph_hops" ->
       s"""WITH p AS ($sqlP02),
          |e AS (SELECT doc_a, doc_b FROM p
@@ -4994,32 +5252,27 @@ object Pipeline extends QueryModule {
         |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
         |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
     "p33_knn_graph" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-        |  FROM n WHERE vec_id < 16),
-        |a0 AS (
-        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-        |    round(list_sum(list_transform(generate_series(1, len(n.v)),
-        |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
-        |  FROM n, c),
-        |a AS (
-        |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-        |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
-        |  WHERE arnk = 1),
-        |s AS (
-        |  SELECT x.vec_id, y.vec_id AS nbr_id,
-        |    round(list_sum(list_transform(generate_series(1, len(x.v)),
-        |      i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 6) AS sim
-        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
-        |r AS (SELECT vec_id, nbr_id, sim,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY sim DESC, nbr_id) AS INT) AS rnk FROM s)
-        |SELECT vec_id, nbr_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+      s"""WITH $sqlP33Chain
+         |SELECT vec_id, nbr_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "p96_knn_label_eval" ->
+      s"""WITH $sqlP33Chain,
+         |knn AS (SELECT vec_id, nbr_id FROM r WHERE rnk <= 3),
+         |lb AS (SELECT vec_id, label FROM embeddings),
+         |v AS (SELECT k.vec_id, l.label AS nbr_label, COUNT(*) AS cnt
+         |  FROM knn k JOIN lb l ON k.nbr_id = l.vec_id GROUP BY 1, 2),
+         |pred AS (SELECT vec_id, nbr_label AS pred_label FROM v
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY cnt DESC, nbr_label) = 1),
+         |j AS (SELECT lb.label, pred.pred_label
+         |  FROM lb LEFT JOIN pred ON lb.vec_id = pred.vec_id)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(COUNT(pred_label) AS BIGINT) AS n_voted,
+         |  CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CASE WHEN COUNT(pred_label) > 0 THEN
+         |    ROUND(CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / COUNT(pred_label), 6) END AS accuracy
+         |FROM j GROUP BY 1""".stripMargin,
     "p21_winnow_fingerprint" ->
       s"""WITH wins AS (
          |  SELECT DISTINCT doc_id, ${sqlH60("substr(text, u.i, 8)")} AS whash

@@ -38,6 +38,7 @@ class EmptyInputSpec extends SparkSpec {
     "p82_soft_dedup_weights", "p83_quality_sampling",
     "p84_hourly_anomaly", "p85_upsert_latest", "p86_image_resize",
     "p89_table_profile", "p90_fk_discovery", "p92_decontaminate",
+    "p94_semdedup_prune", "p95_tokenizer_fertility", "p96_knn_label_eval",
     "q19_agg_group", "q30_top_revenue", "q53_topk_native",
     "s08_sql_agg_groupby", "s15_sql_cte_window",
     "s25_sql_small_qty_revenue", "s28_sql_pricing_summary")

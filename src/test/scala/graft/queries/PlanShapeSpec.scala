@@ -304,6 +304,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(exch.exists(_.contains("dg#")), s"p89 lost the digest key:\n$p")
   }
 
+  test("round-10 composed ops keep their claimed shapes") {
+    spark.conf.set("graft.stage.materialize", "none")
+    spark.conf.set("graft.artifacts.reuse", "false")
+    try {
+      // p94's pair stage is the CELL-keyed self-join — the only
+      // permitted nested loop is p53's K-row centroid broadcast
+      val p94 = plan("p94_semdedup_prune")
+      assert(!p94.contains("CartesianProduct"), s"p94 plans a cartesian:\n$p94")
+      // p95's corpus-sized joins (global w-keyed, per-lang g-keyed)
+      // stay keyed; the global learner's ≤1-row winner joins fold their
+      // constant key into broadcast nested loops (p62/p66's established
+      // shape — every BNLJ builds a ≤1-row side), so only a true
+      // cartesian is banned
+      val p95 = plan("p95_tokenizer_fertility")
+      assert(!p95.contains("CartesianProduct"), s"p95 plans a cartesian:\n$p95")
+      // p96 adds only keyed stages on top of p33's graph (which carries
+      // the permitted centroid broadcast-cross)
+      val p96 = plan("p96_knn_label_eval")
+      assert(!p96.contains("CartesianProduct"), s"p96 plans a cartesian:\n$p96")
+    } finally {
+      spark.conf.unset("graft.stage.materialize")
+      spark.conf.unset("graft.artifacts.reuse")
+    }
+  }
+
   test("catalog registration leaves row-count and column stats behind") {
     graft.sql.SparkSqlRunner.ensureRegistered(spark, sf)
     val stats = spark.table("customer").queryExecution.optimizedPlan.stats

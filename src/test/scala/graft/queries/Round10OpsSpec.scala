@@ -80,4 +80,126 @@ class Round10OpsSpec extends SparkSpec {
     val mini = PipelineMiniSpec.dir
     assert(Pipeline.queries("p92_decontaminate")(spark, mini).count() == 0)
   }
+
+  test("p94: census reconciles against a full driver-side replay") {
+    val out = Pipeline.queries("p94_semdedup_prune")(spark, Sf01)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out.values.foreach { case (m, k, dr) =>
+      assert(m == k + dr && k >= 1, "every cell keeps its top member")
+    }
+    assert(out.values.map(_._3).sum > 0, "fixture never exercises a drop")
+    // independent replay in plain Scala: quantize -> 2 Lloyd rounds ->
+    // pairwise-greedy prune, all with the operator's exact arithmetic
+    val em = graft.Tables.embeddings(spark, Sf01)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val dims = em.head._2.length
+    val mn = Array.tabulate(dims)(i => em.map(_._2(i)).min)
+    val mx = Array.tabulate(dims)(i => em.map(_._2(i)).max)
+    val qv = em.map { case (id, v) =>
+      id -> Array.tabulate(dims) { i =>
+        if (mx(i) == mn(i)) 0L
+        else math.min(127L,
+          math.floor((v(i) - mn(i)) * 255.0 / (mx(i) - mn(i))).toLong - 128L)
+      }
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(cents: Map[Long, Array[Long]]): Map[Long, (Long, Long)] =
+      qv.map { case (id, q) =>
+        val (cell, dd) = cents.toSeq
+          .map { case (c, cv) => (c, d2(q, cv)) }
+          .minBy { case (c, dd) => (dd, c) }
+        id -> (cell, dd)
+      }
+    var cents = qv.filter(_._1 < 8).map { case (id, q) => id -> q }
+    val a1 = assign(cents)
+    cents = a1.groupBy(_._2._1).map { case (cell, ms) =>
+      val qs = ms.keys.toSeq.map(qv)
+      cell -> Array.tabulate(dims)(i =>
+        Math.floorDiv(qs.map(_(i)).sum, qs.size.toLong))
+    }
+    val a2 = assign(cents)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val byCell = a2.toSeq.groupBy(_._2._1)
+    val dropped = a2.keys.filter { id =>
+      val (cell, dd) = a2(id)
+      byCell(cell).exists { case (o, (_, odd)) =>
+        o != id && {
+          val dt = dot(qv(id), qv(o))
+          dt > 0 && 10000L * dt * dt >= 2025L * dot(qv(id), qv(id)) *
+            dot(qv(o), qv(o))
+        } && (odd > dd || (odd == dd && o < id))
+      }
+    }.toSet
+    val expect = a2.toSeq.groupBy(_._2._1).map { case (cell, ms) =>
+      val ids = ms.map(_._1)
+      cell -> (ids.size.toLong, ids.count(!dropped(_)).toLong,
+        ids.count(dropped).toLong)
+    }
+    assert(out == expect)
+  }
+
+  test("p95: fertility reconciles against a canonical driver-side BPE") {
+    val rows = Pipeline.queries("p95_tokenizer_fertility")(spark, Sf01)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent replay: canonical trainer + leftmost-non-overlapping
+    // merge application, per-lang and corpus-wide
+    val wl = graft.Tables.documents(spark, Sf01)
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1)
+        .filter(_.matches("[a-z]{2,}")).map(w => (r.getString(0), w)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((l, w), f) => (l, w, f) }
+    def trainApply(words: Seq[(String, Long)]): Map[String, Int] = {
+      var syms = words.map { case (w, f) => (w, w.split("").toList, f) }
+      for (_ <- 1 to 3) {
+        val counts = scala.collection.mutable
+          .Map.empty[(String, String), Long]
+        for ((_, l, f) <- syms; Seq(x, y) <- l.sliding(2) if l.length >= 2)
+          counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+        if (counts.nonEmpty) {
+          val ((a, b), _) = counts.toSeq
+            .minBy { case ((x, y), n) => (-n, x, y) }
+          syms = syms.map { case (w, l, f) =>
+            (w, l.tail.foldLeft(List(l.head)) { (acc, x) =>
+              if (acc.last == a && x == b) acc.init :+ (a + b) else acc :+ x
+            }, f)
+          }
+        }
+      }
+      syms.map { case (w, l, _) => w -> l.length }.toMap
+    }
+    val global = trainApply(wl.groupBy(_._2).toSeq
+      .map { case (w, g) => (w, g.map(_._3).sum) })
+    val expect = wl.groupBy(_._1).map { case (lang, g) =>
+      val own = trainApply(g.map { case (_, w, f) => (w, f) })
+      lang -> (g.map(_._3).sum,
+        g.map { case (_, w, f) => f * w.length }.sum,
+        g.map { case (_, w, f) => f * global(w) }.sum,
+        g.map { case (_, w, f) => f * own(w) }.sum)
+    }
+    assert(rows == expect)
+    rows.values.foreach { case (occ, chars, g, own) =>
+      assert(own <= chars && g <= chars && occ > 0)
+    }
+  }
+
+  test("p96: a separable mini grades voted pairs and unvoted singletons") {
+    // mini cells (IVF centroids = vec_id < 16): every centroid is its
+    // own cell, vec 16 joins vec 2's cell -> the only voting pair is
+    // {2, 16}, both label 1; vecs 0, 1, 3 are alone in their cells
+    val rows = Pipeline.queries("p96_knn_label_eval")(
+      spark, PipelineMiniSpec.dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(rows == Map(
+      0 -> (2L, 0L, 0L, None),
+      1 -> (2L, 2L, 2L, Some(1.0)),
+      2 -> (1L, 0L, 0L, None)))
+  }
 }

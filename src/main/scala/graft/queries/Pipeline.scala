@@ -1608,7 +1608,16 @@ object Pipeline extends QueryModule {
     * broadcast arrays, then every vector mapped to int8 codes in one
     * pass. Checkpointed because consumers read it from multiple join
     * sides — at production scale this is the persisted quantized index. */
-  private[graft] def quantizedVectors(s: SparkSession, d: String): DataFrame = {
+  /** The per-session quantized-index artifact — at production scale the
+    * persisted int8 index every quantized-path consumer (p42, p47, the
+    * k-means state behind p53/p94) reads instead of re-quantizing the
+    * corpus; within a session the registry hands them one build. */
+  private[graft] def quantizedVectors(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cached(s, d, "quantized_vectors") {
+      buildQuantizedVectors(s, d)
+    }
+
+  private def buildQuantizedVectors(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
     val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
@@ -2062,11 +2071,13 @@ object Pipeline extends QueryModule {
     * the textbook distributed-Lloyd shape; iterations are a driver-side
     * loop over DataFrames, state never leaves the cluster. */
   /** The p53 k-means state, shared with p94's SemDeDup prune step: the
-    * staged quantized code table `qq` (vec_id, qv) and the final
-    * (vec_id, d2, cell) assignment after two Lloyd iterations. */
+    * quantized code table `qq` (vec_id, qv — a narrow projection of the
+    * checkpointed quantized-index artifact, so repeated reads re-scan
+    * blocks, never recompute) and the final (vec_id, d2, cell)
+    * assignment after two Lloyd iterations — itself a session artifact,
+    * since both p53's census and p94's prune consume it. */
   private def kmeansState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
-      .staged
     def sqdist(a: Column, b: Column): Column =
       vdotl(a, a) - lit(2L) * vdotl(a, b) + vdotl(b, b)
     def assign(cents: DataFrame): DataFrame = {
@@ -2088,7 +2099,10 @@ object Pipeline extends QueryModule {
           p => p.getField("m")).as("cv"))
     val c0 = qq.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cell"), col("qv").as("cv"))
-    (qq, assign(update(assign(c0))))
+    val a2 = graft.Artifacts.cached(s, d, "kmeans_assign") {
+      assign(update(assign(c0))).staged
+    }
+    (qq, a2)
   }
 
   private def p53KmeansCells: Q = (s, d) => {
@@ -3848,6 +3862,48 @@ object Pipeline extends QueryModule {
           .as("fertility_own"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * priority sampling) — the one sampling regime p30 (stratified),
+    * p46/p67 (rate-based mixtures), and p83 (propensity rejection)
+    * don't cover: a FIXED-SIZE sample of K docs with inclusion
+    * probability increasing in a per-doc weight (token count here —
+    * "sample exactly 10k docs ∝ length" is the everyday corpus-
+    * inspection job), without replacement, in one distributed pass.
+    * E–S keys each item u^(1/w) and keeps the global top-K;
+    * equivalently the K SMALLEST −log2(u)/w. Made engine-portable by
+    * the deterministic coin (a 32-bit portable-hash lane — rand() is
+    * neither reproducible nor partition-stable) and the quantized log:
+    * surprisal_q = 32·2^16 − qlog2(h32+1) is an exact integer and
+    * priority = surprisal_q / w one correctly-rounded IEEE division —
+    * a monotone piecewise-linear variant of the E–S key that replays
+    * bit-identically in the oracle. The plan is a scan feeding
+    * TakeOrderedAndProject (per-partition K-heaps, K rows to the final
+    * stage) — no global sort, no corpus shuffle; the rank window
+    * orders K rows. */
+  private val SampleK = 64
+
+  /** The p97 scoring expressions, shared with the streaming reservoir
+    * ([[graft.streaming.Streams.weightedReservoir]]) so batch and
+    * stream sample by the identical deterministic key. */
+  private[graft] def wsampleWeight(text: Column): Column =
+    greatest(lit(1L), size(tokens(text)).cast(LongType))
+  private[graft] def wsamplePriority(docId: Column, w: Column): Column =
+    (lit(32L * 65536L) -
+      qlog2(pmod(h60(concat(lit("wsample:"), docId.cast(StringType))),
+        lit(4294967296L)) + lit(1L))).cast(DoubleType) / w
+
+  private def p97WeightedSample: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        wsampleWeight(col("text")).as("w"))
+      .withColumn("priority", wsamplePriority(col("doc_id"), col("w")))
+    scored.orderBy(col("priority").asc, col("doc_id").asc).limit(SampleK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("priority").asc, col("doc_id").asc)))
+      .select(col("rnk"), col("doc_id"), col("lang"), col("w"),
+        round(col("priority"), 6).as("priority"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3887,6 +3943,7 @@ object Pipeline extends QueryModule {
     "p94_semdedup_prune" -> p94SemdedupPrune,
     "p95_tokenizer_fertility" -> p95TokenizerFertility,
     "p96_knn_label_eval" -> p96KnnLabelEval,
+    "p97_weighted_sample" -> p97WeightedSample,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5149,6 +5206,20 @@ object Pipeline extends QueryModule {
          |    AS fertility_own
          |FROM gagg g JOIN own o ON g.lang = o.lang""".stripMargin
     },
+    "p97_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    CAST(greatest(1, len(string_split(text, ' '))) AS BIGINT) AS w,
+         |    ${sqlH60("'wsample:' || CAST(doc_id AS VARCHAR)")}
+         |      % 4294967296 AS h32
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang, w,
+         |    CAST(2097152 - ${sqlQlog2("h32 + 1")} AS DOUBLE) / w AS priority
+         |  FROM t),
+         |r AS (SELECT doc_id, lang, w, priority,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS INT) AS rnk
+         |  FROM sc)
+         |SELECT rnk, doc_id, lang, w, ROUND(priority, 6) AS priority
+         |FROM r WHERE rnk <= $SampleK""".stripMargin,
     "p55_dup_graph_hops" ->
       s"""WITH p AS ($sqlP02),
          |e AS (SELECT doc_a, doc_b FROM p

@@ -361,6 +361,63 @@ object Streams {
       }
   }
 
+  final case class ReservoirRow(rnk: Int, doc_id: Long, w: Long,
+      priority: Double)
+
+  /** Continuous weighted reservoir — the streaming form of
+    * p97_weighted_sample, and the form Efraimidis–Spirakis priority
+    * sampling was DEFINED in: one pass, keep the k smallest priority
+    * keys, weights need not be known in advance. Arriving docs are
+    * scored STATELESSLY with p97's own expressions
+    * (graft.queries.Pipeline.wsamplePriority — the deterministic
+    * portable-hash coin, so at-least-once redelivery re-derives the
+    * identical key and is absorbed by the duplicate check rather than
+    * re-rolling the dice), and the reservoir is one k-bounded
+    * best-first list in keyed state, re-emitted only when an arrival
+    * displaces a member. State is k rows FOREVER — nothing grows with
+    * stream length; the per-row state update is O(k) against the
+    * stateless, fully parallel scoring. A production deployment puts a
+    * `priority < state-kth` pre-filter in front once the reservoir
+    * warms, so the single state key sees a vanishing fraction of
+    * arrivals — the same funnel TakeOrderedAndProject gives the batch
+    * op via per-partition heaps. */
+  def weightedReservoir(docs: DataFrame, k: Int = 8)
+      : Dataset[ReservoirRow] = {
+    import docs.sparkSession.implicits._
+    val scored = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.queries.Pipeline.wsampleWeight(col("text")).as("w"))
+      .withColumn("priority",
+        graft.queries.Pipeline.wsamplePriority(col("doc_id"), col("w")))
+      .as[(Long, Long, Double)]
+    // best-first total order: priority asc, then doc_id asc
+    val better: ((Double, Long, Long), (Double, Long, Long)) => Boolean =
+      (a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    scored.groupByKey(_ => 0)
+      .flatMapGroupsWithState[List[(Double, Long, Long)], ReservoirRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, batch: Iterator[(Long, Long, Double)],
+            state: GroupState[List[(Double, Long, Long)]]) =>
+          val prev = state.getOption.getOrElse(Nil)
+          val next = batch.foldLeft(prev) { (top, r) =>
+            val entry = (r._3, r._1, r._2)
+            if (top.exists(_._2 == entry._2)) top
+            else {
+              val (above, below) = top.span(better(_, entry))
+              (above ::: entry :: below).take(k)
+            }
+          }
+          if (next == prev) Iterator.empty
+          else {
+            state.update(next)
+            next.iterator.zipWithIndex.map { case ((p, id, w), i) =>
+              ReservoirRow(i + 1, id, w, p)
+            }
+          }
+      }
+  }
+
   final case class AnnMatch(probe_id: Long, rnk: Int, vec_id: Long,
       qsim: Long)
 

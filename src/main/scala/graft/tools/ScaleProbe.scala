@@ -35,8 +35,10 @@ object ScaleProbe {
     "p82_soft_dedup_weights", "p83_quality_sampling",
     "p84_hourly_anomaly", "p85_upsert_latest", "p88_dup_pagerank",
     // round-10 additions: profiler (digest-keyed shuffle), schema-driven
-    // FK discovery, benchmark decontamination
-    "p89_table_profile", "p90_fk_discovery", "p92_decontaminate")
+    // FK discovery, benchmark decontamination, SemDeDup prune,
+    // tokenizer fertility, kNN label eval
+    "p89_table_profile", "p90_fk_discovery", "p92_decontaminate",
+    "p94_semdedup_prune", "p95_tokenizer_fertility", "p96_knn_label_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

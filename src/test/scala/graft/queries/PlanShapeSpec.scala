@@ -152,7 +152,16 @@ class PlanShapeSpec extends SparkSpec {
     // the crossJoin against K centroids must be a broadcast nested loop
     // (that IS the distributed-Lloyd shape); the argmin and update joins
     // must stay keyed. Every BNLJ node must build a broadcast side.
-    val p = plan("p53_kmeans_cells")
+    // staging/artifacts off: the kmeans assignment is a session artifact
+    // since round 10, and its checkpoint would truncate the plan under
+    // test to a LogicalRDD scan
+    spark.conf.set("graft.stage.materialize", "none")
+    spark.conf.set("graft.artifacts.reuse", "false")
+    val p = try plan("p53_kmeans_cells")
+      finally {
+        spark.conf.unset("graft.stage.materialize")
+        spark.conf.unset("graft.artifacts.reuse")
+      }
     assert(!p.contains("CartesianProduct"), s"p53 plans a cartesian:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"p53 lost the centroid broadcast:\n$p")
@@ -323,6 +332,13 @@ class PlanShapeSpec extends SparkSpec {
       // the permitted centroid broadcast-cross)
       val p96 = plan("p96_knn_label_eval")
       assert(!p96.contains("CartesianProduct"), s"p96 plans a cartesian:\n$p96")
+      // p97's global top-K is per-partition heaps, never a global sort;
+      // the only exchange is the K-row single-partition rank window
+      val p97 = plan("p97_weighted_sample")
+      assert(p97.contains("TakeOrderedAndProject"),
+        s"p97 lost the heap top-K:\n$p97")
+      assert(!p97.contains("Exchange hashpartitioning"),
+        s"p97 shuffles the corpus:\n$p97")
     } finally {
       spark.conf.unset("graft.stage.materialize")
       spark.conf.unset("graft.artifacts.reuse")

@@ -189,6 +189,38 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("p97: the sample replays exactly from a driver-side E-S computation") {
+    val got = Pipeline.queries("p97_weighted_sample")(spark, Sf01)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toList.sortBy(_._1)
+    // independent replay: portable hash + piecewise-linear log2 +
+    // IEEE division, all in plain Scala
+    def qlog2(x: Long): Long = {
+      val m = java.lang.Long.toBinaryString(x).length.toLong
+      val p = 1L << (m - 1)
+      val a = x * 65536L
+      (m - 1) * 65536L + (a - a % p) / p - 65536L
+    }
+    val scored = graft.Tables.documents(spark, Sf01)
+      .select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val w = math.max(1L, r.getString(2).split(" ", -1).length.toLong)
+        val h32 = graft.functions.Hash60Impl.h60(
+          s"wsample:${r.getLong(0)}".getBytes("UTF-8")) % 4294967296L
+        (r.getLong(0), r.getString(1), w,
+          (2097152L - qlog2(h32 + 1)).toDouble / w)
+      }
+    val expect = scored.sortBy { case (id, _, _, p) => (p, id) }
+      .take(64).zipWithIndex
+      .map { case ((id, l, w, _), i) => (i + 1, id, l, w) }.toList
+    assert(got == expect)
+    // the weighting is live: long docs are overrepresented vs the corpus
+    val corpusMean = scored.map(_._3).sum.toDouble / scored.length
+    val sampleMean = got.map(_._4).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("p96: a separable mini grades voted pairs and unvoted singletons") {
     // mini cells (IVF centroids = vec_id < 16): every centroid is its
     // own cell, vec 16 joins vec 2's cell -> the only voting pair is

@@ -448,6 +448,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("weightedReservoir keeps the k best E-S priorities, batch-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val in = MemoryStream[(Long, String)]
+    val q = weightedReservoir(in.toDF().toDF("doc_id", "text"), k = 2)
+      .writeStream.format("memory").queryName("wres")
+      .outputMode(OutputMode.Update).start()
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b"),
+      (3L, "a b c d e f g h i j k l m n o p q r s t u v w x"),
+      (4L, "one two three four five six seven eight nine ten"))
+    // the stream must sample by the BATCH operator's own key — compute
+    // the expected priorities with p97's expressions on a batch frame
+    val p = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.queries.Pipeline.wsamplePriority(col("doc_id"),
+          graft.queries.Pipeline.wsampleWeight(col("text"))).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def expect(ids: Seq[Long]): Seq[(Int, Long)] =
+      ids.sortBy(id => (p(id), id)).take(2).zipWithIndex
+        .map { case (id, i) => (i + 1, id) }
+    try {
+      in.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      val rows1 = spark.table("wres").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      expect(Seq(1L, 2L, 3L)).foreach(e =>
+        assert(rows1.contains(e), s"missing $e in $rows1 (p=$p)"))
+      // redelivery of a kept doc changes nothing — deterministic coin,
+      // duplicate check: no emission at all
+      val n1 = spark.table("wres").count()
+      val kept = expect(Seq(1L, 2L, 3L)).head._2
+      in.addData(docs.find(_._1 == kept).get)
+      q.processAllAvailable()
+      assert(spark.table("wres").count() == n1, "redelivery re-emitted")
+      // a fourth arrival: either it displaces (new reservoir emitted) or
+      // it doesn't (still no emission) — both derived from the batch key
+      in.addData(docs(3))
+      q.processAllAvailable()
+      val e2 = expect(Seq(1L, 2L, 3L, 4L))
+      if (e2 == expect(Seq(1L, 2L, 3L)))
+        assert(spark.table("wres").count() == n1, "non-displacing emitted")
+      else {
+        val rows2 = spark.table("wres").collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        e2.foreach(e => assert(rows2.contains(e), s"missing $e in $rows2"))
+      }
+    } finally q.stop()
+  }
+
   test("topEventsPerType ignores an at-least-once redelivery of a kept event") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

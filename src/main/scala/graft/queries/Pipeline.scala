@@ -3904,6 +3904,52 @@ object Pipeline extends QueryModule {
         round(col("priority"), 6).as("priority"))
   }
 
+  /** Leakage-free train/val/test split — the dedup-aware split the
+    * near-dup machinery exists to enable: assigning splits by document
+    * hash (p19's rule) lets near-duplicate pairs straddle train and
+    * eval, which is exactly the train-test leakage Lee et al. 2022
+    * measured in real corpora; splitting by near-dup CLUSTER (every doc
+    * inherits its p32 component's hash bucket, singletons are their own
+    * cluster) makes a straddling pair IMPOSSIBLE by construction. Both
+    * methods are emitted side by side with their per-split censuses and
+    * measured leaked-pair counts — 0 for the cluster split (the audit
+    * proves the construction), the doc-hash baseline's count is the
+    * leakage being fixed. Cost on top of the pair-graph/label
+    * artifacts: one doc-keyed left join, two map-side split
+    * assignments, two censuses, and two pair-keyed leak audits (the
+    * pair list is the LSH-bounded artifact, never corpus²). */
+  private def p98LeakageFreeSplit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"))
+    val lbl = dupClusterLabels(s, d).select(col("doc_id"), col("cluster_id"))
+    def splitOf(b: Column): Column =
+      when(b < 8, "train").when(b === 8, "val").otherwise("test")
+    def bucket(c: Column): Column =
+      pmod(h60(concat(lit("split:"), c.cast(StringType))), lit(10L))
+    val assigned = docs.join(lbl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split_doc", splitOf(bucket(col("doc_id"))))
+      .withColumn("split_cluster", splitOf(bucket(col("cluster_id"))))
+      .staged // read 4×: two censuses + two leak audits
+    val pairs = nearDupPairs(s, d).select("doc_a", "doc_b")
+    def leaks(c: String): DataFrame = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"), col(c).as("sa")),
+        "doc_a")
+      .join(assigned.select(col("doc_id").as("doc_b"), col(c).as("sb")),
+        "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("leak_pairs"))
+    def census(c: String, method: String): DataFrame = assigned
+      .groupBy(col(c).as("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .crossJoin(leaks(c)) // 1-row scalar side
+      .select(lit(method).as("method"), col("split"), col("n_docs"),
+        col("n_tokens"), col("leak_pairs"))
+    census("split_doc", "doc_hash")
+      .union(census("split_cluster", "cluster_hash"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -3944,6 +3990,7 @@ object Pipeline extends QueryModule {
     "p95_tokenizer_fertility" -> p95TokenizerFertility,
     "p96_knn_label_eval" -> p96KnnLabelEval,
     "p97_weighted_sample" -> p97WeightedSample,
+    "p98_leakage_free_split" -> p98LeakageFreeSplit,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5220,6 +5267,42 @@ object Pipeline extends QueryModule {
          |  FROM sc)
          |SELECT rnk, doc_id, lang, w, ROUND(priority, 6) AS priority
          |FROM r WHERE rnk <= $SampleK""".stripMargin,
+    "p98_leakage_free_split" -> {
+      def sqlSplit(k: String) =
+        s"""CASE WHEN ${sqlH60(s"'split:' || CAST($k AS VARCHAR)")} % 10 < 8
+           |    THEN 'train'
+           |  WHEN ${sqlH60(s"'split:' || CAST($k AS VARCHAR)")} % 10 = 8
+           |    THEN 'val' ELSE 'test' END""".stripMargin
+      s"""WITH RECURSIVE $sqlClusterLabels,
+         |d AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |a AS (SELECT d.doc_id, d.n_toks,
+         |    COALESCE(lbl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM d LEFT JOIN lbl ON d.doc_id = lbl.doc_id),
+         |s AS (SELECT doc_id, n_toks,
+         |    ${sqlSplit("doc_id")} AS split_doc,
+         |    ${sqlSplit("cluster_id")} AS split_cluster
+         |  FROM a),
+         |lkd AS (SELECT CAST(COUNT(*) AS BIGINT) AS leak_pairs FROM p
+         |  JOIN s sa ON p.doc_a = sa.doc_id
+         |  JOIN s sb ON p.doc_b = sb.doc_id
+         |  WHERE sa.split_doc <> sb.split_doc),
+         |lkc AS (SELECT CAST(COUNT(*) AS BIGINT) AS leak_pairs FROM p
+         |  JOIN s sa ON p.doc_a = sa.doc_id
+         |  JOIN s sb ON p.doc_b = sb.doc_id
+         |  WHERE sa.split_cluster <> sb.split_cluster)
+         |SELECT 'doc_hash' AS method, split_doc AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  lkd.leak_pairs
+         |FROM s, lkd GROUP BY 2, 5
+         |UNION ALL
+         |SELECT 'cluster_hash' AS method, split_cluster AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  lkc.leak_pairs
+         |FROM s, lkc GROUP BY 2, 5""".stripMargin
+    },
     "p55_dup_graph_hops" ->
       s"""WITH p AS ($sqlP02),
          |e AS (SELECT doc_a, doc_b FROM p

@@ -339,6 +339,11 @@ class PlanShapeSpec extends SparkSpec {
         s"p97 lost the heap top-K:\n$p97")
       assert(!p97.contains("Exchange hashpartitioning"),
         s"p97 shuffles the corpus:\n$p97")
+      // p98 composes the pair-graph artifacts with doc-keyed joins only
+      // (the 1-row leak-count scalar broadcast is the accepted
+      // exception); a cartesian would mean a lost join key
+      val p98 = plan("p98_leakage_free_split")
+      assert(!p98.contains("CartesianProduct"), s"p98 plans a cartesian:\n$p98")
     } finally {
       spark.conf.unset("graft.stage.materialize")
       spark.conf.unset("graft.artifacts.reuse")

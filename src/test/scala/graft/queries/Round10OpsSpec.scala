@@ -221,6 +221,42 @@ class Round10OpsSpec extends SparkSpec {
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("p98: the cluster split leaks zero pairs while the doc baseline leaks") {
+    val rows = Pipeline.queries("p98_leakage_free_split")(spark, Sf01)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val byMethod = rows.groupBy(_._1)
+    assert(byMethod.keySet == Set("doc_hash", "cluster_hash"))
+    // the audit columns: cluster split CANNOT leak; the baseline does
+    // (this corpus has cross-bucket near-dup pairs — if it ever stops
+    // leaking, the fixture no longer demonstrates the fix)
+    assert(byMethod("cluster_hash").forall(_._5 == 0L))
+    assert(byMethod("doc_hash").map(_._5).distinct.length == 1 &&
+      byMethod("doc_hash").head._5 > 0L)
+    // both methods partition the same corpus
+    val nDocs = graft.Tables.documents(spark, Sf01).count()
+    byMethod.values.foreach { g =>
+      assert(g.map(_._3).sum == nDocs)
+    }
+    // independent straddle audit: join the op's own pair source against
+    // cluster assignments derived from p32 and recompute zero leakage
+    val cl = Pipeline.queries("p32_dup_clusters")(spark, Sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def split(id: Long): Long = {
+      val h = graft.functions.Hash60Impl.h60(s"split:$id".getBytes("UTF-8"))
+      h % 10
+    }
+    val pairs = Pipeline.queries("p02_minhash_neardup")(spark, Sf01)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      val (ca, cb) = (cl.getOrElse(a, a), cl.getOrElse(b, b))
+      assert(split(ca) == split(cb),
+        s"pair ($a,$b) straddles cluster splits")
+    }
+    assert(pairs.nonEmpty)
+  }
+
   test("p96: a separable mini grades voted pairs and unvoted singletons") {
     // mini cells (IVF centroids = vec_id < 16): every centroid is its
     // own cell, vec 16 joins vec 2's cell -> the only voting pair is

@@ -2137,6 +2137,14 @@ object Pipeline extends QueryModule {
   private def p94SemdedupPrune: Q = (s, d) => {
     val (qq, a2) = kmeansState(s, d)
     val m = a2.join(qq, "vec_id")
+      // exact-int64 envelope for the cross-multiplied gate below:
+      // 10⁴·dot² with |code| ≤ 128 needs dims ≤ ~1850 before 10⁴·(128²·D)²
+      // passes 2^63 — enforce in-plan like p84 (assert_true is NULL on
+      // pass, so the filter keeps every row and can't be pruned)
+      .filter(assert_true(size(col("qv")) <= 1792,
+        lit("p94: embedding dims exceed the exact-int64 cosine-gate " +
+          "envelope (> 1792 dims); scale the similarity to a wider type"))
+        .isNull)
       .withColumn("aa", vdotl(col("qv"), col("qv")))
       .select("vec_id", "cell", "d2", "qv", "aa")
       .staged // read 3×: both self-join sides + the census

@@ -143,6 +143,20 @@ class Round10OpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("p94: dims beyond the exact-int64 envelope fail loudly, not silently") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-p94-wide").toString
+    Seq.tabulate(2)(i => (i.toLong, Seq.fill(1793)(0.5f + i), i))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val ex = intercept[Throwable] {
+      Pipeline.queries("p94_semdedup_prune")(spark, d).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("envelope"), s"wrong failure: $msgs")
+  }
+
   test("p95: fertility reconciles against a canonical driver-side BPE") {
     val rows = Pipeline.queries("p95_tokenizer_fertility")(spark, Sf01)
       .collect().map(r => r.getString(0) ->

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hllAgg)
     ext.injectFunction(GraftExtensions.mgSketch)
     ext.injectFunction(GraftExtensions.hash60)
+    ext.injectFunction(GraftExtensions.minHashSig)
     // generator (UDTF) category: usable in LATERAL VIEW / generator position
     ext.injectFunction(GraftExtensions.shingleRows)
     // whole-operator extension: the native per-key top-k planner rule
@@ -45,6 +46,15 @@ object GraftExtensions {
       require(children.length == 1,
         s"hash60 requires exactly 1 argument, got ${children.length}")
       Hash60(children.head)
+    })
+
+  val minHashSig: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        s"minhash_sig requires exactly 3 arguments, got ${children.length}")
+      MinHashSig(children.head, children(1), children(2))
     })
 
   val shingleRows: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

@@ -166,13 +166,20 @@ object Pipeline extends QueryModule {
     * hash is portable (md5-based), so the DuckDB oracle reproduces the
     * identical candidate set and the identical output. */
   /** The p02 sketch table (doc_id, sig, shset, n), checkpointed.
-    * Sketch stage: one scan, one shingle explode, one keyed shuffle. One
-    * md5 per shingle row, split into the h1/h2 halves BEFORE the
-    * aggregation so the 12 min() update expressions are pure integer
-    * arithmetic — not 12 separate digest computations per row. min() is
-    * duplicate-insensitive, so the explode skips per-doc dedup; the
-    * 60-bit h1 doubles as the shingle id, making the verify stage
-    * intersect long arrays instead of shuffling full shingle strings.
+    * Sketch stage: MAP-ONLY — scan → one native [[graft.functions
+    * .MinHashSig]] projection → filter. The whole per-doc sketch (12
+    * family mins + distinct 60-bit shingle ids) is computed in one pass
+    * over the text bytes with no shingle rows, no hex strings, and no
+    * aggregation; docs with < w tokens return NULL and are filtered,
+    * matching the declarative form where they emit no shingle rows. The
+    * round-7 A/B (PLANS.md) showed the shingle PRODUCER is not the
+    * bottleneck — the per-row digest expressions and the 12-min/
+    * collect_set ObjectHashAggregate are; this deletes both, and with
+    * them the sketch's only shuffle. At 100 TB the signature build is
+    * embarrassingly parallel over input splits — the plan a corpus-scale
+    * dedup needs. The declarative explode+groupBy form (the DuckDB
+    * oracle's literal shape) is retained below as the equivalence-spec
+    * baseline (MinHashSigSpec).
     * Materialized once (the single-query analogue of writing the signature
     * table between pipeline stages): the band explode and both sides of
     * the candidate-pair join read the checkpoint, not a re-scan. The
@@ -184,8 +191,24 @@ object Pipeline extends QueryModule {
     minhashSigOf(docsBalanced(s, d))
 
   /** The sketch build over any (doc_id, text) frame — the unit the
-    * streaming gate's static side and the spec corpora share. */
-  private[graft] def minhashSigOf(docs: DataFrame): DataFrame = {
+    * streaming gate's static side and the spec corpora share. Stateless
+    * per-row expression, so it is streaming-legal as-is. */
+  private[graft] def minhashSigOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(
+          col("text"), ShingleW, NumHashes).as("ms"))
+      .filter(col("ms").isNotNull)
+      .select(col("doc_id"), col("ms.sig").as("sig"),
+        col("ms.shset").as("shset"), col("ms.n").as("n"))
+      .staged
+
+  /** The pre-native declarative sketch (explode shingle rows → md5 hex →
+    * conv the 60/40-bit halves → groupBy doc with 12 mins +
+    * collect_set) — the literal shape of the DuckDB oracle SQL, kept as
+    * the equivalence-test baseline (MinHashSigSpec) and the A/B
+    * comparison point (MinHashSigBench). */
+  private[graft] def minhashSigOfDeclarative(docs: DataFrame): DataFrame = {
     val sh = shingleRowsOf(docs, ShingleW)
       .withColumn("dg", md5(col("shingle")))
       .withColumn("h1", conv(substring(col("dg"), 1, 15), 16, 10).cast(LongType))
@@ -197,7 +220,6 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"),
         col("shset"), size(col("shset")).as("n"))
-      .staged
   }
 
   /** Band rows (carry..., band, bkey) off any frame with a `sig` array
@@ -251,10 +273,24 @@ object Pipeline extends QueryModule {
     * doc contains nearly every token, so token-level fingerprints
     * collapse (measured: 654 of 125k doc pairs at hamming 0), while
     * shingle-level cleanly separates the planted near-dups (hamming ≤5)
-    * from background (≥6). Two map-side explodes (features × 32 bit
-    * positions) then two keyed reductions on doc_id — linear in corpus
-    * size, no pairwise work at all. */
+    * from background (≥6). MAP-ONLY since the native one-pass
+    * [[graft.functions.SimHashFp]]: the whole fingerprint (distinct
+    * features → 32 votes → sign pack) computes inside one projection —
+    * no shingle rows, no distinct or aggregate shuffle, linear in corpus
+    * size with no pairwise work at all. */
   private def simhashFp(s: SparkSession, d: String): DataFrame =
+    docsBalanced(s, d)
+      .select(col("doc_id"),
+        graft.functions.SimHashFp.simhashFp(col("text"), ShingleW)
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The pre-native aggregate form — shingle rows → distinct features →
+    * [[graft.functions.SimHashAgg]] — kept as the equivalence-test
+    * baseline (SimHashFpSpec); the native one-pass [[graft.functions
+    * .SimHashFp]] above deletes its distinct + aggregate shuffles, making
+    * the fingerprint build map-only. */
+  private[graft] def simhashFpAgg(s: SparkSession, d: String): DataFrame =
     simhashFeatures(s, d)
       .groupBy("doc_id")
       .agg(graft.functions.SimHashAgg.simhashAgg(col("hv")).as("simhash"))
@@ -1197,16 +1233,18 @@ object Pipeline extends QueryModule {
     * length-compatible candidates, and the tiny candidate list broadcasts
     * against the corpus so no text ever shuffles. */
   private def p29EditNearDup: Q = (s, d) => {
-    val sh = shingleRows(s, d, ShingleW)
-      .withColumn("dg", md5(col("shingle")))
-      .withColumn("h1", conv(substring(col("dg"), 1, 15), 16, 10).cast(LongType))
-      .withColumn("h2", conv(substring(col("dg"), 16, 10), 16, 10).cast(LongType))
+    // 2-member sketch off the native one-pass MinHashSig (round-10:
+    // map-only, replacing the shingle explode + 2-min groupBy shuffle).
     // Checkpointed like p02's signature table: both sides of the band
     // self-join read the materialized mins, not a re-run of the shingle
     // sketch (2 longs per doc — negligible footprint at any scale).
-    val sig = sh.groupBy("doc_id").agg(
-      min(hashFamFrom(0, col("h1"), col("h2"))).as("b0"),
-      min(hashFamFrom(1, col("h1"), col("h2"))).as("b1"))
+    val sig = docsBalanced(s, d)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("text"), ShingleW, 2)
+          .as("ms"))
+      .filter(col("ms").isNotNull)
+      .select(col("doc_id"), col("ms.sig").getItem(0).as("b0"),
+        col("ms.sig").getItem(1).as("b1"))
       .staged
     // not materialized (unlike p02's band table): A/B-timed slower here —
     // the sig checkpoint above already truncates the expensive subtree,
@@ -1478,9 +1516,15 @@ object Pipeline extends QueryModule {
   private def p38Decontamination: Q = (s, d) => {
     val isEval =
       h60(col("doc_id").cast(StringType)) % EvalSliceMod === EvalSliceRem
-    val grams = shingleRows(s, d, DecontamW)
-      .select(col("doc_id"), h60(col("shingle")).as("hv"))
-      .dropDuplicates("doc_id", "hv")
+    // per-doc-distinct grams built MAP-ONLY by the native ShingleIdSet
+    // (round-10: replaces the corpus-wide (doc, hv) dropDuplicates
+    // shuffle with an in-row dedup + in-memory explode)
+    val grams = docsBalanced(s, d)
+      .select(col("doc_id"),
+        graft.functions.ShingleIdSet.shingleIdSet(col("text"), DecontamW)
+          .as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), explode(col("st")).as("hv"))
       .withColumn("is_eval", isEval)
     val evalGrams = grams.filter(col("is_eval")).select("hv").distinct()
       .withColumn("hit", lit(1L))
@@ -2025,16 +2069,24 @@ object Pipeline extends QueryModule {
     * broadcasts back onto the set table for the exact directional
     * verify, like p02's verify stage. */
   private def p52ContainmentDedup: Q = (s, d) => {
-    // distinct (doc_id, 60-bit shingle id), materialized once: the set
-    // agg, the df count, and the index side all read it (the p02
-    // signature-table pattern — without this the corpus-wide explode +
-    // dedup shuffle runs three times)
-    val sh = simhashFeatures(s, d).staged
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("hv")).as("st"))
-      .select(col("doc_id"), col("st"), size(col("st")).cast(LongType).as("n"),
-        slice(array_sort(col("st")), 1, ContainProbeK).as("probes"))
+    // per-doc sorted-distinct shingle-id sets, built MAP-ONLY by the
+    // native ShingleIdSet expression (round-10: replaces the corpus-wide
+    // explode + dedup shuffle + collect_set agg) and materialized once:
+    // the set table, the df count, and the index side all read it (the
+    // p02 signature-table pattern). The per-shingle ROW view `sh` is now
+    // DERIVED from the set table by an in-memory explode — distinct by
+    // construction, no shuffle
+    val sets0 = docsBalanced(s, d)
+      .select(col("doc_id"),
+        graft.functions.ShingleIdSet.shingleIdSet(col("text"), ShingleW)
+          .as("st"))
+      .filter(col("st").isNotNull)
       .staged
+    // st is sorted ascending, so slice(st, 1, k) IS the k smallest ids
+    val sets = sets0
+      .select(col("doc_id"), col("st"), size(col("st")).cast(LongType).as("n"),
+        slice(col("st"), 1, ContainProbeK).as("probes"))
+    val sh = sets0.select(col("doc_id"), explode(col("st")).as("hv"))
     val rare = sh.groupBy("hv").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap).select("hv")
     val index = sh.join(rare, "hv")
@@ -3728,13 +3780,19 @@ object Pipeline extends QueryModule {
     * twin over an arriving document feed. */
   private[graft] val ContamW = 8
   private def p92Decontaminate: Q = (s, d) => {
+    // per-doc-distinct gram sets built MAP-ONLY by the native
+    // ShingleIdSet (round-10): the train side's (doc_id, g) distinct —
+    // previously a corpus-wide shuffle — now happens in-row; only the
+    // small eval slice still pays a (post-dedup) global distinct
     val docs = docsBalanced(s, d)
-    val evalGrams = shingleRowsOf(
-        docs.filter(pmod(col("doc_id"), lit(29L)) === 7), ContamW)
-      .select(h60(col("shingle")).as("g")).distinct()
-    val trainGrams = shingleRowsOf(
-        docs.filter(pmod(col("doc_id"), lit(29L)) =!= 7), ContamW)
-      .select(col("doc_id"), h60(col("shingle")).as("g")).distinct()
+      .select(col("doc_id"),
+        graft.functions.ShingleIdSet.shingleIdSet(col("text"), ContamW)
+          .as("st"))
+      .filter(col("st").isNotNull)
+    val evalGrams = docs.filter(pmod(col("doc_id"), lit(29L)) === 7)
+      .select(explode(col("st")).as("g")).distinct()
+    val trainGrams = docs.filter(pmod(col("doc_id"), lit(29L)) =!= 7)
+      .select(col("doc_id"), explode(col("st")).as("g"))
       .staged
     trainGrams.join(evalGrams, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))

@@ -262,9 +262,12 @@ class PlanShapeSpec extends SparkSpec {
     "q09_join_multikey" -> Map("Exchange" -> 1, "Sort" -> 1, "Window" -> 1),
     "q15_distinct" -> Map("Exchange" -> 1, "HashAggregate" -> 2),
     "p01_exact_dedup" -> Map("Exchange" -> 1, "HashAggregate" -> 2),
+    // round-10 native MinHashSig: the sketch became a map-only
+    // projection — the per-subtree explode (Generate), groupBy exchange
+    // and 12-min/collect_set ObjectHashAggregate all left the plan
     "p02_minhash_neardup" -> Map("BroadcastExchange" -> 5,
-      "BroadcastHashJoin" -> 5, "Exchange" -> 14, "Generate" -> 10,
-      "HashAggregate" -> 14, "ObjectHashAggregate" -> 4),
+      "BroadcastHashJoin" -> 5, "Exchange" -> 9, "Generate" -> 4,
+      "HashAggregate" -> 6),
     "p04_ann_cosine_topk" -> Map("BroadcastExchange" -> 1,
       "BroadcastNestedLoopJoin" -> 1, "Exchange" -> 2, "Sort" -> 2,
       "TopKPerKeyFinal" -> 1, "TopKPerKeyPartial" -> 1, "Window" -> 1,

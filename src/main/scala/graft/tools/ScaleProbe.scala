@@ -38,7 +38,11 @@ object ScaleProbe {
     // FK discovery, benchmark decontamination, SemDeDup prune,
     // tokenizer fertility, kNN label eval
     "p89_table_profile", "p90_fk_discovery", "p92_decontaminate",
-    "p94_semdedup_prune", "p95_tokenizer_fertility", "p96_knn_label_eval")
+    "p94_semdedup_prune", "p95_tokenizer_fertility", "p96_knn_label_eval",
+    // round-10 (cont.): provenance keeper policy (pair-graph consumer),
+    // codebook drift monitor, source mirror matrix, composed dataset card
+    "p99_provenance_reps", "p100_embedding_drift", "p101_source_mirror",
+    "p102_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -40,6 +40,7 @@ class EmptyInputSpec extends SparkSpec {
     "p89_table_profile", "p90_fk_discovery", "p92_decontaminate",
     "p94_semdedup_prune", "p95_tokenizer_fertility", "p96_knn_label_eval",
     "p97_weighted_sample", "p98_leakage_free_split",
+    "p99_provenance_reps", "p101_source_mirror",
     "q19_agg_group", "q30_top_revenue", "q53_topk_native",
     "s08_sql_agg_groupby", "s15_sql_cte_window",
     "s25_sql_small_qty_revenue", "s28_sql_pricing_summary")
@@ -60,5 +61,30 @@ class EmptyInputSpec extends SparkSpec {
     // the audit's contract is one summary row PER category, always
     assert(rows.length == 2)
     rows.foreach(r => assert(r.getAs[Long]("n_orphans") == 0L))
+  }
+
+  test("p100_embedding_drift reports the fixed cell grid at zero drift") {
+    val rows = Pipeline.queries("p100_embedding_drift")(
+      spark, EmptyInputSpec.dir).collect()
+    // the monitor's contract is one row per codebook cell, always —
+    // a dashboard reading it never sees a vanishing series
+    assert(rows.length == Pipeline.KmeansK)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_prev") == 0L)
+      assert(r.getAs[Long]("n_next") == 0L)
+      assert(r.getAs[Double]("psi") == 0.0)
+    }
+  }
+
+  test("p102_dataset_card emits its fixed sections with zero counts") {
+    val rows = Pipeline.queries("p102_dataset_card")(
+      spark, EmptyInputSpec.dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // census/quality/dedup/contamination sections always present;
+    // per-value share sections legitimately vanish with the corpus
+    assert(rows.contains(("corpus", "n_docs")))
+    assert(rows(("corpus", "n_docs")).getAs[Long]("n") == 0L)
+    assert(rows(("dedup", "near_dup_docs")).getAs[Long]("n") == 0L)
+    assert(rows(("contamination", "contaminated_docs")).getAs[Long]("n") == 0L)
   }
 }

@@ -347,6 +347,26 @@ class PlanShapeSpec extends SparkSpec {
       // exception); a cartesian would mean a lost join key
       val p98 = plan("p98_leakage_free_split")
       assert(!p98.contains("CartesianProduct"), s"p98 plans a cartesian:\n$p98")
+      // p99's two per-cluster picks both run through the native bounded
+      // heap — a window here would re-sort the whole member table
+      val p99 = plan("p99_provenance_reps")
+      assert(p99.contains("TopKPerKey"), s"p99 lost the native heap:\n$p99")
+      assert(!p99.contains("Window"), s"p99 planned a window sort:\n$p99")
+      // p100 adds only K-row arithmetic on top of the kmeans assignment:
+      // the grid and scalar-total sides broadcast, nothing cartesian
+      val p100 = plan("p100_embedding_drift")
+      assert(!p100.contains("CartesianProduct"),
+        s"p100 plans a cartesian:\n$p100")
+      // p101's source lookups stay doc-keyed joins
+      val p101 = plan("p101_source_mirror")
+      assert(!p101.contains("CartesianProduct") &&
+        !p101.contains("BroadcastNestedLoopJoin"),
+        s"p101 went all-pairs:\n$p101")
+      // p102's rate columns join 1-row scalar sides — broadcast, never
+      // a shuffled cartesian
+      val p102 = plan("p102_dataset_card")
+      assert(!p102.contains("CartesianProduct"),
+        s"p102 plans a cartesian:\n$p102")
     } finally {
       spark.conf.unset("graft.stage.materialize")
       spark.conf.unset("graft.artifacts.reuse")

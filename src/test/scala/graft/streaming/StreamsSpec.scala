@@ -572,6 +572,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cellCensus assigns streamed vectors to the batch codebook cells") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val index = graft.queries.Pipeline.quantizedVectors(spark, sf)
+    val centroids = graft.queries.Pipeline.kmeansCentroids(spark, sf)
+    val cents = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // driver-side replay of the batch assignment rule (min d2, min cell)
+    val vecs = index.filter(col("vec_id").isin(20L, 21L, 22L))
+      .select("vec_id", "qv", "v").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Byte](1).map(_.toLong), r.getSeq[Float](2)))
+      .toMap
+    def expCell(q: Seq[Long]): Long =
+      cents.toSeq.map { case (c, cv) =>
+        (q.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum, c)
+      }.min._2
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = cellCensus(in.toDF().toDF("vec_id", "v"), index, centroids)
+      .writeStream.format("memory").queryName("cell_census")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((20L, vecs(20L)._2))
+      q.processAllAvailable()
+      val got1 = spark.table("cell_census").collect()
+        .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n")))
+      assert(got1.toSeq == Seq((expCell(vecs(20L)._1), 1L)))
+      // a second batch: counts accumulate per cell; only touched cells
+      // re-emit
+      val before = spark.table("cell_census").count()
+      in.addData((21L, vecs(21L)._2), (22L, vecs(22L)._2))
+      q.processAllAvailable()
+      val expected = Seq(20L, 21L, 22L)
+        .map(id => expCell(vecs(id)._1))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val latest = spark.table("cell_census").collect()
+        .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(latest == expected, s"latest counts $latest vs $expected")
+      val emitted = spark.table("cell_census").count() - before
+      val touched = Seq(21L, 22L).map(id => expCell(vecs(id)._1)).distinct
+      assert(emitted == touched.size.toLong,
+        s"$emitted rows emitted for ${touched.size} touched cells")
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates keyed state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

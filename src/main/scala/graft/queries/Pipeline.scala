@@ -2416,6 +2416,20 @@ object Pipeline extends QueryModule {
     * uncorrelated with its text, so the GATE exercises cross-engine
     * exactness while the spec proves the model actually learns). */
   private[queries] def nbClassifyCensus(docs: DataFrame): DataFrame = {
+    val pred = nbScored(docs)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cls"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    pred.groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The shared NB scoring core: per-(holdout doc, class) quantized
+    * log-posterior rows, consumed by the p71 census and the p103
+    * calibration audit. */
+  private[queries] def nbScored(docs: DataFrame): DataFrame = {
     def toksOf(df: DataFrame) = df
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
     val trainToks = toksOf(docs.filter(!col("is_test")))
@@ -2433,7 +2447,7 @@ object Pipeline extends QueryModule {
       .select(col("lang").as("cls"),
         qlog2(col("n_docs")).as("q_prior"),
         qlog2(col("tot") + col("v")).as("q_den"))
-    val scored = toksOf(docs.filter(col("is_test")))
+    toksOf(docs.filter(col("is_test")))
       .withColumnRenamed("lang", "actual")
       .crossJoin(broadcast(classStats))
       .join(model.withColumnRenamed("lang", "cls"),
@@ -2445,15 +2459,49 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("actual"), col("cls"),
         (col("q_prior") + col("q_num") - col("n_tok") * col("q_den"))
           .as("score"))
-    val pred = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("cls"))))
-      .filter(col("rn") === 1)
-      .drop("rn")
-    pred.groupBy(col("actual"), col("cls").as("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Classifier calibration audit — the reliability diagram a quality
+    * classifier must pass before its scores gate a corpus at scale:
+    * p71's holdout docs bucketed by decision MARGIN (top-1 minus top-2
+    * quantized log-posterior, an exact integer in 2^-16 bits), each
+    * bucket reporting its doc count and empirical accuracy. A healthy
+    * classifier's accuracy rises with margin; a flat or inverted curve
+    * means the scores carry no confidence signal and thresholding on
+    * them is arbitrary — the audit that decides whether p71-style
+    * filtering is safe to deploy. Margin bins are whole bits capped at
+    * [[CalMaxBin]] (a doc with no runner-up class is fully confident →
+    * cap bin). Cost on top of the shared scoring core: the per-doc
+    * window orders ≤|classes| rows per doc, then everything is ≤bins
+    * rows. All counts and the margin are exact integers, so the
+    * probabilistic-looking audit has an exact oracle. */
+  private[graft] val CalMaxBin = 16L
+  private[queries] def nbCalibration(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls"))
+    val perDoc = nbScored(docs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("doc_id")
+      .agg(min(when(col("rn") === 1, col("cls"))).as("predicted"),
+        min(col("actual")).as("actual"),
+        (max(when(col("rn") === 1, col("score"))) -
+          coalesce(max(when(col("rn") === 2, col("score"))),
+            max(when(col("rn") === 1, col("score")))
+              - lit((CalMaxBin + 1) * 65536L))).as("margin_q"))
+    perDoc
+      .withColumn("bin", least(lit(CalMaxBin), expr("margin_q div 65536")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast(DoubleType) / col("n_docs"), 6))
+  }
+
+  private def p103NbCalibration: Q = (s, d) =>
+    nbCalibration(Tables.documents(s, d)
+      .withColumn("is_test",
+        pmod(h60(col("doc_id").cast(StringType)), lit(10)) === 9))
 
   /** Exact long floor-division for non-negative operands — the pmod
     * trick qlog2 uses, factored out: a − (a mod b) is exactly divisible,
@@ -4282,6 +4330,7 @@ object Pipeline extends QueryModule {
     "p100_embedding_drift" -> p100EmbeddingDrift,
     "p101_source_mirror" -> p101SourceMirror,
     "p102_dataset_card" -> p102DatasetCard,
+    "p103_nb_calibration" -> p103NbCalibration,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -4464,6 +4513,34 @@ object Pipeline extends QueryModule {
   // The p53 two-Lloyd-iteration chain (twin of `kmeansState`), shared
   // by the p53 and p94 oracles. Prepend `sqlQuantCtes`; readers get
   // `qq` (vec_id, qv) and `a2` (vec_id, d2, cell).
+  // The NB scoring chain shared by the p71 census and p103 calibration
+  // oracles. Prepend WITH; readers get `sc` (doc_id, actual, cls, score).
+  private val sqlNbScoredCtes: String =
+    s"""d AS (SELECT doc_id, lang, text,
+       |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_test
+       |  FROM documents),
+       |tk AS (SELECT doc_id, lang, is_test, unnest($sqlToks) AS token
+       |  FROM d),
+       |model AS (SELECT lang, token, COUNT(*) AS cnt
+       |  FROM tk WHERE NOT is_test GROUP BY 1, 2),
+       |vs AS (SELECT COUNT(DISTINCT token) AS v FROM model),
+       |cs AS (SELECT m.lang AS cls,
+       |    ${sqlQlog2("p.n_docs")} AS q_prior,
+       |    ${sqlQlog2("CAST(SUM(m.cnt) + vs.v AS BIGINT)")} AS q_den
+       |  FROM model m
+       |  JOIN (SELECT lang, COUNT(*) AS n_docs FROM d
+       |        WHERE NOT is_test GROUP BY 1) p ON p.lang = m.lang,
+       |    vs
+       |  GROUP BY m.lang, p.n_docs, vs.v),
+       |sc AS (SELECT tk.doc_id, tk.lang AS actual, cs.cls,
+       |    cs.q_prior
+       |      + SUM(${sqlQlog2("COALESCE(m.cnt, 0) + 1")})
+       |      - COUNT(*) * cs.q_den AS score
+       |  FROM tk CROSS JOIN cs
+       |  LEFT JOIN model m ON m.lang = cs.cls AND m.token = tk.token
+       |  WHERE tk.is_test
+       |  GROUP BY tk.doc_id, tk.lang, cs.cls, cs.q_prior, cs.q_den)""".stripMargin
+
   private val sqlKmeansCtes: String =
     s"""qq AS (SELECT vec_id, qv FROM q),
        |dims AS (SELECT unnest(generate_series(1,
@@ -4631,36 +4708,34 @@ object Pipeline extends QueryModule {
     // scoring (sqlQlog2 twin of qlog2), identical smoothing, identical
     // argmax tiebreak — the confusion census must match exactly
     "p71_nb_classifier" ->
-      s"""WITH d AS (SELECT doc_id, lang, text,
-         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_test
-         |  FROM documents),
-         |tk AS (SELECT doc_id, lang, is_test, unnest($sqlToks) AS token
-         |  FROM d),
-         |model AS (SELECT lang, token, COUNT(*) AS cnt
-         |  FROM tk WHERE NOT is_test GROUP BY 1, 2),
-         |vs AS (SELECT COUNT(DISTINCT token) AS v FROM model),
-         |cs AS (SELECT m.lang AS cls,
-         |    ${sqlQlog2("p.n_docs")} AS q_prior,
-         |    ${sqlQlog2("CAST(SUM(m.cnt) + vs.v AS BIGINT)")} AS q_den
-         |  FROM model m
-         |  JOIN (SELECT lang, COUNT(*) AS n_docs FROM d
-         |        WHERE NOT is_test GROUP BY 1) p ON p.lang = m.lang,
-         |    vs
-         |  GROUP BY m.lang, p.n_docs, vs.v),
-         |sc AS (SELECT tk.doc_id, tk.lang AS actual, cs.cls,
-         |    cs.q_prior
-         |      + SUM(${sqlQlog2("COALESCE(m.cnt, 0) + 1")})
-         |      - COUNT(*) * cs.q_den AS score
-         |  FROM tk CROSS JOIN cs
-         |  LEFT JOIN model m ON m.lang = cs.cls AND m.token = tk.token
-         |  WHERE tk.is_test
-         |  GROUP BY tk.doc_id, tk.lang, cs.cls, cs.q_prior, cs.q_den),
+      s"""WITH $sqlNbScoredCtes,
          |pred AS (SELECT actual, cls FROM (
          |    SELECT actual, cls, ROW_NUMBER() OVER (PARTITION BY doc_id
          |      ORDER BY score DESC, cls) AS rn
          |    FROM sc) t WHERE rn = 1)
          |SELECT actual, cls AS predicted, COUNT(*) AS n_docs
          |FROM pred GROUP BY 1, 2""".stripMargin,
+    "p103_nb_calibration" ->
+      s"""WITH $sqlNbScoredCtes,
+         |r AS (SELECT doc_id, actual, cls, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, cls) AS rn
+         |  FROM sc),
+         |pd AS (SELECT doc_id,
+         |    MIN(CASE WHEN rn = 1 THEN cls END) AS predicted,
+         |    MIN(actual) AS actual,
+         |    MAX(CASE WHEN rn = 1 THEN score END)
+         |      - COALESCE(MAX(CASE WHEN rn = 2 THEN score END),
+         |        MAX(CASE WHEN rn = 1 THEN score END)
+         |          - ${(CalMaxBin + 1) * 65536L}) AS margin_q
+         |  FROM r WHERE rn <= 2 GROUP BY doc_id)
+         |SELECT CAST(least($CalMaxBin, margin_q // 65536) AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  round(CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / COUNT(*), 6) AS accuracy
+         |FROM pd GROUP BY 1""".stripMargin,
     // the recall replay: the p04-shape exact scan vs the p05-shape
     // sign-bucket search AND the p20-shape IVF-cell search — hit counts
     // are integers, so both recalls are exact

@@ -51,4 +51,32 @@ class NbClassifierSpec extends SparkSpec {
     assert(census.toSeq == Seq(("cc", "aa", 1L)),
       s"expected the noise doc to take the max-prior class: ${census.mkString(", ")}")
   }
+
+  test("calibration: separable docs land in high-margin bins, all correct") {
+    val rows = Pipeline.nbCalibration(corpus)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._2).sum == 12L, "every holdout doc binned once")
+    // disjoint core vocabularies give every doc a decisive margin: no
+    // doc may land in the zero-confidence bin, and accuracy must be
+    // perfect in every populated bin (the diagonal census, refined)
+    assert(rows.forall(_._1 > 0L),
+      s"separable doc in the no-margin bin: ${rows.mkString(", ")}")
+    rows.foreach { case (bin, n, correct, acc) =>
+      assert(correct == n && acc == 1.0, s"bin $bin: $correct/$n")
+    }
+  }
+
+  test("calibration: label noise surfaces as lower accuracy, not a crash") {
+    // flip two training labels so the model is imperfect; the audit must
+    // still bin every holdout doc and report a fraction, not fail
+    val noisy = corpus.withColumn("lang",
+      when(col("doc_id").isin(0L, 1L), lit("cc")).otherwise(col("lang")))
+    val rows = Pipeline.nbCalibration(noisy)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._2).sum == 12L)
+    rows.foreach { case (bin, n, correct, acc) =>
+      assert(correct <= n && bin >= 0L && bin <= Pipeline.CalMaxBin)
+      assert(math.abs(acc - correct.toDouble / n) < 1e-6)
+    }
+  }
 }

@@ -2559,6 +2559,15 @@ object Pipeline extends QueryModule {
     val approxLsh = topk(e.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), sim.as("sim")))
+    // the p104 variant under the same monitor: probe-side ×9 fan-out,
+    // corpus side unchanged — the recall number that justifies (or
+    // retires) the extra probes rides in the same report
+    val probeKeys = probes.select(col("probe_id"), col("pv"), col("pnrm"),
+      explode(array(col("bucket") +:
+        (1 to 8).map(i => flipBit(col("bucket"), i)): _*)).as("bucket"))
+    val approxMp = topk(e.join(probeKeys, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim")))
     val assigned = ivfAssigned(s, d)
     val iprobes = assigned.filter(col("vec_id") < 20)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -2569,16 +2578,22 @@ object Pipeline extends QueryModule {
     exact
       .join(approxLsh.withColumn("hit_lsh", lit(1)),
         Seq("probe_id", "vec_id"), "left_outer")
+      .join(approxMp.withColumn("hit_mp", lit(1)),
+        Seq("probe_id", "vec_id"), "left_outer")
       .join(approxIvf.withColumn("hit_ivf", lit(1)),
         Seq("probe_id", "vec_id"), "left_outer")
       .groupBy("probe_id")
       .agg(
         sum(coalesce(col("hit_lsh"), lit(0))).cast(LongType).as("n_hits_lsh"),
+        sum(coalesce(col("hit_mp"), lit(0))).cast(LongType).as("n_hits_mp"),
         sum(coalesce(col("hit_ivf"), lit(0))).cast(LongType).as("n_hits_ivf"))
       .select(col("probe_id"),
         col("n_hits_lsh"),
         round(col("n_hits_lsh").cast(DoubleType) / lit(RecallK.toDouble), 6)
           .as("recall_lsh"),
+        col("n_hits_mp"),
+        round(col("n_hits_mp").cast(DoubleType) / lit(RecallK.toDouble), 6)
+          .as("recall_mp"),
         col("n_hits_ivf"),
         round(col("n_hits_ivf").cast(DoubleType) / lit(RecallK.toDouble), 6)
           .as("recall_ivf"))
@@ -4078,6 +4093,53 @@ object Pipeline extends QueryModule {
       .union(census("split_cluster", "cluster_hash"))
   }
 
+  /** Multi-probe sign-bucket ANN — the engineering response to p72's
+    * measured finding that single-bucket bit-sampling LSH recalls ≈0.03
+    * on this corpus: each probe searches its own sign bucket PLUS the 8
+    * buckets at Hamming distance 1 (Lv et al. 2007's multi-probe LSH —
+    * spend probes instead of building more tables), so a near neighbor
+    * that disagrees on one sign bit is no longer invisible. Only the
+    * PROBE side fans out (×9 keys on the small probe set); every corpus
+    * vector still carries exactly one bucket and the join stays keyed —
+    * per-probe work is 9 buckets ≈ 9·corpus/2^8 candidates, and because
+    * buckets partition the corpus the probe keys are distinct and no
+    * candidate dedup stage is needed. Recall is monotonically ≥ the
+    * single-bucket path by construction (a candidate that displaces a
+    * true top-k hit must itself be a true top-k hit under the same
+    * global sim order); AnnRecallSpec measures the actual lift and p72
+    * now monitors all three index variants. */
+  private def p104AnnMultiprobe: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .withColumn("bucket", concat_ws("",
+        (1 to 8).map(i =>
+          when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
+            .otherwise(lit("0"))): _*))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
+    val probeKeys = probes.select(col("probe_id"), col("pv"), col("pnrm"),
+      explode(array(col("bucket") +:
+        (1 to 8).map(i => flipBit(col("bucket"), i)): _*)).as("bucket"))
+    val sims = e.join(probeKeys, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+  /** The 8-char sign-bucket string with bit `i` (1-based) flipped —
+    * shared by p104's probe fan-out and p72's multi-probe monitor. */
+  private def flipBit(b: Column, i: Int): Column = concat(
+    substring(b, 1, i - 1),
+    when(substring(b, i, 1) === "1", lit("0")).otherwise(lit("1")),
+    substring(b, i + 1, 8 - i))
+
   /** Source-trust policy table for provenance-aware dedup: tier 1 =
     * curated sources, tier 2 = vetted web, everything else tier 3
     * (raw crawl). In production this is a config input per corpus
@@ -4331,6 +4393,7 @@ object Pipeline extends QueryModule {
     "p101_source_mirror" -> p101SourceMirror,
     "p102_dataset_card" -> p102DatasetCard,
     "p103_nb_calibration" -> p103NbCalibration,
+    "p104_ann_multiprobe" -> p104AnnMultiprobe,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -4764,6 +4827,22 @@ object Pipeline extends QueryModule {
         |ls AS (SELECT probe_id, vec_id FROM (
         |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY sim DESC, vec_id) AS rnk FROM lss) t WHERE rnk <= 3),
+        |pk AS (SELECT probe_id, pv, pnrm,
+        |    unnest(list_prepend(bucket,
+        |      list_transform(generate_series(1, 8), i ->
+        |        substr(bucket, 1, CAST(i - 1 AS INT)) ||
+        |        (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
+        |          THEN '0' ELSE '1' END) ||
+        |        substr(bucket, CAST(i + 1 AS INT), CAST(8 - i AS INT)))))
+        |      AS bucket
+        |  FROM p),
+        |mss AS (SELECT probe_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM n JOIN pk USING (bucket) WHERE vec_id <> probe_id),
+        |ms AS (SELECT probe_id, vec_id FROM (
+        |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id) AS rnk FROM mss) t WHERE rnk <= 3),
         |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
         |  FROM n WHERE vec_id < 16),
         |a0 AS (
@@ -4790,6 +4869,10 @@ object Pipeline extends QueryModule {
         |    AS n_hits_lsh,
         |  round(SUM(CASE WHEN ls.vec_id IS NULL THEN 0 ELSE 1 END) / 3.0, 6)
         |    AS recall_lsh,
+        |  CAST(SUM(CASE WHEN ms.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_hits_mp,
+        |  round(SUM(CASE WHEN ms.vec_id IS NULL THEN 0 ELSE 1 END) / 3.0, 6)
+        |    AS recall_mp,
         |  CAST(SUM(CASE WHEN iv.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
         |    AS n_hits_ivf,
         |  round(SUM(CASE WHEN iv.vec_id IS NULL THEN 0 ELSE 1 END) / 3.0, 6)
@@ -4797,6 +4880,8 @@ object Pipeline extends QueryModule {
         |FROM ex
         |  LEFT JOIN ls
         |    ON ls.probe_id = ex.probe_id AND ls.vec_id = ex.vec_id
+        |  LEFT JOIN ms
+        |    ON ms.probe_id = ex.probe_id AND ms.vec_id = ex.vec_id
         |  LEFT JOIN iv
         |    ON iv.probe_id = ex.probe_id AND iv.vec_id = ex.vec_id
         |GROUP BY ex.probe_id""".stripMargin,
@@ -5349,6 +5434,35 @@ object Pipeline extends QueryModule {
         |    round(list_sum(list_transform(generate_series(1, len(pv)),
         |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
         |  FROM n JOIN p USING (bucket) WHERE vec_id <> probe_id),
+        |r AS (SELECT probe_id, vec_id, sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+        |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
+        |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "p104_ann_multiprobe" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        |  array_to_string(list_transform(generate_series(1, 8),
+        |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket
+        |  FROM n WHERE vec_id < 20),
+        |pk AS (SELECT probe_id, pv, pnrm,
+        |    unnest(list_prepend(bucket,
+        |      list_transform(generate_series(1, 8), i ->
+        |        substr(bucket, 1, CAST(i - 1 AS INT)) ||
+        |        (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
+        |          THEN '0' ELSE '1' END) ||
+        |        substr(bucket, CAST(i + 1 AS INT), CAST(8 - i AS INT)))))
+        |      AS bucket
+        |  FROM p),
+        |s AS (
+        |  SELECT probe_id, vec_id,
+        |    round(list_sum(list_transform(generate_series(1, len(pv)),
+        |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+        |  FROM n JOIN pk USING (bucket) WHERE vec_id <> probe_id),
         |r AS (SELECT probe_id, vec_id, sim,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)

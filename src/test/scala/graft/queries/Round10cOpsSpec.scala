@@ -105,6 +105,46 @@ class Round10cOpsSpec extends SparkSpec {
     }
   }
 
+  test("p104: candidates stay within Hamming radius 1 of the probe bucket") {
+    val bucketOf = Tables.embeddings(spark, Sf01)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        r.getLong(0) -> (0 until 8).map(i =>
+          if (i < v.length && v(i) >= 0) '1' else '0').mkString
+      }.toMap
+    val rows = run("p104_ann_multiprobe").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, v) =>
+      val dist = bucketOf(p).zip(bucketOf(v)).count { case (a, b) => a != b }
+      assert(dist <= 1, s"probe $p matched $v at Hamming distance $dist")
+    }
+  }
+
+  test("p104/p72: multi-probe recall dominates single-bucket, per probe") {
+    // structural monotonicity (superset candidates can only improve the
+    // top-k under the shared global sim order) plus the measured lift
+    // this corpus actually shows — the number PLANS.md records
+    val r72 = run("p72_ann_recall").collect()
+      .map(r => (r.getAs[Double]("recall_lsh"), r.getAs[Double]("recall_mp"),
+        r.getAs[Double]("recall_ivf")))
+    r72.foreach { case (lsh, mp, _) =>
+      assert(mp >= lsh, s"multi-probe recall $mp below single-bucket $lsh")
+    }
+    val (mLsh, mMp) = (r72.map(_._1).sum / r72.size, r72.map(_._2).sum / r72.size)
+    assert(mMp > mLsh, s"no measured lift: mp $mMp vs lsh $mLsh")
+    // and per-rank sims can only improve when the candidate pool grows
+    val p05sims = run("p05_ann_lsh_bucketed").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    val p104sims = run("p104_ann_multiprobe").collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    p05sims.foreach { case (key, s05) =>
+      assert(p104sims(key) >= s05 - 1e-9,
+        s"rank $key sim regressed: ${p104sims(key)} < $s05")
+    }
+  }
+
   test("p102: every card section reconciles against its source query") {
     val card = run("p102_dataset_card").collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -4093,6 +4093,45 @@ object Pipeline extends QueryModule {
       .union(census("split_cluster", "cluster_hash"))
   }
 
+  /** Deterministic training-order export — the reproducible global
+    * shuffle a training run needs: every doc gets a SEEDED portable-hash
+    * key, its global rank under (key, doc_id) becomes the training step,
+    * and fixed-size batches fall out as step div B — the run manifest
+    * that makes a data order re-creatable across reruns, engines, and
+    * partitionings (rand() or zipWithIndex give neither). The global
+    * rank is the two-level distributed pattern of p28's prefix sum
+    * applied to ORDER rather than token mass: the uniform hash key is
+    * range-bucketed by its top bits (64 ranges here; more bits at
+    * scale), per-range counts cumulate in a 64-row broadcast, and each
+    * doc ranks only within its range — no global sort, no
+    * range-partitioned shuffle of the corpus, window state bounded by
+    * range size. */
+  private[graft] val OrderBatch = 64L
+  private[graft] val OrderRanges = 64L
+  private def p105TrainingOrder: Q = (s, d) =>
+    trainingOrderOf(Tables.documents(s, d))
+
+  /** The p105 core over any frame with a `doc_id` column — the property
+    * suite feeds it repartitioned inputs to prove the order is
+    * partition-independent. */
+  private[graft] def trainingOrderOf(docs: DataFrame): DataFrame = {
+    val keyed = docs.select(col("doc_id"))
+      .withColumn("hkey",
+        h60(concat(lit("order:"), col("doc_id").cast(StringType))))
+      .withColumn("rng", expr(s"hkey div ${(1L << 60) / OrderRanges}"))
+    val offsets = keyed.groupBy("rng").agg(count(lit(1)).as("rn"))
+      .withColumn("off", coalesce(
+        sum(col("rn")).over(Window.orderBy("rng")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("rng", "off")
+    keyed.join(broadcast(offsets), "rng")
+      .withColumn("step", col("off") +
+        row_number().over(Window.partitionBy("rng")
+          .orderBy("hkey", "doc_id")) - 1)
+      .withColumn("batch", expr(s"step div $OrderBatch"))
+      .select("doc_id", "step", "batch")
+  }
+
   /** Multi-probe sign-bucket ANN — the engineering response to p72's
     * measured finding that single-bucket bit-sampling LSH recalls ≈0.03
     * on this corpus: each probe searches its own sign bucket PLUS the 8
@@ -4394,6 +4433,7 @@ object Pipeline extends QueryModule {
     "p102_dataset_card" -> p102DatasetCard,
     "p103_nb_calibration" -> p103NbCalibration,
     "p104_ann_multiprobe" -> p104AnnMultiprobe,
+    "p105_training_order" -> p105TrainingOrder,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5438,6 +5478,15 @@ object Pipeline extends QueryModule {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
         |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "p105_training_order" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${sqlH60("'order:' || CAST(doc_id AS VARCHAR)")} AS hkey
+         |  FROM documents),
+         |r AS (SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT)
+         |      AS step
+         |  FROM k)
+         |SELECT doc_id, step, step // $OrderBatch AS batch FROM r""".stripMargin,
     "p104_ann_multiprobe" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

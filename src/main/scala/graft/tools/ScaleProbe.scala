@@ -42,7 +42,8 @@ object ScaleProbe {
     // round-10 (cont.): provenance keeper policy (pair-graph consumer),
     // codebook drift monitor, source mirror matrix, composed dataset card
     "p99_provenance_reps", "p100_embedding_drift", "p101_source_mirror",
-    "p102_dataset_card", "p103_nb_calibration", "p104_ann_multiprobe")
+    "p102_dataset_card", "p103_nb_calibration", "p104_ann_multiprobe",
+    "p105_training_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -367,6 +367,13 @@ class PlanShapeSpec extends SparkSpec {
       val p102 = plan("p102_dataset_card")
       assert(!p102.contains("CartesianProduct"),
         s"p102 plans a cartesian:\n$p102")
+      // p105's global rank is the two-level range-bucketed window — a
+      // rangepartitioning exchange here would mean a true global sort
+      // of the corpus snuck back in
+      val p105 = plan("p105_training_order")
+      assert(!p105.contains("rangepartitioning"),
+        s"p105 plans a global sort:\n$p105")
+      assert(p105.contains("Window"), s"p105 lost the ranked window:\n$p105")
     } finally {
       spark.conf.unset("graft.stage.materialize")
       spark.conf.unset("graft.artifacts.reuse")

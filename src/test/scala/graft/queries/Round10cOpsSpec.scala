@@ -145,6 +145,26 @@ class Round10cOpsSpec extends SparkSpec {
     }
   }
 
+  test("p105: steps are a permutation, batches bounded, order portable") {
+    val docs = Tables.documents(spark, Sf01)
+    val n = docs.count()
+    val out = run("p105_training_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the step column is exactly 0..N-1, each doc once
+    assert(out.length.toLong == n)
+    assert(out.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // batches are step div B: contiguous, ≤B docs each
+    out.foreach { case (_, step, batch) =>
+      assert(batch == step / Pipeline.OrderBatch)
+    }
+    // the order is partition-INDEPENDENT: feeding the same docs through
+    // any physical layout yields the identical (doc_id -> step) map —
+    // the reproducibility claim rand()/zipWithIndex cannot make
+    val rep = Pipeline.trainingOrderOf(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep == out.map(t => (t._1, t._2)).toMap)
+  }
+
   test("p102: every card section reconciles against its source query") {
     val card = run("p102_dataset_card").collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -2604,13 +2604,17 @@ object Pipeline extends QueryModule {
     * shared by the p73 LM trainer/scorer and p74's phrase-term index.
     * Docs under 2 tokens yield no rows. DuckDB twin: unnest a
     * generate_series over the token list and index `t[i]`/`t[i+1]`. */
-  private def bigramPairs(df: DataFrame): DataFrame = df
-    .select(col("doc_id"), tokens(col("text")).as("t"))
-    .filter(size(col("t")) >= 2)
-    .select(col("doc_id"), col("t"),
-      explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
-    .select(col("doc_id"), element_at(col("t"), col("i")).as("prev"),
-      element_at(col("t"), col("i") + 1).as("cur"))
+  private def bigramPairs(df: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    val ex = extra.map(col)
+    df.select(col("doc_id") +: ex :+ tokens(col("text")).as("t"): _*)
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id") +: ex :+ col("t") :+
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"): _*)
+      .select(col("doc_id") +: ex :+
+        element_at(col("t"), col("i")).as("prev") :+
+        element_at(col("t"), col("i") + 1).as("cur"): _*)
+  }
 
   /** CCNet-style perplexity bucketing — the UNSUPERVISED LM quality
     * filter beside p71's supervised classifier, the other half of the
@@ -4093,6 +4097,66 @@ object Pipeline extends QueryModule {
       .union(census("split_cluster", "cluster_hash"))
   }
 
+  /** Per-language perplexity filter — CCNet's ACTUAL form (Wenzek et
+    * al. 2020 train one KenLM per language and bucket per language;
+    * p73 is the corpus-global simplification): one bigram LM per lang
+    * (lang joins every model/context/vocab key), every held-out doc
+    * scored against its OWN language's LM, and head/middle/tail
+    * terciles cut within each language's distribution — so a language
+    * whose text is globally rarer is not wholesale-condemned to the
+    * tail, the exact failure mode the per-language design exists to
+    * avoid. Same integer-exact machinery as p73 (qlog2 surprisal,
+    * value-histogram cutoffs — the histogram is per-(lang, value), so
+    * the cumulative window orders a bounded value table, never docs).
+    * Languages absent from the training slice produce no scored docs,
+    * by construction: no LM, no score. */
+  private def p106PerplexityByLang: Q = (s, d) =>
+    perplexityByLangCensus(Tables.documents(s, d).withColumn("is_test",
+      pmod(h60(col("doc_id").cast(StringType)), lit(10)) === 9))
+
+  /** The p106 core over any `(doc_id, lang, text, is_test)` frame —
+    * the property suite feeds it a two-language corpus where one
+    * language is globally "worse" and proves the per-language cut
+    * still heads its most fluent docs. */
+  private[queries] def perplexityByLangCensus(docs: DataFrame): DataFrame = {
+    val model = bigramPairs(docs.filter(!col("is_test")), Seq("lang"))
+      .groupBy("lang", "prev", "cur").agg(count(lit(1)).as("cnt"))
+      .staged // read twice: the ctx aggregation and the scoring join
+    val ctx = model.groupBy("lang", "prev").agg(sum(col("cnt")).as("ctx"))
+    val vsize = docs.filter(!col("is_test"))
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang").agg(countDistinct(col("tok")).as("v"))
+    val scored = bigramPairs(docs.filter(col("is_test")), Seq("lang"))
+      .join(model, Seq("lang", "prev", "cur"), "left_outer")
+      .join(ctx, Seq("lang", "prev"), "left_outer")
+      .join(broadcast(vsize), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (qlog2(coalesce(col("ctx"), lit(0L)) + col("v"))
+          - qlog2(coalesce(col("cnt"), lit(0L)) + lit(1L))).as("bits_q"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("bits_q")).as("bits_q"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("lang"),
+        ldiv(col("bits_q"), col("n_bigrams")).as("bpt_q"))
+      .staged // read twice: the cutoff histogram and the final census
+    val hist = scored.groupBy("lang", "bpt_q").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("lang").orderBy(col("bpt_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist.withColumn("cum", sum(col("n")).over(wCum))
+      .join(hist.groupBy("lang").agg(sum(col("n")).as("n_docs")), "lang")
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("n_docs"), col("bpt_q"))).as("c1"),
+        min(when(col("cum") * 3 >= col("n_docs") * 2, col("bpt_q"))).as("c2"))
+    scored.join(cuts, "lang")
+      .select(col("lang"), col("bpt_q"),
+        when(col("bpt_q") <= col("c1"), lit("head"))
+          .when(col("bpt_q") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("bpt_q")).as("min_bpt_q"),
+        max(col("bpt_q")).as("max_bpt_q"))
+  }
+
   /** Deterministic training-order export — the reproducible global
     * shuffle a training run needs: every doc gets a SEEDED portable-hash
     * key, its global rank under (key, doc_id) becomes the training step,
@@ -4434,6 +4498,7 @@ object Pipeline extends QueryModule {
     "p103_nb_calibration" -> p103NbCalibration,
     "p104_ann_multiprobe" -> p104AnnMultiprobe,
     "p105_training_order" -> p105TrainingOrder,
+    "p106_perplexity_by_lang" -> p106PerplexityByLang,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5478,6 +5543,49 @@ object Pipeline extends QueryModule {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
         |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "p106_perplexity_by_lang" ->
+      s"""WITH d AS (SELECT doc_id, lang, text,
+         |    ${sqlH60("CAST(doc_id AS VARCHAR)")} % 10 = 9 AS is_test
+         |  FROM documents),
+         |tk AS (SELECT doc_id, lang, is_test, $sqlToks AS t FROM d),
+         |bg AS (SELECT doc_id, lang, is_test, t[i] AS prev, t[i + 1] AS cur
+         |  FROM (SELECT doc_id, lang, is_test, t,
+         |    unnest(generate_series(1, len(t) - 1)) AS i
+         |    FROM tk WHERE len(t) >= 2)),
+         |model AS (SELECT lang, prev, cur, COUNT(*) AS cnt
+         |  FROM bg WHERE NOT is_test GROUP BY 1, 2, 3),
+         |ctx AS (SELECT lang, prev, CAST(SUM(cnt) AS BIGINT) AS ctx
+         |  FROM model GROUP BY 1, 2),
+         |vs AS (SELECT lang, COUNT(DISTINCT tok) AS v FROM
+         |  (SELECT lang, unnest($sqlToks) AS tok FROM d WHERE NOT is_test)
+         |  GROUP BY 1),
+         |sc AS (SELECT bg.doc_id, bg.lang,
+         |    CAST(SUM(${sqlQlog2("COALESCE(ctx.ctx, 0) + vs.v")}
+         |      - ${sqlQlog2("COALESCE(m.cnt, 0) + 1")}) AS BIGINT) AS bits_q,
+         |    COUNT(*) AS nb
+         |  FROM bg LEFT JOIN model m
+         |      ON m.lang = bg.lang AND m.prev = bg.prev AND m.cur = bg.cur
+         |    LEFT JOIN ctx ON ctx.lang = bg.lang AND ctx.prev = bg.prev
+         |    JOIN vs ON vs.lang = bg.lang
+         |  WHERE bg.is_test GROUP BY bg.doc_id, bg.lang),
+         |sp AS (SELECT doc_id, lang, bits_q // nb AS bpt_q FROM sc),
+         |hist AS (SELECT lang, bpt_q, COUNT(*) AS n FROM sp GROUP BY 1, 2),
+         |cum AS (SELECT lang, bpt_q,
+         |    SUM(n) OVER (PARTITION BY lang ORDER BY bpt_q
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM hist),
+         |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM sp GROUP BY 1),
+         |cuts AS (SELECT cum.lang,
+         |    MIN(CASE WHEN cum * 3 >= n_docs THEN bpt_q END) AS c1,
+         |    MIN(CASE WHEN cum * 3 >= 2 * n_docs THEN bpt_q END) AS c2
+         |  FROM cum JOIN tot ON tot.lang = cum.lang GROUP BY 1)
+         |SELECT sp.lang,
+         |  CASE WHEN bpt_q <= c1 THEN 'head'
+         |    WHEN bpt_q <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  COUNT(*) AS n_docs, MIN(bpt_q) AS min_bpt_q,
+         |  MAX(bpt_q) AS max_bpt_q
+         |FROM sp JOIN cuts ON cuts.lang = sp.lang GROUP BY 1, 2""".stripMargin,
     "p105_training_order" ->
       s"""WITH k AS (SELECT doc_id,
          |    ${sqlH60("'order:' || CAST(doc_id AS VARCHAR)")} AS hkey

@@ -30,6 +30,38 @@ class PerplexityBm25Spec extends SparkSpec {
       s"buckets did not rank by fluency: $buckets")
   }
 
+  test("per-lang terciles: a globally-worse language still heads its best") {
+    // language A: one fixed fluent chain (every holdout A doc scores
+    // low). language B: noisier text — EVERY B doc scores worse than
+    // every A doc under its own LM, so a global cut would condemn all
+    // of B to middle/tail; the per-language cut must still split B into
+    // head/middle/tail within its own distribution.
+    val fluentA = (chain ++ chain ++ chain).mkString(" ")
+    val trainA = (0L until 30L).map(i => (i, "aa", fluentA, false))
+    // B's training text cycles word sets so bigram counts stay modest
+    def bText(i: Long) = (0 until 10)
+      .map(j => s"b${(i + j) % 7}").mkString(" ")
+    val trainB = (200L until 230L).map(i => (i, "bb", bText(i), false))
+    val holdout = Seq(
+      (100L, "aa", fluentA, true),
+      (300L, "bb", bText(3), true),              // B's most fluent: seen text
+      (301L, "bb", ("b0 b1 " + "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8"), true),
+      (302L, "bb", "qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9", true))
+    val docs = (trainA ++ trainB ++ holdout)
+      .toDF("doc_id", "lang", "text", "is_test")
+    val census = Pipeline.perplexityByLangCensus(docs)
+      .as[(String, String, Long, Long, Long)].collect()
+    val byLang = census.groupBy(_._1)
+    // A's single holdout doc heads its own (degenerate) distribution
+    assert(byLang("aa").exists(r => r._2 == "head" && r._3 == 1L))
+    // B's three holdout docs spread across ALL three buckets within B —
+    // the per-language cut at work even though every B score is worse
+    // than every A score
+    val bBuckets = byLang("bb").map(r => r._2 -> r._3).toMap
+    assert(bBuckets == Map("head" -> 1L, "middle" -> 1L, "tail" -> 1L),
+      s"B not split within its own distribution: $bBuckets")
+  }
+
   test("bm25: a planted near-copy of the probe retrieves at rank 1") {
     val probeText = chain.mkString(" ")
     val half = chain.take(3).mkString(" ") // shares 2 of the 4 bigrams

@@ -4157,6 +4157,65 @@ object Pipeline extends QueryModule {
         max(col("bpt_q")).as("max_bpt_q"))
   }
 
+  /** Padding-efficiency audit — the measured case for length-sorted
+    * batching: with fixed-size batches padded to their longest member
+    * (the standard training collate), the padded-slot fraction is
+    * computed under BOTH orders — arrival (doc_id) and length-sorted —
+    * side by side, so the data pipeline can show (not assert) what
+    * sorted bucketing saves before anyone reorders a corpus. Lengths
+    * cap at the context size. Both global ranks use the p105 two-level
+    * shape with no global sort: arrival buckets by doc_id range
+    * (p28's rule), and the length-sorted rank buckets by the LENGTH
+    * VALUE itself — at most `PadCtx` distinct buckets, so the offsets
+    * table is context-size-bounded and each within-bucket window
+    * orders one length class. Output: two summary rows. */
+  private[graft] val PadCtx = 64L
+  private[graft] val PadBatch = 8L
+  private def p107PaddingAudit: Q = (s, d) => {
+    val lens = Tables.documents(s, d)
+      .select(col("doc_id"),
+        least(size(tokens(col("text"))).cast(LongType), lit(PadCtx))
+          .as("len"))
+    def twoLevelRank(rng: Column): DataFrame = {
+      val keyed = lens.withColumn("rng", rng)
+      val offsets = keyed.groupBy("rng").agg(count(lit(1)).as("rn"))
+        .withColumn("off", coalesce(
+          sum(col("rn")).over(Window.orderBy("rng")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("rng", "off")
+      keyed.join(broadcast(offsets), "rng")
+        .withColumn("rank", col("off") +
+          row_number().over(Window.partitionBy("rng")
+            .orderBy("doc_id")) - 1)
+    }
+    def audit(ranked: DataFrame, name: String): DataFrame = ranked
+      .withColumn("batch", expr(s"rank div $PadBatch"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("bsz"), max(col("len")).as("mx"),
+        sum(col("len")).as("tok"))
+      .agg(count(lit(1)).as("n_batches"),
+        coalesce(sum(col("tok")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("bsz") * col("mx") - col("tok")), lit(0L))
+          .as("padded_slots"))
+      .select(lit(name).as("strategy"), col("n_batches"), col("n_tokens"),
+        col("padded_slots"),
+        // parts-per-million by exact floor division, THEN one IEEE
+        // division by 1e6 — a round(x, 6) here hit an exact round-half
+        // tie that Spark (HALF_UP) and DuckDB resolve differently; the
+        // integer quotient cannot tie. ldiv's 2^53 envelope holds to
+        // ~8e9 padded slots per run; beyond that, pre-scale the counts
+        // (the fraction is scale-invariant, p81's rule)
+        when(col("padded_slots") + col("n_tokens") === 0,
+          lit(null).cast(DoubleType))
+          .otherwise(ldiv(col("padded_slots") * lit(1000000L),
+            col("padded_slots") + col("n_tokens")).cast(DoubleType)
+            / lit(1000000.0)).as("waste_frac"))
+    // arrival rank buckets by doc_id range; length-sorted rank buckets
+    // by the length value (global order = (len, doc_id))
+    audit(twoLevelRank(expr(s"doc_id div $RangeDocs")), "arrival")
+      .union(audit(twoLevelRank(col("len")), "length_sorted"))
+  }
+
   /** Deterministic training-order export — the reproducible global
     * shuffle a training run needs: every doc gets a SEEDED portable-hash
     * key, its global rank under (key, doc_id) becomes the training step,
@@ -4499,6 +4558,7 @@ object Pipeline extends QueryModule {
     "p104_ann_multiprobe" -> p104AnnMultiprobe,
     "p105_training_order" -> p105TrainingOrder,
     "p106_perplexity_by_lang" -> p106PerplexityByLang,
+    "p107_padding_audit" -> p107PaddingAudit,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5586,6 +5646,37 @@ object Pipeline extends QueryModule {
          |  COUNT(*) AS n_docs, MIN(bpt_q) AS min_bpt_q,
          |  MAX(bpt_q) AS max_bpt_q
          |FROM sp JOIN cuts ON cuts.lang = sp.lang GROUP BY 1, 2""".stripMargin,
+    "p107_padding_audit" ->
+      s"""WITH l AS (SELECT doc_id,
+         |    least(CAST(len($sqlToks) AS BIGINT), $PadCtx) AS len
+         |  FROM documents),
+         |a AS (SELECT len,
+         |    (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // $PadBatch AS batch
+         |  FROM l),
+         |s AS (SELECT len,
+         |    (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // $PadBatch
+         |      AS batch
+         |  FROM l),
+         |ab AS (SELECT batch, COUNT(*) AS bsz, MAX(len) AS mx,
+         |    SUM(len) AS tok FROM a GROUP BY 1),
+         |sb AS (SELECT batch, COUNT(*) AS bsz, MAX(len) AS mx,
+         |    SUM(len) AS tok FROM s GROUP BY 1)
+         |SELECT 'arrival' AS strategy,
+         |  CAST(COUNT(*) AS BIGINT) AS n_batches,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(bsz * mx - tok) AS BIGINT) AS padded_slots,
+         |  CAST((SUM(bsz * mx - tok) * 1000000)
+         |    // (SUM(bsz * mx - tok) + SUM(tok)) AS DOUBLE) / 1000000.0
+         |    AS waste_frac
+         |FROM ab
+         |UNION ALL
+         |SELECT 'length_sorted',
+         |  CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(tok) AS BIGINT),
+         |  CAST(SUM(bsz * mx - tok) AS BIGINT),
+         |  CAST((SUM(bsz * mx - tok) * 1000000)
+         |    // (SUM(bsz * mx - tok) + SUM(tok)) AS DOUBLE) / 1000000.0
+         |FROM sb""".stripMargin,
     "p105_training_order" ->
       s"""WITH k AS (SELECT doc_id,
          |    ${sqlH60("'order:' || CAST(doc_id AS VARCHAR)")} AS hkey

@@ -77,6 +77,17 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("p107_padding_audit reports both strategies at zero, null fraction") {
+    val rows = Pipeline.queries("p107_padding_audit")(
+      spark, EmptyInputSpec.dir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      Seq("arrival", "length_sorted"))
+    rows.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L)
+      assert(r.isNullAt(4), "waste fraction must be NULL, not a 0/0")
+    }
+  }
+
   test("p102_dataset_card emits its fixed sections with zero counts") {
     val rows = Pipeline.queries("p102_dataset_card")(
       spark, EmptyInputSpec.dir).collect()

@@ -165,6 +165,25 @@ class Round10cOpsSpec extends SparkSpec {
     assert(rep == out.map(t => (t._1, t._2)).toMap)
   }
 
+  test("p107: both strategies conserve tokens; sorting never pads more") {
+    val rows = run("p107_padding_audit").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val (aB, aT, aP, aW) = rows("arrival")
+    val (sB, sT, sP, sW) = rows("length_sorted")
+    // the batch layout never changes WHAT is trained on
+    assert(aB == sB && aT == sT, "strategies disagree on corpus size")
+    // length-sorting minimizes per-batch max spread: never more padding
+    assert(sP <= aP, s"sorted padding $sP exceeds arrival $aP")
+    assert(sW <= aW)
+    // and each waste fraction replays from its own exact integers
+    assert(aW == (aP * 1000000L / (aP + aT)).toDouble / 1e6)
+    assert(sW == (sP * 1000000L / (sP + sT)).toDouble / 1e6)
+    // this corpus actually shows the win the op exists to measure
+    assert(sP < aP, "fixture shows no measurable sorting win")
+  }
+
   test("p102: every card section reconciles against its source query") {
     val card = run("p102_dataset_card").collect()
       .map(r => (r.getString(0), r.getString(1)) ->

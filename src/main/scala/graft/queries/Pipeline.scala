@@ -4157,6 +4157,40 @@ object Pipeline extends QueryModule {
         max(col("bpt_q")).as("max_bpt_q"))
   }
 
+  /** Corpus novelty curve — diminishing returns of data made visible:
+    * for each tenth of the corpus in arrival (doc_id) order, the
+    * fraction of its docs' distinct 8-grams occurring for the FIRST
+    * time (no earlier doc carries them). This is the curve every
+    * data-scaling argument implicitly draws: early deciles are nearly
+    * all novel, late deciles mostly repeat — a tail still showing high
+    * novelty means the source is undersampled, a flat-zero tail means
+    * crawl saturation, and the knee is where marginal data stops
+    * paying for itself. Grams are the map-only native per-doc-distinct
+    * sets (p92's expression); first occurrence is one MIN per gram —
+    * the only corpus-keyed shuffle; deciles derive from a broadcast
+    * 1-row max; the fraction follows p107's exact-ppm rule. */
+  private def p108NoveltyCurve: Q = (s, d) => {
+    val grams = docsBalanced(s, d)
+      .select(col("doc_id"),
+        graft.functions.ShingleIdSet.shingleIdSet(col("text"), ContamW)
+          .as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), explode(col("st")).as("g"))
+      .staged // read twice: the first-occurrence MIN + the decile census
+    val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    val mx = grams.agg((max(col("doc_id")) + 1).as("m"))
+    grams.join(first, "g")
+      .crossJoin(broadcast(mx)) // 1-row scalar side
+      .withColumn("decile", expr("(doc_id * 10) div m"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac",
+        ldiv(col("n_novel") * lit(1000000L), col("n_grams"))
+          .cast(DoubleType) / lit(1000000.0))
+  }
+
   /** Padding-efficiency audit — the measured case for length-sorted
     * batching: with fixed-size batches padded to their longest member
     * (the standard training collate), the padded-slot fraction is
@@ -4559,6 +4593,7 @@ object Pipeline extends QueryModule {
     "p105_training_order" -> p105TrainingOrder,
     "p106_perplexity_by_lang" -> p106PerplexityByLang,
     "p107_padding_audit" -> p107PaddingAudit,
+    "p108_novelty_curve" -> p108NoveltyCurve,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5646,6 +5681,21 @@ object Pipeline extends QueryModule {
          |  COUNT(*) AS n_docs, MIN(bpt_q) AS min_bpt_q,
          |  MAX(bpt_q) AS max_bpt_q
          |FROM sp JOIN cuts ON cuts.lang = sp.lang GROUP BY 1, 2""".stripMargin,
+    "p108_novelty_curve" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(${sqlShingles("t", ContamW)})
+         |    AS shingle
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+         |gr AS (SELECT DISTINCT doc_id, ${sqlH60("shingle")} AS g FROM sh),
+         |f AS (SELECT g, MIN(doc_id) AS first_doc FROM gr GROUP BY 1),
+         |m AS (SELECT MAX(doc_id) + 1 AS m FROM gr)
+         |SELECT (gr.doc_id * 10) // m AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST((SUM(CASE WHEN gr.doc_id = f.first_doc THEN 1 ELSE 0 END)
+         |    * 1000000) // COUNT(*) AS DOUBLE) / 1000000.0 AS novelty_frac
+         |FROM gr JOIN f USING (g), m
+         |GROUP BY 1""".stripMargin,
     "p107_padding_audit" ->
       s"""WITH l AS (SELECT doc_id,
          |    least(CAST(len($sqlToks) AS BIGINT), $PadCtx) AS len

@@ -42,6 +42,7 @@ class EmptyInputSpec extends SparkSpec {
     "p97_weighted_sample", "p98_leakage_free_split",
     "p99_provenance_reps", "p101_source_mirror", "p103_nb_calibration",
     "p104_ann_multiprobe", "p105_training_order", "p106_perplexity_by_lang",
+    "p108_novelty_curve",
     "q19_agg_group", "q30_top_revenue", "q53_topk_native",
     "s08_sql_agg_groupby", "s15_sql_cte_window",
     "s25_sql_small_qty_revenue", "s28_sql_pricing_summary")

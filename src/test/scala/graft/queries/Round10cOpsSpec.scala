@@ -184,6 +184,40 @@ class Round10cOpsSpec extends SparkSpec {
     assert(sP < aP, "fixture shows no measurable sorting win")
   }
 
+  test("p108: the novelty curve replays exactly from driver-side sets") {
+    val docs = Tables.documents(spark, Sf01)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val t = r.getString(1).split(" ", -1)
+        r.getLong(0) -> (0 to t.length - Pipeline.ContamW)
+          .map(i => t.slice(i, i + Pipeline.ContamW).mkString(" ")).toSet
+      }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val m = docs.map(_._1).max + 1
+    val firstOf = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstOf.contains(g)) firstOf(g) = id)
+    }
+    val expect = docs
+      .flatMap { case (id, gs) =>
+        gs.toSeq.map(g => (id * 10 / m, firstOf(g) == id)) }
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.count(_._2).toLong)).toMap
+    val out = run("p108_novelty_curve").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.view.mapValues(v => (v._1, v._2)).toMap == expect)
+    // every distinct gram is novel exactly once, corpus-wide
+    assert(out.values.map(_._2).sum == firstOf.size.toLong)
+    // the ppm fraction replays from the integers
+    out.foreach { case (dec, (g, nv, f)) =>
+      assert(f == (nv * 1000000L / g).toDouble / 1e6, s"decile $dec")
+    }
+    // and the curve actually declines on this corpus: the first decile
+    // is all-novel, the last is not
+    assert(out(0L)._3 == 1.0 && out(9L)._3 < 1.0)
+  }
+
   test("p102: every card section reconciles against its source query") {
     val card = run("p102_dataset_card").collect()
       .map(r => (r.getString(0), r.getString(1)) ->

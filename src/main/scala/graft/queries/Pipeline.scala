@@ -4157,6 +4157,40 @@ object Pipeline extends QueryModule {
         max(col("bpt_q")).as("max_bpt_q"))
   }
 
+  /** Decontamination release gate — p92's detection acted on, the way
+    * the published pipelines ship (GPT-3/The Pile drop the overlapping
+    * TRAINING documents before release): every train doc carrying any
+    * eval 8-gram is removed, and the op emits the before/after/dropped
+    * census a release note leads with — doc and token counts, so the
+    * cost of the decontamination is a number beside its effect. The
+    * flagged list is p92's own output (one shared construction, the
+    * p37→p75 detect→act pattern); removal is one doc-keyed LEFT ANTI
+    * join; censuses are two bounded aggregates of the staged train
+    * projection. */
+  private def p109DecontamRelease: Q = (s, d) => {
+    val flagged = p92Decontaminate(s, d).select("doc_id")
+    val train = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(29L)) =!= 7)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_toks"))
+      .staged // read twice: the before census + the anti-join survivors
+    def census(df: DataFrame, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    val before = census(train, "train_before")
+    val after = census(train.join(flagged, Seq("doc_id"), "left_anti"),
+      "train_after")
+    val dropped = before.select(col("n_docs").as("b_docs"),
+        col("n_tokens").as("b_toks"))
+      .crossJoin(broadcast(after.select(col("n_docs").as("a_docs"),
+        col("n_tokens").as("a_toks")))) // 1-row scalar sides
+      .select(lit("dropped").as("stage"),
+        (col("b_docs") - col("a_docs")).as("n_docs"),
+        (col("b_toks") - col("a_toks")).as("n_tokens"))
+    before.union(after).union(dropped)
+  }
+
   /** Corpus novelty curve — diminishing returns of data made visible:
     * for each tenth of the corpus in arrival (doc_id) order, the
     * fraction of its docs' distinct 8-grams occurring for the FIRST
@@ -4594,6 +4628,7 @@ object Pipeline extends QueryModule {
     "p106_perplexity_by_lang" -> p106PerplexityByLang,
     "p107_padding_audit" -> p107PaddingAudit,
     "p108_novelty_curve" -> p108NoveltyCurve,
+    "p109_decontam_release" -> p109DecontamRelease,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -5681,6 +5716,25 @@ object Pipeline extends QueryModule {
          |  COUNT(*) AS n_docs, MIN(bpt_q) AS min_bpt_q,
          |  MAX(bpt_q) AS max_bpt_q
          |FROM sp JOIN cuts ON cuts.lang = sp.lang GROUP BY 1, 2""".stripMargin,
+    "p109_decontam_release" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(${sqlShingles("t", ContamW)})
+         |    AS shingle
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+         |g AS (SELECT DISTINCT doc_id, ${sqlH60("shingle")} AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 29 = 7),
+         |hit AS (SELECT DISTINCT doc_id FROM g
+         |  WHERE doc_id % 29 <> 7 AND g IN (SELECT g FROM ev)),
+         |tr AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_toks
+         |  FROM documents WHERE doc_id % 29 <> 7),
+         |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM tr),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens
+         |  FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM hit))
+         |SELECT 'train_before' AS stage, n_docs, n_tokens FROM b
+         |UNION ALL SELECT 'train_after', n_docs, n_tokens FROM a
+         |UNION ALL SELECT 'dropped', b.n_docs - a.n_docs,
+         |  b.n_tokens - a.n_tokens FROM b, a""".stripMargin,
     "p108_novelty_curve" ->
       s"""WITH sh AS (SELECT doc_id, unnest(${sqlShingles("t", ContamW)})
          |    AS shingle

@@ -89,6 +89,14 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("p109_decontam_release reports all three stages at zero") {
+    val rows = Pipeline.queries("p109_decontam_release")(
+      spark, EmptyInputSpec.dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("train_before", "train_after", "dropped"))
+    rows.values.foreach { case (d, t) => assert(d == 0L && t == 0L) }
+  }
+
   test("p102_dataset_card emits its fixed sections with zero counts") {
     val rows = Pipeline.queries("p102_dataset_card")(
       spark, EmptyInputSpec.dir).collect()

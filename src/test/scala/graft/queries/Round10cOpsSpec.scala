@@ -218,6 +218,22 @@ class Round10cOpsSpec extends SparkSpec {
     assert(out(0L)._3 == 1.0 && out(9L)._3 < 1.0)
   }
 
+  test("p109: the release census conserves and drops exactly p92's docs") {
+    val rows = run("p109_decontam_release").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (bD, bT) = rows("train_before")
+    val (aD, aT) = rows("train_after")
+    val (dD, dT) = rows("dropped")
+    assert(bD == aD + dD && bT == aT + dT, "census does not conserve")
+    // dropped docs are exactly the p92-flagged set
+    assert(dD == run("p92_decontaminate").count())
+    // and the before census is the true train slice
+    val train = Tables.documents(spark, Sf01)
+      .filter(col("doc_id") % 29 =!= 7)
+    assert(bD == train.count())
+    assert(dD > 0, "fixture shows no contamination to act on")
+  }
+
   test("p102: every card section reconciles against its source query") {
     val card = run("p102_dataset_card").collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -1664,14 +1664,15 @@ object Pipeline extends QueryModule {
   private def buildQuantizedVectors(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").as("v"))
-    val stats = e.select(posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("i").agg(min(col("x").cast(DoubleType)).as("mn"),
-        max(col("x").cast(DoubleType)).as("mx"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
-          p => p.getField("mn")).as("mns"),
-        transform(array_sort(collect_list(struct(col("i"), col("mx")))),
-          p => p.getField("mx")).as("mxs"))
+    // per-dim extrema in ONE map-side pass via the native mergeable
+    // vector-state aggregate (VecMinMaxAgg; spec-asserted equal to the
+    // previous posexplode → groupBy(i) form, which shuffled corpus×dims
+    // rows to key the per-dimension aggregation — partials here are two
+    // dims-length arrays per task, nothing corpus-sized moves)
+    val stats = e
+      .agg(graft.functions.VecMinMaxAgg.vecMinMax(col("v")).as("s"))
+      .select(col("s").getField("mns").as("mns"),
+        col("s").getField("mxs").as("mxs"))
     def quant(x: Column, mn: Column, mx: Column): Column =
       when(mx === mn, lit(0L)).otherwise(
         least(lit(127L),

@@ -1890,16 +1890,26 @@ object Pipeline extends QueryModule {
     * one fixed arithmetic chain per cell. One explode + one keyed agg —
     * linear, no pairwise work. */
   private def p47QuantizedCentroids: Q = (s, d) => {
-    val rows = quantizedVectors(s, d)
+    // per-label centroid sums through the native elementwise aggregate:
+    // the label-keyed shuffle carries dims-length buffers, and the
+    // per-dimension unpack explodes only |labels| result rows (was
+    // corpus×dims rows into a (label, dim) aggregation)
+    val qv = quantizedVectors(s, d)
+    val stats = qv.select("mns", "mxs").limit(1)
+    val centroidQ =
+      col("s_").cast(DoubleType) / col("n").cast(DoubleType)
+    qv.groupBy("label")
+      .agg(graft.functions.VecSumAgg.vecSum(col("qv")).as("sc"))
+      .crossJoin(broadcast(stats)) // 1-row global min/max arrays
       .select(col("label"), col("mns"), col("mxs"),
-        posexplode(col("qv")).as(Seq("i", "cq")))
-      .select(col("label"), col("i"), col("cq"),
+        posexplode(zip_with(col("sc").getField("sums"),
+          col("sc").getField("counts"),
+          (s_, n_) => struct(s_.as("s"), n_.as("n")))).as(Seq("i", "sn")))
+      .select(col("label"), col("i"),
+        col("sn").getField("n").as("n"),
+        col("sn").getField("s").as("s_"),
         element_at(col("mns"), col("i") + 1).as("mn"),
         element_at(col("mxs"), col("i") + 1).as("mx"))
-    val centroidQ = col("s").cast(DoubleType) / col("n").cast(DoubleType)
-    rows.groupBy("label", "i")
-      .agg(count(lit(1)).as("n"), sum(col("cq")).as("s"),
-        min(col("mn")).as("mn"), min(col("mx")).as("mx"))
       .select(col("label"), col("i").as("dim"), col("n"),
         round(centroidQ, 6).as("centroid_q"),
         round(col("mn") + (centroidQ + lit(128.0)) *
@@ -2141,14 +2151,18 @@ object Pipeline extends QueryModule {
   }
 
   private def kmeansUpdate(qq: DataFrame, assigned: DataFrame): DataFrame =
+    // centroid update through the native elementwise-sum aggregate: one
+    // cell-keyed shuffle of dims-length buffers (was corpus×dims rows
+    // through a (cell, dim) aggregation plus a re-pack sort); the
+    // floor-divided mean stays exact — (sx − pmod) is exactly divisible
+    // and everything sits far below 2^53, so the double division is
+    // IEEE-exact and the cast back lossless
     assigned.join(qq, "vec_id")
-      .select(col("cell"), posexplode(col("qv")).as(Seq("j", "x")))
-      .groupBy("cell", "j")
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .withColumn("m", expr("(sx - pmod(sx, n)) div n"))
       .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
-        p => p.getField("m")).as("cv"))
+      .agg(graft.functions.VecSumAgg.vecSum(col("qv")).as("sc"))
+      .select(col("cell"), zip_with(
+        col("sc").getField("sums"), col("sc").getField("counts"),
+        (sx, n) => ((sx - pmod(sx, n)) / n).cast(LongType)).as("cv"))
 
   /** The trained codebook (cell → centroid codes) behind p53/p94/p100 —
     * exposed as its own artifact because the STREAMING cell-census twin

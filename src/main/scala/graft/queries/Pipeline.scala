@@ -2130,9 +2130,10 @@ object Pipeline extends QueryModule {
     * semantics), and the centroid update is an element-wise integer
     * floor-mean (sum − pmod(sum, n)) div n. Per iteration: one
     * broadcast of K tiny centroids × one corpus scan, one keyed argmin
-    * agg, one posexplode + (cell, dim)-keyed agg — linear in N×K×dims,
-    * the textbook distributed-Lloyd shape; iterations are a driver-side
-    * loop over DataFrames, state never leaves the cluster. */
+    * agg, one cell-keyed native vec_sum agg (dims-length buffers, not
+    * corpus×dims exploded rows) — linear in N×K×dims, the textbook
+    * distributed-Lloyd shape; iterations are a driver-side loop over
+    * DataFrames, state never leaves the cluster. */
   /** The p53 k-means state, shared with p94's SemDeDup prune step: the
     * quantized code table `qq` (vec_id, qv — a narrow projection of the
     * checkpointed quantized-index artifact, so repeated reads re-scan

@@ -194,13 +194,13 @@ object Streams {
     * like [[contaminationHits]], consumers needing per-doc verdicts
     * dedup/aggregate downstream. */
   def nearDupMatches(docs: DataFrame, bandIndex: DataFrame,
-      corpusSig: DataFrame): DataFrame = {
+      corpusSig: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     import graft.functions.Portable
     import graft.queries.Pipeline.{JaccardThreshold, NumHashes, ShingleW}
     import org.apache.spark.sql.types.{DoubleType, LongType}
     val withH = docs
-      .select(col("doc_id").as("new_id"),
-        Portable.shingles(Portable.tokens(col("text")), ShingleW).as("shs"))
+      .select(col("doc_id").as("new_id") +: carry.map(col) :+
+        Portable.shingles(Portable.tokens(col("text")), ShingleW).as("shs"): _*)
       // docs shorter than one shingle have no sketch — drop them here
       // like the batch explode does (their all-NULL sigs would otherwise
       // pile onto a single useless (band, "") join key)
@@ -215,9 +215,9 @@ object Streams {
       .withColumn("sig", array((0 until NumHashes).map(i =>
         array_min(transform(col("hh"), h =>
           Portable.hashFamFrom(i, h.getField("h1"), h.getField("h2"))))): _*))
-      .select("new_id", "sa", "na", "sig")
+      .select((Seq("new_id") ++ carry ++ Seq("sa", "na", "sig")).map(col): _*)
     val banded = graft.queries.Pipeline
-      .bandRowsOf(withH, carry = Seq("new_id", "sa", "na"))
+      .bandRowsOf(withH, carry = Seq("new_id", "sa", "na") ++ carry)
     banded
       .join(bandIndex.select(col("band"), col("bkey"),
         col("doc_id").as("old_id")), Seq("band", "bkey"))
@@ -227,7 +227,8 @@ object Streams {
       .withColumn("jaccard", col("ninter").cast(DoubleType) /
         (col("na") + col("nb") - col("ninter")))
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("new_id"), col("old_id"), col("jaccard"))
+      .select(Seq(col("new_id"), col("old_id"), col("jaccard")) ++
+        carry.map(col): _*)
   }
 
   /** Streaming decontamination — the continuous twin of batch
@@ -491,6 +492,49 @@ object Streams {
             next.iterator.zipWithIndex.map { case ((sim, id), i) =>
               AnnMatch(probe, i + 1, id, sim)
             }
+          }
+      }
+  }
+
+  final case class MirrorCount(source_a: String, source_b: String,
+      n_matches: Long)
+
+  /** Continuous twin of the p101 source-mirror matrix: every arriving
+    * doc that near-dup-matches the static corpus (the [[nearDupMatches]]
+    * machinery, with the stream-side `source` carried through the
+    * sketch) increments its unordered (source, source) cell, one
+    * counter per cell in keyed state, re-emitted on change — the live
+    * mirror-site alarm over the same ≤ sources² state the batch matrix
+    * reports at rest. The old side's source resolves through a
+    * stream-static keyed join against the corpus (doc_id, source)
+    * projection. */
+  def mirrorCounts(docs: DataFrame, bandIndex: DataFrame,
+      corpusSig: DataFrame, sources: DataFrame): Dataset[MirrorCount] = {
+    import docs.sparkSession.implicits._
+    val paired = nearDupMatches(docs, bandIndex, corpusSig,
+      carry = Seq("source"))
+      .join(sources.select(col("doc_id").as("old_id"),
+        col("source").as("old_source")), "old_id")
+      .select(least(col("source"), col("old_source")).as("sa"),
+        greatest(col("source"), col("old_source")).as("sb"),
+        col("new_id"), col("old_id"))
+      .as[(String, String, Long, Long)]
+    paired.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, MirrorCount](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, String), batch: Iterator[(String, String, Long, Long)],
+            state: GroupState[Long]) =>
+          // a match surfaces once per agreeing LSH band — count each
+          // (new, old) doc pair once per delivery (within-batch Set);
+          // compose with dedupDocStream upstream for exactly-once ids,
+          // the deployment shape every counting sink wants anyway
+          val add = batch.map(r => (r._3, r._4)).toSet.size.toLong
+          if (add == 0L) Iterator.empty
+          else {
+            val n = state.getOption.getOrElse(0L) + add
+            state.update(n)
+            Iterator.single(MirrorCount(key._1, key._2, n))
           }
       }
   }

@@ -388,6 +388,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mirrorCounts accumulates per source pair, emit-on-change") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "entirely different content about databases and query planning"))
+      .toDF("doc_id", "text")
+    val sources = Seq((10L, "wiki"), (11L, "web")).toDF("doc_id", "source")
+    val sig = graft.queries.Pipeline.minhashSigOf(corpus)
+    val index = graft.queries.Pipeline.capBuckets(
+      graft.queries.Pipeline.bandRowsOf(sig))
+    val in = MemoryStream[(Long, String, String)]
+    val q = mirrorCounts(in.toDF().toDF("doc_id", "source", "text"),
+        index, sig, sources)
+      .writeStream.format("memory").queryName("mirror")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // a crawl copy of the wiki doc -> (crawl, wiki) cell at 1
+      in.addData((1L, "crawl",
+        "the quick brown fox jumps over the lazy dog again and again"))
+      q.processAllAvailable()
+      val got1 = spark.table("mirror").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got1 == Set(("crawl", "wiki", 1L)))
+      // a second crawl copy -> same cell re-emits at 2; a novel doc
+      // matches nothing and emits nothing
+      in.addData(
+        (2L, "crawl",
+          "the quick brown fox jumps over the lazy dog again and again"),
+        (3L, "crawl", "totally novel words sharing no three gram at all"))
+      q.processAllAvailable()
+      val latest = spark.table("mirror").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(latest == Map(("crawl", "wiki") -> 2L))
+    } finally q.stop()
+  }
+
   test("bpeTokenizeStream applies the statically learned merges to a doc stream") {
     implicit val sqlCtx = spark.sqlContext
     // corpus: 'the'x3 + 'cat' -> learned merges, in rank order:

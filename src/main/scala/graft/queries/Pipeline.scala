@@ -4207,6 +4207,41 @@ object Pipeline extends QueryModule {
     before.union(after).union(dropped)
   }
 
+  /** Pipeline health report — the monitor of monitors: one fixed-shape
+    * (check, value, threshold, alarm) table summarizing every standing
+    * alarm this engine computes — feed anomalies (p84), source drift
+    * (p81), embedding-codebook drift (p100), dedup-index recall (p93),
+    * corpus↔index integrity (p87) — the single table a pipeline
+    * dashboard pages on. Each row is a bounded aggregate OF the
+    * corresponding operator's own output (the Scala calls the same Q
+    * functions; the oracle embeds the same five sub-oracles verbatim),
+    * so the report cannot drift from the checks it summarizes; the
+    * expensive substrates (pair graph, kmeans assignment) come from the
+    * shared session artifacts, paid once per corpus build. Thresholds
+    * are the classic lines (PSI 0.2, recall 0.8, zero tolerance for
+    * anomalies/orphans); `alarm` is NULL when a check has no defined
+    * value (an empty corpus has no recall). */
+  private def p110HealthReport: Q = (s, d) => {
+    def row(check: String, v: DataFrame, threshold: Double,
+        higherBad: Boolean): DataFrame = {
+      val value = col("v").cast(DoubleType)
+      v.select(lit(check).as("check"), value.as("value"),
+        lit(threshold).as("threshold"),
+        (if (higherBad) value > threshold else value < threshold)
+          .as("alarm"))
+    }
+    row("feed_anomaly_cells",
+      p84HourlyAnomaly(s, d).agg(count(lit(1)).as("v")), 0.0, true)
+      .union(row("source_drift_psi_max",
+        p81SourceDriftPsi(s, d).agg(max(col("psi")).as("v")), 0.2, true))
+      .union(row("embedding_drift_psi",
+        p100EmbeddingDrift(s, d).agg(max(col("psi")).as("v")), 0.2, true))
+      .union(row("dedup_index_recall",
+        p93DedupRecall(s, d).select(col("recall").as("v")), 0.8, false))
+      .union(row("index_orphans",
+        p87RefIntegrity(s, d).agg(sum(col("n_orphans")).as("v")), 0.0, true))
+  }
+
   /** Corpus novelty curve — diminishing returns of data made visible:
     * for each tenth of the corpus in arrival (doc_id) order, the
     * fraction of its docs' distinct 8-grams occurring for the FIRST
@@ -4645,6 +4680,7 @@ object Pipeline extends QueryModule {
     "p107_padding_audit" -> p107PaddingAudit,
     "p108_novelty_curve" -> p108NoveltyCurve,
     "p109_decontam_release" -> p109DecontamRelease,
+    "p110_health_report" -> p110HealthReport,
     "p60_pack_whole_docs" -> p60PackWholeDocs,
     "p59_shingle_vocab" -> p59ShingleVocab,
     "p57_hll_groups" -> p57HllGroups,
@@ -4947,7 +4983,32 @@ object Pipeline extends QueryModule {
        |  SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
        |  FROM reach GROUP BY src)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = oracleBase +
+    // the health report's oracle IS the five sub-oracles verbatim,
+    // each scoped inside its own parenthesized subquery (DuckDB scopes
+    // a nested WITH locally, so their CTE names cannot collide) — the
+    // composite can never drift from the checks it summarizes
+    ("p110_health_report" ->
+      s"""WITH
+         |v1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM (${oracleBase("p84_hourly_anomaly")}) t),
+         |v2 AS (SELECT MAX(psi) AS v
+         |  FROM (${oracleBase("p81_source_drift_psi")}) t),
+         |v3 AS (SELECT MAX(psi) AS v
+         |  FROM (${oracleBase("p100_embedding_drift")}) t),
+         |v4 AS (SELECT recall AS v
+         |  FROM (${oracleBase("p93_dedup_recall")}) t),
+         |v5 AS (SELECT CAST(SUM(n_orphans) AS DOUBLE) AS v
+         |  FROM (${oracleBase("p87_ref_integrity")}) t)
+         |SELECT 'feed_anomaly_cells' AS "check", v AS value,
+         |  0.0 AS threshold, v > 0.0 AS alarm FROM v1
+         |UNION ALL SELECT 'source_drift_psi_max', v, 0.2, v > 0.2 FROM v2
+         |UNION ALL SELECT 'embedding_drift_psi', v, 0.2, v > 0.2 FROM v3
+         |UNION ALL SELECT 'dedup_index_recall', v, 0.8, v < 0.8 FROM v4
+         |UNION ALL SELECT 'index_orphans', v, 0.0, v > 0.0 FROM v5"""
+        .stripMargin)
+
+  private lazy val oracleBase: Map[String, String] = Map(
     // rebuilds each image row's bytes from the text's hex directly; a
     // byte-order, stride, offset, or row-flip bug on the Spark side
     // (which PARSES them back out of the composed BMP) flips the hash

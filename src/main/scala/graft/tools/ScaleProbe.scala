@@ -44,7 +44,8 @@ object ScaleProbe {
     "p99_provenance_reps", "p100_embedding_drift", "p101_source_mirror",
     "p102_dataset_card", "p103_nb_calibration", "p104_ann_multiprobe",
     "p105_training_order", "p106_perplexity_by_lang",
-    "p107_padding_audit", "p108_novelty_curve", "p109_decontam_release")
+    "p107_padding_audit", "p108_novelty_curve", "p109_decontam_release",
+    "p110_health_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -234,6 +234,32 @@ class Round10cOpsSpec extends SparkSpec {
     assert(dD > 0, "fixture shows no contamination to act on")
   }
 
+  test("p110: every health row reconciles against its source monitor") {
+    val rows = run("p110_health_report").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
+      .toMap
+    assert(rows.size == 5)
+    assert(rows("feed_anomaly_cells")._1.get ==
+      run("p84_hourly_anomaly").count().toDouble)
+    assert(rows("source_drift_psi_max")._1.get ==
+      run("p81_source_drift_psi").agg(max(col("psi")))
+        .collect().head.getDouble(0))
+    assert(rows("dedup_index_recall")._1.get ==
+      run("p93_dedup_recall").select("recall").collect().head.getDouble(0))
+    assert(rows("index_orphans")._1.get ==
+      run("p87_ref_integrity").agg(sum(col("n_orphans")))
+        .collect().head.getLong(0).toDouble)
+    // alarm logic: higher-is-bad checks fire above threshold, the
+    // recall check fires below
+    rows.foreach { case (check, (v, th, alarm)) =>
+      val expected =
+        if (check == "dedup_index_recall") v.map(_ < th) else v.map(_ > th)
+      assert(alarm == expected, s"$check alarm")
+    }
+  }
+
   test("p102: every card section reconciles against its source query") {
     val card = run("p102_dataset_card").collect()
       .map(r => (r.getString(0), r.getString(1)) ->

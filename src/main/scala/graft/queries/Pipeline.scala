@@ -4628,9 +4628,265 @@ object Pipeline extends QueryModule {
       .union(qualityRow).union(exactRow).union(nearRows).union(contamRow)
   }
 
+  // ---- dedup tuning triptych (p111–p113) ---------------------------------
+  // Three reports that turn the dedup machinery into an instrument: how
+  // the near-dup graph responds to the Jaccard THRESHOLD (p111), how
+  // duplication varies with gram WIDTH (p112), and how long duplicated
+  // spans actually RUN (p113). Together they are the evidence a corpus
+  // team reads before fixing τ, w, and the span policy — published
+  // pipelines pick these constants (0.8 Jaccard, 50-token substrings,
+  // 3-sentence spans) from exactly these curves.
+
+  /** Near-dedup threshold sensitivity — the τ tuning curve: for each
+    * candidate Jaccard threshold (0.5–0.9 in tenths), the surviving
+    * pair count, the count of docs linked by any pair, and the count of
+    * docs the greedy higher-id drop rule (p78's) would remove. Read off
+    * the one session-cached pair artifact — the index is BUILT at
+    * τ = [[JaccardThreshold]] (banding is tuned for it), so the curve
+    * sweeps upward from there; choosing a higher τ is a free re-filter
+    * of the artifact, while lowering τ would mean re-banding.
+    *
+    * Scale shape: the pair graph is LSH-bounded (never corpus-sized),
+    * and the 5-row threshold table broadcasts against it; every
+    * aggregation is over that bounded frame. Thresholds with zero
+    * surviving pairs still emit their row (p100's grid rule). The
+    * compare is `jaccard * 10 >= t` — one IEEE multiply against an
+    * integer, bit-identical across engines, no float literal to
+    * round differently. */
+  private def p111DedupThresholdCurve: Q = (s, d) =>
+    dedupThresholdCurveOf(s, nearDupPairs(s, d))
+
+  /** The p111 core over any (doc_a, doc_b, jaccard) pair frame —
+    * Round10dOpsSpec replays it against per-threshold direct filters. */
+  private[queries] def dedupThresholdCurveOf(s: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    val taus = s.range(5, 10).select(col("id").as("tt"))
+    val hit = pairs.crossJoin(broadcast(taus))
+      .filter(col("jaccard") * 10.0 >= col("tt"))
+      .staged // bounded: |pairs| × 5, read by both aggregates below
+    val pairAgg = hit.groupBy("tt")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dropped"))
+    val docAgg = hit
+      .select(col("tt"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("tt").agg(countDistinct(col("doc")).as("n_docs_linked"))
+    taus.join(pairAgg, Seq("tt"), "left_outer")
+      .join(docAgg, Seq("tt"), "left_outer")
+      .select((col("tt").cast(DoubleType) / 10.0).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Gram widths the duplication spectrum samples — short enough to
+    * catch phrase reuse, long enough to isolate wholesale copying
+    * (Lee et al. 2022 dedup at 50 tokens; C4 at 3 sentences; this
+    * corpus's docs run ~10–200 tokens, so the octave ladder 4–32
+    * brackets its regimes). Shared verbatim with the oracle builder. */
+  private[graft] val SpectrumWidths = Seq(4, 8, 16, 32)
+
+  /** Duplication spectrum — the gram-WIDTH tuning curve: for each width
+    * w in [[SpectrumWidths]], the corpus-wide distinct w-gram count, how
+    * many of those grams occur in more than one document, and how many
+    * documents carry at least one such duplicated gram. Short grams
+    * duplicate by chance (common phrases), long grams only by real
+    * copying — the width where the doc-level rate knees is the width a
+    * span-dedup pass (p37/p75) should run at, measured instead of
+    * assumed.
+    *
+    * Scale shape: ONE corpus scan computes every width's per-doc
+    * distinct gram set in a single projection (the native map-only
+    * [[graft.functions.ShingleIdSet]], once per width, exploded from
+    * one struct array); the only corpus-keyed shuffle is the (w, gram)
+    * doc-frequency count (map-side combined). Doc verdicts ride a
+    * (w, gram)-keyed join of the gram rows back to the bounded df
+    * table, then per-(w, doc) and per-w aggregates. Fractions follow
+    * p107's exact-ppm rule; widths with no eligible docs still emit
+    * their row with NULL fractions (p100's grid rule). */
+  private def p112DupSpectrum: Q = (s, d) =>
+    dupSpectrumOf(s, docsBalanced(s, d))
+
+  /** The p112 core over any (doc_id, text) frame — Round10dOpsSpec
+    * reconciles one width against a direct distinct-gram computation. */
+  private[queries] def dupSpectrumOf(s: SparkSession,
+      docsIn: DataFrame): DataFrame = {
+    val widths = s.createDataFrame(
+      SpectrumWidths.map(Tuple1(_))).toDF("w")
+    val grams = docsIn
+      .select(col("doc_id"), explode(array(SpectrumWidths.map(w =>
+        struct(lit(w).as("w"),
+          graft.functions.ShingleIdSet.shingleIdSet(col("text"), w)
+            .as("st"))): _*)).as("x"))
+      .filter(col("x.st").isNotNull) // docs with < w tokens: no rows at w
+      .select(col("doc_id"), col("x.w").as("w"), explode(col("x.st")).as("g"))
+      .staged // read by the df count and the doc-verdict join
+    val dfreq = grams.groupBy("w", "g").agg(count(lit(1)).as("df")).staged
+    val gramAgg = dfreq.groupBy("w")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+    val docAgg = grams.join(dfreq, Seq("w", "g"))
+      .groupBy("w", "doc_id").agg(max(col("df")).as("mx"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mx") > 1, 1L).otherwise(0L)).as("n_docs_with_dup"))
+    def ppm(num: Column, den: Column): Column =
+      when(den.isNull || den === 0L, lit(null).cast(DoubleType))
+        .otherwise(ldiv(num * lit(1000000L), den).cast(DoubleType)
+          / lit(1000000.0))
+    widths.join(docAgg, Seq("w"), "left_outer")
+      .join(gramAgg, Seq("w"), "left_outer")
+      .select(col("w"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_docs_with_dup"), lit(0L)).as("n_docs_with_dup"),
+        ppm(coalesce(col("n_docs_with_dup"), lit(0L)), col("n_docs"))
+          .as("doc_dup_frac"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        ppm(coalesce(col("n_dup_grams"), lit(0L)), col("n_grams"))
+          .as("gram_dup_frac"))
+  }
+
+  /** Duplicated-run length histogram — the exact-substring STRUCTURE
+    * report: p37/p75 treat each duplicated [[SpanW]]-token window
+    * independently, but real duplication arrives as runs (a copied
+    * paragraph is many consecutive duplicated windows). Per document,
+    * consecutive duplicated window indices merge into maximal runs
+    * (gaps-and-islands), and the output is the run-length histogram:
+    * for each run length, how many runs and how many distinct docs
+    * carry one, with the token extent alongside. A histogram massed at
+    * length 1 says window-level dedup suffices; a long tail is the
+    * case for suffix-array exact-substring removal (Lee et al. 2022
+    * use 50-token substrings — ~5 consecutive windows here).
+    *
+    * Scale shape: the window hash/census machinery is p75's (same
+    * [[SpanW]], same h60 over the same span text, so the two ops
+    * cannot disagree about what a duplicated window is); only the
+    * SPARSE duplicated (doc_id, window-index) rows reach the doc-keyed
+    * island window — per-doc state is that doc's duplicated-window
+    * count, never its text; the histogram is a bounded aggregate of
+    * the run rows. */
+  private def p113DupRunLengths: Q = (s, d) =>
+    dupRunLengthsOf(docsBalanced(s, d))
+
+  /** The p113 core over any (doc_id, text) frame — Round10dOpsSpec
+    * plants window-aligned shared blocks and asserts their run rows. */
+  private[queries] def dupRunLengthsOf(docsIn: DataFrame): DataFrame = {
+    val spans = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n_spans", (size(col("t")) / SpanW).cast(IntegerType))
+      .select(col("doc_id"), col("t"),
+        explode(when(col("n_spans") >= 1, sequence(lit(1), col("n_spans")))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("doc_id"), col("j"),
+        h60(concat_ws(" ", (0 until SpanW).map(k =>
+          element_at(col("t"), (col("j") - 1) * SpanW + k + 1)): _*))
+          .as("hv"))
+      .staged // read by the census and the dup-window join
+    // a window is duplicated if its span text occurs anywhere else in
+    // the corpus — including the keeper copy (structure, not policy)
+    val census = spans.groupBy("hv").agg(count(lit(1)).as("cnt"))
+    val dupw = spans.join(census.filter(col("cnt") > 1), "hv")
+      .select(col("doc_id"), col("j"))
+    val runs = dupw
+      .withColumn("isl", col("j") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("j")))
+      .groupBy("doc_id", "isl")
+      .agg(count(lit(1)).cast(LongType).as("run_len"))
+    runs.groupBy("run_len")
+      .agg(count(lit(1)).as("n_runs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(col("run_len"), (col("run_len") * SpanW).as("run_tokens"),
+        col("n_runs"), col("n_docs"))
+  }
+
+  /** Minimum dropped-run length (in [[SpanW]]-token windows) for
+    * [[p114RunStrip]] — 3 windows = 30 tokens, the Lee et al. 2022
+    * 50-token rule scaled to this corpus's 10–200-token documents
+    * (p113's measured histogram knees at 3+: chance phrase collisions
+    * never run that long, block copies do). Shared verbatim with the
+    * oracle builder. */
+  private[graft] val MinRunW = 3
+
+  /** Run-gated duplicate-span removal — the ACT on p113's report:
+    * where p75 excises EVERY non-keeper duplicated window independently
+    * (C4's rule, which also deletes chance phrase collisions), this op
+    * drops a window only when it sits in a maximal run of at least
+    * [[MinRunW]] consecutive duplicated non-keeper windows — the
+    * exact-substring removal of Lee et al. 2022 expressed over p75's
+    * window machinery (same [[SpanW]], same h60 span hash, same
+    * min-(doc,position) keeper rule, so the three ops cannot disagree
+    * about what a duplicated window is). Short incidental matches
+    * survive; copied blocks vanish. Output is p75's audit shape plus
+    * the per-doc dropped-run count, so the two policies' token loss is
+    * directly comparable row by row.
+    *
+    * Scale shape: p75's exactly — one span-keyed census shuffle, one
+    * span-keyed join back, then only the SPARSE candidate
+    * (doc_id, window-index) rows reach the doc-keyed island window
+    * (per-doc state = that doc's duplicated-window count, never text);
+    * reconstruction re-derives the cleaned text from the doc's own
+    * token array. The run gate is a pure filter on the bounded run
+    * table — no new shuffle over p75. */
+  private def p114RunStrip: Q = (s, d) => runStripOf(docsBalanced(s, d))
+
+  /** The p114 core over any (doc_id, text) frame — Round10dOpsSpec
+    * plants a long shared block plus a short shared phrase and asserts
+    * only the block is stripped (and only its non-keeper copy). */
+  private[queries] def runStripOf(docsIn: DataFrame): DataFrame = {
+    val base = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+      .withColumn("n_spans", (col("n") / SpanW).cast(IntegerType))
+    val spans = base
+      .select(col("doc_id"), col("t"),
+        explode(when(col("n_spans") >= 1, sequence(lit(1), col("n_spans")))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("doc_id"), col("j"),
+        h60(concat_ws(" ", (0 until SpanW).map(k =>
+          element_at(col("t"), (col("j") - 1) * SpanW + k + 1)): _*))
+          .as("hv"))
+      .withColumn("pos", col("doc_id") * lit(StripPosPack) + col("j"))
+    val census = spans.groupBy("hv")
+      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("keeper"))
+    val cand = spans.join(census, "hv")
+      .filter(col("cnt") > 1 && col("pos") =!= col("keeper"))
+      .select(col("doc_id"), col("j"))
+    val drops = cand
+      .withColumn("isl", col("j") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("j")))
+      .groupBy("doc_id", "isl")
+      .agg(count(lit(1)).as("run_len"), collect_set(col("j")).as("js"))
+      .filter(col("run_len") >= MinRunW)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_runs"),
+        flatten(collect_list(col("js"))).as("drop_j"))
+    base.join(drops, Seq("doc_id"), "left_outer")
+      .withColumn("dj", coalesce(col("drop_j"), array().cast("array<int>")))
+      .withColumn("kept", when(col("n_spans") >= 1,
+        filter(sequence(lit(1), col("n_spans")),
+          j => !array_contains(col("dj"), j)))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("clean", concat(
+        flatten(transform(col("kept"),
+          j => slice(col("t"), (j - 1) * SpanW + 1, lit(SpanW)))),
+        slice(col("t"), col("n_spans") * SpanW + 1,
+          col("n") - col("n_spans") * SpanW)))
+      .select(col("doc_id"),
+        col("n_spans").cast(LongType).as("n_spans"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs_dropped"),
+        size(col("dj")).cast(LongType).as("n_dropped"),
+        size(col("clean")).cast(LongType).as("n_tokens_clean"),
+        md5(array_join(col("clean"), " ")).as("clean_md5"))
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p111_dedup_threshold_curve" -> p111DedupThresholdCurve,
+    "p112_dup_spectrum" -> p112DupSpectrum,
+    "p113_dup_run_lengths" -> p113DupRunLengths,
+    "p114_run_strip" -> p114RunStrip,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5006,7 +5262,111 @@ object Pipeline extends QueryModule {
          |UNION ALL SELECT 'embedding_drift_psi', v, 0.2, v > 0.2 FROM v3
          |UNION ALL SELECT 'dedup_index_recall', v, 0.8, v < 0.8 FROM v4
          |UNION ALL SELECT 'index_orphans', v, 0.0, v > 0.0 FROM v5"""
-        .stripMargin)
+        .stripMargin) +
+    ("p111_dedup_threshold_curve" ->
+      s"""WITH p AS ($sqlP02),
+         |taus AS (SELECT unnest(generate_series(5, 9)) AS tt),
+         |hit AS (SELECT tt, doc_a, doc_b FROM p, taus
+         |  WHERE jaccard * 10.0 >= tt),
+         |pa AS (SELECT tt, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dropped
+         |  FROM hit GROUP BY 1),
+         |da AS (SELECT tt, CAST(COUNT(DISTINCT doc) AS BIGINT)
+         |      AS n_docs_linked
+         |  FROM (SELECT tt, unnest([doc_a, doc_b]) AS doc FROM hit)
+         |  GROUP BY 1)
+         |SELECT CAST(t.tt AS DOUBLE) / 10.0 AS threshold,
+         |  COALESCE(pa.n_pairs, 0) AS n_pairs,
+         |  COALESCE(da.n_docs_linked, 0) AS n_docs_linked,
+         |  COALESCE(pa.n_dropped, 0) AS n_dropped
+         |FROM taus t LEFT JOIN pa ON pa.tt = t.tt
+         |LEFT JOIN da ON da.tt = t.tt""".stripMargin) +
+    ("p112_dup_spectrum" -> {
+      // one block per width, generated from the SAME SpectrumWidths list
+      // the Spark side explodes — the two sides cannot desynchronize
+      val blocks = SpectrumWidths.map { w =>
+        s"""(WITH sh AS (SELECT doc_id, unnest(${sqlShingles("t", w)})
+           |    AS shingle
+           |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
+           |gr AS (SELECT DISTINCT doc_id, ${sqlH60("shingle")} AS g
+           |  FROM sh),
+           |dfq AS (SELECT g, COUNT(*) AS df FROM gr GROUP BY 1),
+           |ga AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |    CAST(COALESCE(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS n_dup_grams FROM dfq),
+           |da AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(COALESCE(SUM(CASE WHEN mx > 1 THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS n_docs_with_dup
+           |  FROM (SELECT doc_id, MAX(df) AS mx
+           |    FROM gr JOIN dfq USING (g) GROUP BY 1))
+           |SELECT CAST($w AS INTEGER) AS w, da.n_docs, da.n_docs_with_dup,
+           |  CASE WHEN da.n_docs = 0 THEN CAST(NULL AS DOUBLE)
+           |    ELSE CAST((da.n_docs_with_dup * 1000000) // da.n_docs
+           |      AS DOUBLE) / 1000000.0 END AS doc_dup_frac,
+           |  ga.n_grams, ga.n_dup_grams,
+           |  CASE WHEN ga.n_grams = 0 THEN CAST(NULL AS DOUBLE)
+           |    ELSE CAST((ga.n_dup_grams * 1000000) // ga.n_grams
+           |      AS DOUBLE) / 1000000.0 END AS gram_dup_frac
+           |FROM ga, da)""".stripMargin
+      }
+      blocks.mkString("\nUNION ALL\n")
+    }) +
+    ("p113_dup_run_lengths" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sp AS (SELECT doc_id, j,
+         |    ${sqlH60(s"array_to_string(t[(j-1)*$SpanW+1:j*$SpanW], ' ')")}
+         |      AS hv
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, len(t) // $SpanW)) AS j FROM tk)),
+         |c AS (SELECT hv, COUNT(*) AS cnt FROM sp GROUP BY 1),
+         |dw AS (SELECT doc_id, j FROM sp JOIN c USING (hv) WHERE cnt > 1),
+         |runs AS (SELECT doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS run_len
+         |  FROM (SELECT doc_id, j,
+         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+         |        AS isl FROM dw)
+         |  GROUP BY doc_id, isl)
+         |SELECT run_len, run_len * $SpanW AS run_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM runs GROUP BY 1""".stripMargin) +
+    ("p114_run_strip" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n,
+         |    len(t) // $SpanW AS n_spans FROM tk),
+         |sp AS (SELECT doc_id, j,
+         |    ${sqlH60(s"array_to_string(t[(j-1)*$SpanW+1:j*$SpanW], ' ')")}
+         |      AS hv,
+         |    doc_id * $StripPosPack + j AS pos
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, n_spans)) AS j FROM base)),
+         |c AS (SELECT hv, COUNT(*) AS cnt, MIN(pos) AS keeper
+         |  FROM sp GROUP BY 1),
+         |cand AS (SELECT doc_id, j FROM sp JOIN c USING (hv)
+         |  WHERE cnt > 1 AND pos <> keeper),
+         |runs AS (SELECT doc_id, COUNT(*) AS run_len, list(j) AS js
+         |  FROM (SELECT doc_id, j,
+         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+         |        AS isl FROM cand)
+         |  GROUP BY doc_id, isl),
+         |dr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |    flatten(list(js)) AS drop_j
+         |  FROM runs WHERE run_len >= $MinRunW GROUP BY doc_id),
+         |fin AS (SELECT b.doc_id, b.n_spans, dr.n_runs,
+         |    coalesce(dr.drop_j, CAST([] AS BIGINT[])) AS dj,
+         |    flatten(list_transform(
+         |        list_filter(generate_series(1, b.n_spans),
+         |          j -> NOT list_contains(
+         |            coalesce(dr.drop_j, CAST([] AS BIGINT[])), j)),
+         |        j -> b.t[(j-1)*$SpanW+1:j*$SpanW]))
+         |      || b.t[b.n_spans*$SpanW+1:b.n] AS clean
+         |  FROM base b LEFT JOIN dr ON b.doc_id = dr.doc_id)
+         |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs_dropped,
+         |  CAST(len(dj) AS BIGINT) AS n_dropped,
+         |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
+         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
+         |FROM fin""".stripMargin)
 
   private lazy val oracleBase: Map[String, String] = Map(
     // rebuilds each image row's bytes from the text's hex directly; a

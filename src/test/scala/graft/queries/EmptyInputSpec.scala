@@ -42,7 +42,7 @@ class EmptyInputSpec extends SparkSpec {
     "p97_weighted_sample", "p98_leakage_free_split",
     "p99_provenance_reps", "p101_source_mirror", "p103_nb_calibration",
     "p104_ann_multiprobe", "p105_training_order", "p106_perplexity_by_lang",
-    "p108_novelty_curve",
+    "p108_novelty_curve", "p113_dup_run_lengths", "p114_run_strip",
     "q19_agg_group", "q30_top_revenue", "q53_topk_native",
     "s08_sql_agg_groupby", "s15_sql_cte_window",
     "s25_sql_small_qty_revenue", "s28_sql_pricing_summary")
@@ -108,6 +108,28 @@ class EmptyInputSpec extends SparkSpec {
     assert(rows("index_orphans").contains(0.0))
     assert(rows("dedup_index_recall").isEmpty,
       "recall of an empty corpus must be NULL, not a number")
+  }
+
+  test("p111_dedup_threshold_curve keeps its five-threshold grid at zero") {
+    val rows = Pipeline.queries("p111_dedup_threshold_curve")(
+      spark, EmptyInputSpec.dir).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(0.5, 0.6, 0.7, 0.8, 0.9))
+    rows.values.foreach(v => assert(v == (0L, 0L, 0L)))
+  }
+
+  test("p112_dup_spectrum keeps its width grid, null fractions") {
+    val rows = Pipeline.queries("p112_dup_spectrum")(
+      spark, EmptyInputSpec.dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(rows.keySet == Pipeline.SpectrumWidths.toSet)
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(4) == 0L && r.getLong(5) == 0L)
+      assert(r.isNullAt(3) && r.isNullAt(6),
+        "fractions of an empty corpus must be NULL, not a 0/0")
+    }
   }
 
   test("p102_dataset_card emits its fixed sections with zero counts") {

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-10 (cont.) dedup-tuning triptych semantics: p111 threshold
+  * curve, p112 width spectrum, p113 run-length histogram. Each test
+  * reconciles the operator against an independent driver-side replay
+  * or a planted fixture whose answer is known by construction. */
+class Round10dOpsSpec extends SparkSpec {
+
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  private def run(name: String, d: String = Sf01): DataFrame =
+    Pipeline.queries(name)(spark, d)
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("p111: every threshold row replays a direct pair-artifact filter") {
+    val pairs = Pipeline.nearDupPairs(spark, Sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val out = run("p111_dedup_threshold_curve").collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(0.5, 0.6, 0.7, 0.8, 0.9))
+    out.foreach { case (tau, (nPairs, nLinked, nDropped)) =>
+      // replay against the integer tenth, not tau * 10.0 — the rounded
+      // double 0.7 times 10 need not hit 7.0 exactly
+      val tt = math.round(tau * 10).toDouble
+      val hit = pairs.filter(_._3 * 10.0 >= tt)
+      assert(nPairs == hit.length.toLong, s"tau=$tau pairs")
+      assert(nLinked ==
+        hit.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"tau=$tau linked docs")
+      assert(nDropped == hit.map(_._2).distinct.length.toLong,
+        s"tau=$tau dropped docs")
+    }
+    // the curve must be monotone: raising tau can only shrink the graph
+    val byTau = out.toSeq.sortBy(_._1).map(_._2)
+    byTau.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._1 >= b._1 && a._2 >= b._2 && a._3 >= b._3,
+        s"curve not monotone: $a then $b")
+    }
+    // and the corpus must exercise it: the 0.5 row IS the artifact
+    assert(out(0.5)._1 == pairs.length.toLong)
+    assert(pairs.nonEmpty)
+  }
+
+  test("p111 core: boundary and overlap semantics on a synthetic graph") {
+    import spark.implicits._
+    // doc 1 pairs with 2 (strong) and with 3 (weak): the linked/dropped
+    // sets must deduplicate doc 1 across pairs, and 0.74 must clear
+    // tau=0.7 but not 0.8
+    val pairs = Seq((1L, 2L, 0.95), (1L, 3L, 0.55), (4L, 5L, 0.74))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = Pipeline.dedupThresholdCurveOf(spark, pairs).collect()
+      .map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0.5) == (3L, 5L, 3L))
+    assert(out(0.6) == (2L, 4L, 2L))
+    assert(out(0.7) == (2L, 4L, 2L))
+    assert(out(0.8) == (1L, 2L, 1L))
+    assert(out(0.9) == (1L, 2L, 1L))
+  }
+
+  test("p112: width 8 reconciles against a direct distinct-gram replay") {
+    val out = run("p112_dup_spectrum").collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Pipeline.SpectrumWidths.toSet)
+    // independent replay at w=8: per-doc distinct gram sets via the
+    // same native expression, aggregated driver-side
+    val rows = graft.Tables.documents(spark, Sf01)
+      .select(col("doc_id"),
+        graft.functions.ShingleIdSet.shingleIdSet(col("text"), 8).as("st"))
+      .filter(col("st").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val df8 = rows.flatMap { case (id, st) => st.map(g => (g, id)) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val (nDocs, nDocsDup, nGrams, nDupGrams) = out(8)
+    assert(nDocs == rows.length.toLong)
+    assert(nGrams == df8.size.toLong)
+    assert(nDupGrams == df8.count(_._2 > 1).toLong)
+    assert(nDocsDup ==
+      rows.count { case (_, st) => st.exists(g => df8(g) > 1) }.toLong)
+  }
+
+  test("p112: doc-level duplication is monotone non-increasing in width") {
+    // a duplicated w-gram contains duplicated sub-grams at every
+    // smaller width, so the doc count can only fall as w grows
+    val out = run("p112_dup_spectrum").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    Pipeline.SpectrumWidths.sliding(2).foreach { case Seq(a, b) =>
+      assert(out(a) >= out(b), s"w=$a=${out(a)} < w=$b=${out(b)}")
+    }
+    // the corpus must exercise the spectrum: real duplication at the
+    // widest window (planted near-dup docs share >32-token spans)
+    assert(out(Pipeline.SpectrumWidths.max) > 0L)
+  }
+
+  test("p113: planted aligned blocks produce exactly the expected runs") {
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val X = toks("x", 30)   // 3-window block shared by A and B
+    val Y = toks("y", 10)   // 1-window block repeated inside C
+    val X2 = toks("p", 10)  // two 1-window blocks shared by D and E,
+    val X3 = toks("q", 10)  // separated by per-doc filler: a gap
+    val docs = docsDf(Seq(
+      1L -> X.mkString(" "),
+      2L -> (X ++ toks("b", 10)).mkString(" "),
+      3L -> (Y ++ toks("c", 10) ++ Y).mkString(" "),
+      4L -> (X2 ++ toks("d", 10) ++ X3).mkString(" "),
+      5L -> (X2 ++ toks("e", 10) ++ X3).mkString(" ")))
+    val out = Pipeline.dupRunLengthsOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // A and B: one maximal run of 3 consecutive duplicated windows each;
+    // C carries Y twice (two length-1 runs); D and E each split across
+    // the filler gap into two length-1 runs — never merged
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(3L) == (30L, 2L, 2L))
+    assert(out(1L) == (10L, 6L, 3L))
+  }
+
+  test("p114: only runs of MinRunW+ non-keeper windows are stripped") {
+    def toks(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val X = toks("x", 30) // 3-window block: meets the run gate
+    val Y = toks("y", 10) // 1-window phrase: chance-collision stand-in
+    val Z = toks("z", 20) // 2-window block: one under the gate
+    val docs = docsDf(Seq(
+      1L -> X.mkString(" "),
+      2L -> (X ++ toks("b", 10)).mkString(" "),
+      3L -> (Y ++ toks("c", 10)).mkString(" "),
+      4L -> (Y ++ toks("d", 10)).mkString(" "),
+      5L -> Z.mkString(" "),
+      6L -> (Z ++ toks("e", 10)).mkString(" ")))
+    val out = Pipeline.runStripOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    // doc 1 is X's keeper: untouched. Doc 2's 3-window copy is one
+    // maximal run >= MinRunW: stripped, filler survives.
+    assert(out(1L) == (3L, 0L, 0L, 30L,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(X.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    assert(out(2L)._2 == 1L && out(2L)._3 == 3L && out(2L)._4 == 10L)
+    // the 1-window phrase and the 2-window block sit UNDER the gate:
+    // kept on both sides (p75 would have stripped docs 4 and 6)
+    Seq(3L, 4L, 5L, 6L).foreach { id =>
+      assert(out(id)._2 == 0L && out(id)._3 == 0L, s"doc $id stripped")
+    }
+    // contrast with p75 on the same fixture: every p114 drop is a p75
+    // drop, and p75 additionally strips the under-gate copies
+    val p75 = Pipeline.spanStrip(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p75(4L) == 1L && p75(6L) == 2L && p75(2L) == 3L)
+    out.foreach { case (id, (_, _, dropped, _, _)) =>
+      assert(dropped <= p75(id), s"doc $id p114 dropped more than p75")
+    }
+  }
+
+  test("p114 on the corpus: drops are a strict subset of p75's") {
+    val p114 = run("p114_run_strip").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val p75 = Pipeline.spanStrip(
+      graft.Tables.documents(spark, Sf01).select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(p114.keySet == p75.keySet)
+    p114.foreach { case (id, d) =>
+      assert(d <= p75(id), s"doc $id p114=$d > p75=${p75(id)}")
+    }
+    val (s114, s75) = (p114.values.sum, p75.values.sum)
+    assert(s114 > 0L, "corpus must exercise the run gate")
+    assert(s114 < s75,
+      "corpus must carry under-gate duplication p114 preserves")
+  }
+
+  test("p113: the gate path equals an unbalanced-input replay") {
+    // docsBalanced must be semantics-neutral: the histogram totals
+    // cannot depend on input partitioning or row order
+    val p113Docs = run("p113_dup_run_lengths")
+      .agg(sum(col("n_runs")).as("nr")).collect()(0).getLong(0)
+    val direct = Pipeline.dupRunLengthsOf(
+      graft.Tables.documents(spark, Sf01).select("doc_id", "text"))
+      .agg(sum(col("n_runs"))).collect()(0).getLong(0)
+    assert(p113Docs == direct)
+    assert(p113Docs > 0L, "corpus must exercise the histogram")
+  }
+}

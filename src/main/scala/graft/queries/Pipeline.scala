@@ -4880,6 +4880,79 @@ object Pipeline extends QueryModule {
         md5(array_join(col("clean"), " ")).as("clean_md5"))
   }
 
+  /** The shuffle-key domains [[p115SkewAudit]] profiles — (table,
+    * column) pairs the engine's own heavy operators shuffle on (p11/
+    * p15/p54 key on events.user_id, p84 on event_type, q30/q32 on
+    * l_orderkey and o_custkey, p30/p46/p79 on documents.source/lang).
+    * Shared verbatim with the oracle builder. */
+  private[graft] val SkewDomains: Seq[(String, String)] = Seq(
+    "events" -> "user_id",
+    "events" -> "event_type",
+    "lineitem" -> "l_orderkey",
+    "orders" -> "o_custkey",
+    "documents" -> "source",
+    "documents" -> "lang")
+
+  /** Shuffle-skew audit — the pre-flight instrument for every keyed
+    * shuffle the engine runs: per declared key domain
+    * ([[SkewDomains]]), total rows, distinct keys, the hottest key and
+    * its row count, and the skew factor max/avg — the number that
+    * decides whether a 1000-executor job needs salting or AQE
+    * skew-splitting BEFORE it runs (a skew factor of k means the
+    * hottest reducer does k× the average work; Spark's own
+    * skewedPartitionFactor trips at 5). Hot key reported as the
+    * minimum key among ties so both engines agree.
+    *
+    * Scale shape: per domain one keyed counting shuffle (map-side
+    * combined, carries one row per DISTINCT key) feeding a 1-row
+    * summary; the hot-key pick filters the bounded counts table
+    * against the broadcast 1-row max and takes MIN — no sort, no
+    * window. The skew factor is exact-ppm integer division (p107's
+    * rule) under an in-plan envelope assert (keys × max_rows < 9e9
+    * keeps the ppm product inside ldiv's 2^53 exactness bound — at
+    * production volumes pre-scale the counts, and the gate fails
+    * LOUDLY rather than rounding). Empty domains keep their row with
+    * zero counts and NULL skew (p100's grid rule). */
+  private def p115SkewAudit: Q = (s, d) => {
+    val frames = Map(
+      "events" -> Tables.events(s, d),
+      "lineitem" -> Tables.lineitem(s, d),
+      "orders" -> Tables.orders(s, d),
+      "documents" -> Tables.documents(s, d))
+    skewAuditOf(SkewDomains.map { case (t, c) =>
+      (s"$t.$c", frames(t), c) })
+  }
+
+  /** The p115 core over any (domain-name, frame, key-column) list —
+    * Round10dOpsSpec replays it against driver-side counting on a
+    * hand-skewed fixture. */
+  private[queries] def skewAuditOf(
+      domains: Seq[(String, DataFrame, String)]): DataFrame =
+    domains.map { case (name, df, key) =>
+      val counts = df.select(col(key).cast(StringType).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .staged // read by the summary and the hot-key pick
+      val tot = counts.agg(
+        coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        coalesce(max(col("c")), lit(0L)).as("max_rows"))
+      val hot = counts.join(broadcast(tot),
+          col("c") === col("max_rows"))
+        .agg(min(col("k")).as("hot_key"))
+      tot.crossJoin(hot)
+        .filter(assert_true(
+          col("n_keys") * col("max_rows") < lit(9000000000L),
+          lit(s"$name: skew ppm outside the exact-int64 envelope — " +
+            "pre-scale the counts")).isNull)
+        .select(lit(name).as("domain"), col("n_rows"), col("n_keys"),
+          col("max_rows"), col("hot_key"),
+          when(col("n_rows") === 0L, lit(null).cast(DoubleType))
+            .otherwise(ldiv(
+              col("max_rows") * col("n_keys") * lit(1000000L),
+              col("n_rows")).cast(DoubleType) / lit(1000000.0))
+            .as("skew"))
+    }.reduce(_.union(_))
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
@@ -4887,6 +4960,7 @@ object Pipeline extends QueryModule {
     "p112_dup_spectrum" -> p112DupSpectrum,
     "p113_dup_run_lengths" -> p113DupRunLengths,
     "p114_run_strip" -> p114RunStrip,
+    "p115_skew_audit" -> p115SkewAudit,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5366,7 +5440,26 @@ object Pipeline extends QueryModule {
          |  CAST(len(dj) AS BIGINT) AS n_dropped,
          |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
          |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
-         |FROM fin""".stripMargin)
+         |FROM fin""".stripMargin) +
+    ("p115_skew_audit" -> {
+      // one block per key domain, generated from the SAME SkewDomains
+      // list the Spark side iterates — the two sides cannot desync
+      val blocks = SkewDomains.map { case (t, c) =>
+        s"""(WITH cc AS (SELECT CAST($c AS VARCHAR) AS k, COUNT(*) AS c
+           |    FROM $t GROUP BY 1),
+           |tt AS (SELECT COALESCE(SUM(c), 0) AS n_rows,
+           |    COUNT(*) AS n_keys, COALESCE(MAX(c), 0) AS mx FROM cc),
+           |hh AS (SELECT MIN(k) AS hot_key FROM cc, tt WHERE cc.c = tt.mx)
+           |SELECT '$t.$c' AS domain, CAST(tt.n_rows AS BIGINT) AS n_rows,
+           |  CAST(tt.n_keys AS BIGINT) AS n_keys,
+           |  CAST(tt.mx AS BIGINT) AS max_rows, hh.hot_key,
+           |  CASE WHEN tt.n_rows = 0 THEN CAST(NULL AS DOUBLE)
+           |    ELSE CAST((tt.mx * tt.n_keys * 1000000) // tt.n_rows
+           |      AS DOUBLE) / 1000000.0 END AS skew
+           |FROM tt, hh)""".stripMargin
+      }
+      blocks.mkString("\nUNION ALL\n")
+    })
 
   private lazy val oracleBase: Map[String, String] = Map(
     // rebuilds each image row's bytes from the text's hex directly; a

@@ -110,6 +110,20 @@ class EmptyInputSpec extends SparkSpec {
       "recall of an empty corpus must be NULL, not a number")
   }
 
+  test("p115_skew_audit keeps its domain grid: zero counts, NULL skew") {
+    val rows = Pipeline.queries("p115_skew_audit")(
+      spark, EmptyInputSpec.dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet ==
+      Pipeline.SkewDomains.map { case (t, c) => s"$t.$c" }.toSet)
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L &&
+        r.getLong(3) == 0L)
+      assert(r.isNullAt(4) && r.isNullAt(5),
+        "hot key and skew of an empty domain must be NULL")
+    }
+  }
+
   test("p111_dedup_threshold_curve keeps its five-threshold grid at zero") {
     val rows = Pipeline.queries("p111_dedup_threshold_curve")(
       spark, EmptyInputSpec.dir).collect()

@@ -182,6 +182,43 @@ class Round10dOpsSpec extends SparkSpec {
       "corpus must carry under-gate duplication p114 preserves")
   }
 
+  test("p115: skew factor, hot-key ties, and the envelope assert") {
+    import spark.implicits._
+    // 3+1 rows over 2 keys: skew = max/avg = 3*2/4 = 1.5 exactly
+    val skewed = Seq("a", "a", "a", "b").toDF("k1")
+    // tie at 2: hot key must be the MINIMUM among tied keys
+    val tied = Seq("b", "b", "a", "a", "c").toDF("k2")
+    val out = Pipeline.skewAuditOf(Seq(
+      ("d1", skewed, "k1"), ("d2", tied, "k2"))).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getDouble(5))).toMap
+    assert(out("d1") == (4L, 2L, 3L, "a", 1.5))
+    assert(out("d2") == (5L, 3L, 2L, "a", 1.2))
+    // the envelope assert must fail LOUDLY, not round — a real frame
+    // whose counts product exceeds 9e9 can't be materialized in a
+    // test, so prove the assert wiring on a synthetic 1-row breach
+    // with the operator's own expression
+    val breach = Seq((10000000000L, 1L)).toDF("n_keys", "max_rows")
+      .filter(assert_true(col("n_keys") * col("max_rows") < 9000000000L,
+        lit("boom")).isNull)
+    val e = intercept[Exception] { breach.collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("p115 gate row: events.user_id reconciles a driver-side count") {
+    val out = run("p115_skew_audit").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet ==
+      Pipeline.SkewDomains.map { case (t, c) => s"$t.$c" }.toSet)
+    val ev = graft.Tables.events(spark, Sf01)
+      .groupBy("user_id").count().collect()
+      .map(r => r.get(0) -> r.getLong(1))
+    assert(out("events.user_id") ==
+      (ev.map(_._2).sum, ev.length.toLong, ev.map(_._2).max))
+  }
+
   test("p113: the gate path equals an unbalanced-input replay") {
     // docsBalanced must be semantics-neutral: the histogram totals
     // cannot depend on input partitioning or row order

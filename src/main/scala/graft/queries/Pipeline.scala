@@ -4880,6 +4880,49 @@ object Pipeline extends QueryModule {
         md5(array_join(col("clean"), " ")).as("clean_md5"))
   }
 
+  /** The (bands × rows) factorizations of the [[NumHashes]]-hash
+    * MinHash family [[p116LshPlanner]] sweeps — every way to band 12
+    * hashes. Shared verbatim with the oracle builder. */
+  private[graft] val PlannerConfigs: Seq[(Int, Int)] =
+    Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+  /** LSH banding planner — the S-curves behind p02's 6×2 banding
+    * choice: for every factorization (b bands × r rows) of the
+    * [[NumHashes]]-hash family and every Jaccard j in tenths, the
+    * candidate-detection probability P = 1 − (1 − jʳ)ᵇ (Leskovec et
+    * al., MMDS ch. 3 — the standard banding analysis). Read next to
+    * p111's MEASURED threshold curve, this is how a corpus team picks
+    * the banding before building the index: more rows sharpen the
+    * knee rightward (fewer false candidates), more bands pull it left
+    * (better recall). The engine's live config is flagged in-row.
+    *
+    * Exactness: with j = jt/10 and b·r = 12 fixed, P is the exact
+    * rational (10¹² − (10ʳ − jtʳ)ᵇ) / 10¹², every intermediate an
+    * int64 below 2^53 (jtʳ ≤ 9¹² ≈ 2.8e11; (10ʳ−jtʳ)ᵇ < 10¹²), so
+    * both engines compute integer products and ONE correctly-rounded
+    * IEEE division — no pow(), no float drift (the p97/p107 house
+    * rule). Pure 54-row grid, no table read: the planner costs
+    * nothing at any corpus size. */
+  private def p116LshPlanner: Q = (s, _) => lshPlannerOf(s)
+
+  /** The p116 core — Round10dOpsSpec replays the closed form in
+    * driver-side BigDecimal and pins the banding-theory shape. */
+  private[queries] def lshPlannerOf(s: SparkSession): DataFrame = {
+    val jts = s.range(1, 10).select(col("id").as("jt"))
+    PlannerConfigs.map { case (b, r) =>
+      val jr = (1 to r).map(_ => col("jt")).reduce(_ * _)
+      val withC = jts.select(col("jt"),
+        (lit(BigInt(10).pow(r).toLong) - jr).as("c"))
+      val cb = (1 to b).map(_ => col("c")).reduce(_ * _)
+      withC.select(lit(b).as("n_bands"), lit(r).as("n_rows"),
+        (col("jt").cast(DoubleType) / 10.0).as("j"),
+        ((lit(1000000000000L) - cb).cast(DoubleType) / 1.0e12)
+          .as("p_detect"),
+        lit(if (b == NumBands && r == BandRows) 1 else 0)
+          .cast(IntegerType).as("is_current"))
+    }.reduce(_.union(_))
+  }
+
   /** The shuffle-key domains [[p115SkewAudit]] profiles — (table,
     * column) pairs the engine's own heavy operators shuffle on (p11/
     * p15/p54 key on events.user_id, p84 on event_type, q30/q32 on
@@ -4961,6 +5004,7 @@ object Pipeline extends QueryModule {
     "p113_dup_run_lengths" -> p113DupRunLengths,
     "p114_run_strip" -> p114RunStrip,
     "p115_skew_audit" -> p115SkewAudit,
+    "p116_lsh_planner" -> p116LshPlanner,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5457,6 +5501,25 @@ object Pipeline extends QueryModule {
            |    ELSE CAST((tt.mx * tt.n_keys * 1000000) // tt.n_rows
            |      AS DOUBLE) / 1000000.0 END AS skew
            |FROM tt, hh)""".stripMargin
+      }
+      blocks.mkString("\nUNION ALL\n")
+    }) +
+    ("p116_lsh_planner" -> {
+      // one block per banding config, generated from the SAME
+      // PlannerConfigs list; jt^r and c^b expanded as literal integer
+      // products so no engine's pow() is in play
+      val blocks = PlannerConfigs.map { case (b, r) =>
+        val jr = Seq.fill(r)("jt").mkString(" * ")
+        val cb = Seq.fill(b)("c").mkString(" * ")
+        val cur = if (b == NumBands && r == BandRows) 1 else 0
+        s"""(SELECT CAST($b AS INT) AS n_bands, CAST($r AS INT) AS n_rows,
+           |  CAST(jt AS DOUBLE) / 10.0 AS j,
+           |  CAST(1000000000000 - $cb AS DOUBLE) / 1000000000000.0
+           |    AS p_detect,
+           |  CAST($cur AS INT) AS is_current
+           |FROM (SELECT jt, ${BigInt(10).pow(r)} - $jr AS c
+           |  FROM (SELECT unnest(generate_series(1, 9)) AS jt)))"""
+          .stripMargin
       }
       blocks.mkString("\nUNION ALL\n")
     })

@@ -711,6 +711,93 @@ object Streams {
       }
   }
 
+  final case class SkewShardRow(domain: String, shard: Int, n_rows: Long,
+      hot_key: String, hot_lb: Long, hot_ub: Long)
+
+  /** Per-(domain, shard) state: a Misra–Gries summary (≤ k counters),
+    * the exact number of decrement rounds (the MG error bound: a key's
+    * true count lies in [counter, counter + decs]), and the shard's
+    * exact row total. Bounded: k counters + two longs, regardless of
+    * stream length, key cardinality, or skew. */
+  final case class SkewShardState(counts: Map[String, Long], decs: Long,
+      n: Long)
+
+  /** Streaming shuffle-skew monitor — the continuous twin of batch
+    * p115_skew_audit: per key domain (user_id, event_type), the running
+    * hottest key and its count bounds, from bounded state. State is
+    * keyed by (domain, portable-hash shard of the KEY), so the key
+    * space distributes across the cluster instead of funneling each
+    * domain through one reducer — and because sharding is BY KEY the
+    * shards hold DISJOINT key sets: the global hot key is exactly the
+    * best shard winner (max hot_lb, min key on ties), and the global
+    * row count is the sum of shard totals — a merge over
+    * |domains| × [[SkewShards]] rows, the dashboard's job. Within a
+    * shard, a Misra–Gries summary (p70's sketch, here maintained
+    * incrementally) gives each reported counter the standard bounds
+    * [c, c + decs] with decs tracked exactly; emit-on-change per
+    * shard, at-least-once redelivery re-emits the same row. */
+  def skewMonitor(events: Dataset[Event], k: Int = 64,
+      shards: Int = SkewShards): Dataset[SkewShardRow] = {
+    import events.sparkSession.implicits._
+    events
+      .flatMap(e => Seq(
+        ("events.user_id", e.user_id.toString),
+        ("events.event_type", e.event_type)))
+      .groupByKey { case (domain, key) =>
+        (domain, (graft.functions.Hash60Impl.h60(
+          key.getBytes("UTF-8")) % shards).toInt)
+      }
+      .flatMapGroupsWithState[SkewShardState, SkewShardRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (dk: (String, Int), batch: Iterator[(String, String)],
+            state: GroupState[SkewShardState]) =>
+          val prev = state.getOption.getOrElse(
+            SkewShardState(Map.empty, 0L, 0L))
+          var counts = prev.counts
+          var decs = prev.decs
+          var n = prev.n
+          batch.foreach { case (_, key) =>
+            n += 1
+            counts.get(key) match {
+              case Some(c) => counts = counts.updated(key, c + 1L)
+              case None if counts.size < k =>
+                counts = counts.updated(key, 1L)
+              case None =>
+                // MG decrement round: every counter down one, zeros
+                // evicted, the arriving key NOT inserted — the classic
+                // bound true ∈ [c, c + decs] follows
+                decs += 1L
+                counts = counts.collect {
+                  case (kk, c) if c > 1L => kk -> (c - 1L)
+                }
+            }
+          }
+          if (n == prev.n) Iterator.empty
+          else {
+            state.update(SkewShardState(counts, decs, n))
+            // a summary can be legitimately EMPTY at batch end (k
+            // inserts then a decrement round, repeated) — the shard
+            // still owns its n rows, so it must still report: empty
+            // hot key, bounds [0, decs] (any key's true count is at
+            // most the decrement total)
+            if (counts.isEmpty)
+              Iterator.single(
+                SkewShardRow(dk._1, dk._2, n, "", 0L, decs))
+            else {
+              val (hk, hc) = counts.minBy { case (kk, c) => (-c, kk) }
+              Iterator.single(
+                SkewShardRow(dk._1, dk._2, n, hk, hc, hc + decs))
+            }
+          }
+      }
+  }
+
+  /** Shard count for [[skewMonitor]] — enough to spread any real key
+    * domain across a cluster's state partitions while keeping the
+    * merged report tiny (|domains| × 64 rows). */
+  val SkewShards = 64
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

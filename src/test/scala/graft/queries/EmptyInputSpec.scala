@@ -124,6 +124,13 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("p116_lsh_planner is corpus-independent: full grid on empty input") {
+    val rows = Pipeline.queries("p116_lsh_planner")(
+      spark, EmptyInputSpec.dir).collect()
+    assert(rows.length == 54)
+    assert(rows.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("p111_dedup_threshold_curve keeps its five-threshold grid at zero") {
     val rows = Pipeline.queries("p111_dedup_threshold_curve")(
       spark, EmptyInputSpec.dir).collect()

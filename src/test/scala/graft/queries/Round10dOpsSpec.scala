@@ -219,6 +219,38 @@ class Round10dOpsSpec extends SparkSpec {
       (ev.map(_._2).sum, ev.length.toLong, ev.map(_._2).max))
   }
 
+  test("p116: the S-curve grid replays the closed form exactly") {
+    val out = run("p116_lsh_planner").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)) ->
+        (r.getDouble(3), r.getInt(4))).toMap
+    assert(out.size == Pipeline.PlannerConfigs.size * 9)
+    // driver-side replay with BigInt products and the same single
+    // IEEE division — every cell must be bit-identical
+    Pipeline.PlannerConfigs.foreach { case (b, r) =>
+      (1 to 9).foreach { jt =>
+        val c = BigInt(10).pow(r) - BigInt(jt).pow(r)
+        val p = (BigInt(10).pow(12) - c.pow(b)).toDouble / 1.0e12
+        val (got, cur) = out((b, r, jt / 10.0))
+        assert(got == p, s"b=$b r=$r jt=$jt")
+        assert(cur == (if (b == 6 && r == 2) 1 else 0))
+      }
+    }
+    // banding theory shape: P rises with j within every config, and
+    // at fixed j more bands (fewer rows) can only raise P
+    Pipeline.PlannerConfigs.foreach { case (b, r) =>
+      (1 to 8).foreach { jt =>
+        assert(out((b, r, jt / 10.0))._1 <= out((b, r, (jt + 1) / 10.0))._1)
+      }
+    }
+    (1 to 9).foreach { jt =>
+      val byBands = Pipeline.PlannerConfigs.sortBy(_._1)
+        .map { case (b, r) => out((b, r, jt / 10.0))._1 }
+      byBands.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(lo <= hi, s"jt=$jt: more bands lowered P")
+      }
+    }
+  }
+
   test("p113: the gate path equals an unbalanced-input replay") {
     // docsBalanced must be semantics-neutral: the histogram totals
     // cannot depend on input partitioning or row order

@@ -134,6 +134,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("skewMonitor: sharded MG bounds contain exact counts; hot key wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = skewMonitor(in.toDS(), k = 4, shards = 4)
+      .writeStream.format("memory").queryName("skew")
+      .outputMode(OutputMode.Update).start()
+    try {
+      var id = 0L
+      def e(user: Long, typ: String): Event = {
+        id += 1; ev(id, 0, user, typ, 1.0)
+      }
+      // a 40-row hot user + 20 singletons spread over 4 shards with
+      // only 4 MG counters each: decrement rounds must happen, and the
+      // bounds must still bracket the truth
+      in.addData(((1 to 40).map(_ => e(7L, "a")) ++
+        (100L to 119L).map(u => e(u, "b"))): _*)
+      q.processAllAvailable()
+      def latest(): Map[(String, Int), (Long, String, Long, Long)] =
+        spark.table("skew").collect()
+          .map(r => (r.getString(0), r.getInt(1)) ->
+            (r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+          .groupBy(_._1).view
+          .mapValues(_.map(_._2).maxBy(_._1)).toMap
+      val s1 = latest()
+      // merge rule: global n = sum of shard totals; hot = best shard
+      // winner by (hot_lb desc, key asc)
+      def merged(domain: String) = {
+        val rows = s1.filter(_._1._1 == domain).values.toSeq
+        (rows.map(_._1).sum,
+          rows.map(r => (r._2, r._3, r._4)).minBy(t => (-t._2, t._1)))
+      }
+      val (nUser, (hotUser, lbU, ubU)) = merged("events.user_id")
+      assert(nUser == 60L)
+      assert(hotUser == "7" && lbU <= 40L && 40L <= ubU && lbU > 1L)
+      val (nType, (hotType, lbT, ubT)) = merged("events.event_type")
+      assert(nType == 60L)
+      assert(hotType == "a" && lbT <= 40L && 40L <= ubT)
+      // emit-on-change: another burst for the hot user re-emits its
+      // shard with grown bounds; untouched shards stay silent
+      val before = spark.table("skew").count()
+      in.addData((1 to 5).map(_ => e(7L, "a")): _*)
+      q.processAllAvailable()
+      assert(spark.table("skew").count() > before)
+      val s2 = latest()
+      val userRows = s2.filter(_._1._1 == "events.user_id").values.toSeq
+      assert(userRows.map(_._1).sum == 65L)
+      val (_, hk2, lb2, ub2) = userRows.maxBy(_._3)
+      assert(hk2 == "7" && lb2 <= 45L && 45L <= ub2)
+    } finally q.stop()
+  }
+
   test("latestPerKey maintains the newest row per key, emit-on-change") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

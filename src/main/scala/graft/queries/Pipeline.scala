@@ -4880,6 +4880,57 @@ object Pipeline extends QueryModule {
         md5(array_join(col("clean"), " ")).as("clean_md5"))
   }
 
+  /** The near-dup detectors [[p117DedupAgreement]] cross-tabulates, in
+    * emission order. Shared verbatim with the oracle builder. */
+  private[graft] val AgreementMethods =
+    Seq("minhash", "simhash", "edit", "semantic")
+
+  /** Dedup-method agreement matrix — which detector finds what: the
+    * four near-dup pair detectors (p02 MinHash token-Jaccard, p12
+    * SimHash Hamming, p29 edit-distance, p49 embedding+text semantic)
+    * cross-tabulated as pair sets over the SAME corpus — per method
+    * pair, both sets' sizes, the intersection, and each side's
+    * exclusive finds. This is the report a corpus team reads before
+    * trusting one detector alone (published dedup sections run exactly
+    * this comparison: token-level methods miss reworded copies, edit
+    * distance misses reorderings, embeddings flag topical
+    * near-misses); a detector whose exclusive column dominates is
+    * either finding real structure the others miss or
+    * false-positiving — p49's text_confirmed gate answers which.
+    *
+    * Scale shape: every input is an already-LSH/band-bounded pair
+    * table (never corpus²); each is staged once and the matrix is
+    * pair-keyed joins + 1-row counts over those bounded tables — the
+    * matrix costs a small multiple of the detectors it audits, and
+    * nothing new scales with the corpus. */
+  private def p117DedupAgreement: Q = (s, d) => dedupAgreementOf(Seq(
+    "minhash" -> nearDupPairs(s, d),
+    "simhash" -> p12SimhashPairs(s, d),
+    "edit" -> p29EditNearDup(s, d),
+    "semantic" -> p49SemanticNearDup(s, d)
+      .filter(col("text_confirmed") === 1)))
+
+  /** The p117 core over any (method, pair-frame) list — every frame
+    * needs canonical (doc_a < doc_b) distinct pairs, which all four
+    * detectors emit by construction. Round10dOpsSpec replays it on
+    * hand-built pair sets with known overlaps. */
+  private[queries] def dedupAgreementOf(
+      methods: Seq[(String, DataFrame)]): DataFrame = {
+    val staged = methods.map { case (n, df) =>
+      n -> df.select(col("doc_a"), col("doc_b")).staged }
+    staged.combinations(2).map { case Seq((na, a), (nb, b)) =>
+      val ca = a.agg(count(lit(1)).as("n_a"))
+      val cb = b.agg(count(lit(1)).as("n_b"))
+      val both = a.join(b, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_both"))
+      ca.crossJoin(cb).crossJoin(both)
+        .select(lit(na).as("method_a"), lit(nb).as("method_b"),
+          col("n_a"), col("n_b"), col("n_both"),
+          (col("n_a") - col("n_both")).as("n_only_a"),
+          (col("n_b") - col("n_both")).as("n_only_b"))
+    }.reduce(_.union(_))
+  }
+
   /** The (bands × rows) factorizations of the [[NumHashes]]-hash
     * MinHash family [[p116LshPlanner]] sweeps — every way to band 12
     * hashes. Shared verbatim with the oracle builder. */
@@ -5005,6 +5056,7 @@ object Pipeline extends QueryModule {
     "p114_run_strip" -> p114RunStrip,
     "p115_skew_audit" -> p115SkewAudit,
     "p116_lsh_planner" -> p116LshPlanner,
+    "p117_dedup_agreement" -> p117DedupAgreement,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5522,6 +5574,37 @@ object Pipeline extends QueryModule {
           .stripMargin
       }
       blocks.mkString("\nUNION ALL\n")
+    }) +
+    ("p117_dedup_agreement" -> {
+      // each detector's pair set is its own oracle text embedded
+      // verbatim as a scoped subquery (the p110 pattern), keyed by the
+      // SAME AgreementMethods list the Spark side iterates
+      val srcs = Map(
+        "minhash" -> s"SELECT doc_a, doc_b FROM ($sqlP02) t",
+        "simhash" -> ("SELECT doc_a, doc_b FROM (" +
+          oracleBase("p12_simhash_pairs") + ") t"),
+        "edit" -> ("SELECT doc_a, doc_b FROM (" +
+          oracleBase("p29_edit_neardup") + ") t"),
+        "semantic" -> ("SELECT doc_a, doc_b FROM (" +
+          oracleBase("p49_semantic_neardup") +
+          ") t WHERE text_confirmed = 1"))
+      val ctes = AgreementMethods
+        .map(m => s"m_$m AS (${srcs(m)})").mkString(",\n")
+      val blocks = AgreementMethods.combinations(2).map {
+        case Seq(ma, mb) =>
+          s"""SELECT '$ma' AS method_a, '$mb' AS method_b,
+             |  (SELECT COUNT(*) FROM m_$ma) AS n_a,
+             |  (SELECT COUNT(*) FROM m_$mb) AS n_b,
+             |  (SELECT COUNT(*) FROM m_$ma JOIN m_$mb
+             |    USING (doc_a, doc_b)) AS n_both,
+             |  (SELECT COUNT(*) FROM m_$ma)
+             |    - (SELECT COUNT(*) FROM m_$ma JOIN m_$mb
+             |      USING (doc_a, doc_b)) AS n_only_a,
+             |  (SELECT COUNT(*) FROM m_$mb)
+             |    - (SELECT COUNT(*) FROM m_$ma JOIN m_$mb
+             |      USING (doc_a, doc_b)) AS n_only_b""".stripMargin
+      }.toSeq
+      s"WITH\n$ctes\n" + blocks.mkString("\nUNION ALL\n")
     })
 
   private lazy val oracleBase: Map[String, String] = Map(

@@ -124,6 +124,15 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("p117_dedup_agreement keeps its six-row matrix at zero") {
+    val rows = Pipeline.queries("p117_dedup_agreement")(
+      spark, EmptyInputSpec.dir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      (2 to 6).foreach(i => assert(r.getLong(i) == 0L))
+    }
+  }
+
   test("p116_lsh_planner is corpus-independent: full grid on empty input") {
     val rows = Pipeline.queries("p116_lsh_planner")(
       spark, EmptyInputSpec.dir).collect()

@@ -251,6 +251,46 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("p117 core: the matrix counts hand-built overlaps exactly") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val b = Seq((1L, 2L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val c = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Pipeline.dedupAgreementOf(Seq(
+      "x" -> a, "y" -> b, "z" -> c)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(out(("x", "y")) == (3L, 2L, 1L, 2L, 1L))
+    assert(out(("x", "z")) == (3L, 0L, 0L, 3L, 0L))
+    assert(out(("y", "z")) == (2L, 0L, 0L, 2L, 0L))
+  }
+
+  test("p117 gate: internally consistent, minhash row ties to the artifact") {
+    val rows = run("p117_dedup_agreement").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(rows.size ==
+      Pipeline.AgreementMethods.combinations(2).size)
+    // every row: intersection bounded, exclusives are exact complements
+    rows.values.foreach { case (na, nb, both, oa, ob) =>
+      assert(both <= math.min(na, nb) && oa == na - both && ob == nb - both)
+    }
+    // a method's total must be identical in every row that mentions it
+    Pipeline.AgreementMethods.foreach { m =>
+      val totals = rows.collect {
+        case ((a, _), (na, _, _, _, _)) if a == m => na
+      } ++ rows.collect {
+        case ((_, b), (_, nb, _, _, _)) if b == m => nb
+      }
+      assert(totals.toSet.size == 1, s"$m totals: $totals")
+    }
+    // and the minhash column IS the p02 pair artifact
+    val nPairs = Pipeline.nearDupPairs(spark, Sf01).count()
+    assert(rows(("minhash", "simhash"))._1 == nPairs && nPairs > 0L)
+  }
+
   test("p113: the gate path equals an unbalanced-input replay") {
     // docsBalanced must be semantics-neutral: the histogram totals
     // cannot depend on input partitioning or row order

@@ -4880,6 +4880,57 @@ object Pipeline extends QueryModule {
         md5(array_join(col("clean"), " ")).as("clean_md5"))
   }
 
+  /** Source scorecard — the per-source ranking table a corpus team
+    * reads before deciding what to crawl more of and what to drop
+    * (RefinedWeb/Dolma-style source tables): per source, document and
+    * token counts, the Gopher-rule pass rate (p76's gate), the
+    * exact-duplicate rate (p01's sha256 keeper rule: a doc counts as
+    * dup when a smaller doc_id carries identical text anywhere in the
+    * corpus), and the near-dup involvement rate (fraction of the
+    * source's docs linked by any p02 pair). A source with a high dup
+    * rate against a curated twin is a mirror (p101 names the pairs);
+    * a low pass rate is crawl noise.
+    *
+    * Scale shape: one corpus scan builds (source, tokens, sha256);
+    * the exact-dup verdict is a hash-keyed min + hash-keyed join back
+    * (p01's shuffle, carrying digests); the near-dup side is the
+    * LSH-bounded pair artifact exploded to a distinct doc list; one
+    * final source-keyed aggregation with map-side combine. Fractions
+    * follow p107's exact-ppm rule. */
+  private def p118SourceScorecard: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"),
+      sha2(col("text"), 256).as("h"))
+    val keepBits = gopherRules(docs)
+      .select(col("doc_id"), col("keep").cast(LongType).as("keep"))
+    val keepers = base.groupBy("h").agg(min(col("doc_id")).as("keeper"))
+    val flagged = base.join(keepers, "h")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)
+          .as("is_exact_dup"))
+    val linked = nearDupPairs(s, d)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_linked", lit(1L))
+    def ppm(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast(DoubleType))
+        .otherwise(ldiv(num * lit(1000000L), den).cast(DoubleType)
+          / lit(1000000.0))
+    flagged.join(keepBits, "doc_id")
+      .join(linked, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("keep")).as("n_pass"),
+        sum(col("is_exact_dup")).as("n_exact"),
+        sum(coalesce(col("is_linked"), lit(0L))).as("n_near"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        ppm(col("n_pass"), col("n_docs")).as("gopher_pass_frac"),
+        ppm(col("n_exact"), col("n_docs")).as("exact_dup_frac"),
+        ppm(col("n_near"), col("n_docs")).as("near_dup_frac"))
+  }
+
   /** The near-dup detectors [[p117DedupAgreement]] cross-tabulates, in
     * emission order. Shared verbatim with the oracle builder. */
   private[graft] val AgreementMethods =
@@ -5057,6 +5108,7 @@ object Pipeline extends QueryModule {
     "p115_skew_audit" -> p115SkewAudit,
     "p116_lsh_planner" -> p116LshPlanner,
     "p117_dedup_agreement" -> p117DedupAgreement,
+    "p118_source_scorecard" -> p118SourceScorecard,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5605,7 +5657,37 @@ object Pipeline extends QueryModule {
              |      USING (doc_a, doc_b)) AS n_only_b""".stripMargin
       }.toSeq
       s"WITH\n$ctes\n" + blocks.mkString("\nUNION ALL\n")
-    })
+    }) +
+    ("p118_source_scorecard" ->
+      s"""WITH g AS (SELECT doc_id, keep
+         |  FROM (${oracleBase("p76_gopher_rules")}) t),
+         |b AS (SELECT doc_id, source,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tok,
+         |    sha256(text) AS h FROM documents),
+         |k AS (SELECT h, MIN(doc_id) AS keeper FROM b GROUP BY 1),
+         |f AS (SELECT b.doc_id, b.source, b.n_tok,
+         |    CASE WHEN b.doc_id <> k.keeper THEN 1 ELSE 0 END
+         |      AS is_exact_dup
+         |  FROM b JOIN k USING (h)),
+         |pr AS (SELECT DISTINCT doc AS doc_id
+         |  FROM (SELECT unnest([doc_a, doc_b]) AS doc
+         |    FROM ($sqlP02) t)),
+         |a AS (SELECT f.source, COUNT(*) AS n_docs,
+         |    SUM(f.n_tok) AS n_tokens, SUM(g.keep) AS n_pass,
+         |    SUM(f.is_exact_dup) AS n_exact,
+         |    COUNT(pr.doc_id) AS n_near
+         |  FROM f JOIN g USING (doc_id)
+         |  LEFT JOIN pr USING (doc_id)
+         |  GROUP BY 1)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST((n_pass * 1000000) // n_docs AS DOUBLE) / 1000000.0
+         |    AS gopher_pass_frac,
+         |  CAST((n_exact * 1000000) // n_docs AS DOUBLE) / 1000000.0
+         |    AS exact_dup_frac,
+         |  CAST((n_near * 1000000) // n_docs AS DOUBLE) / 1000000.0
+         |    AS near_dup_frac
+         |FROM a""".stripMargin)
 
   private lazy val oracleBase: Map[String, String] = Map(
     // rebuilds each image row's bytes from the text's hex directly; a

@@ -45,12 +45,17 @@ object ScaleProbe {
     "p102_dataset_card", "p103_nb_calibration", "p104_ann_multiprobe",
     "p105_training_order", "p106_perplexity_by_lang",
     "p107_padding_audit", "p108_novelty_curve", "p109_decontam_release",
-    "p110_health_report")
+    "p110_health_report", "p111_dedup_threshold_curve",
+    "p112_dup_spectrum", "p113_dup_run_lengths", "p114_run_strip",
+    "p115_skew_audit", "p117_dedup_agreement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val work = args.lift(2).getOrElse("/tmp/graft-scaleprobe")
+    // optional 4th arg: comma-separated op names (local iteration on a
+    // subset; the full list is the per-round record)
+    val only = args.lift(3).map(_.split(",").toSet)
     val spark = Session.local()
     build(spark, sfDir, mult, work)
 
@@ -62,7 +67,7 @@ object ScaleProbe {
       time(q(spark, dir).write.mode("overwrite").format("noop").save())
     }
     println(f"SCALEPROBE mult=$mult")
-    Queries.foreach { name =>
+    Queries.filter(n => only.forall(_.contains(n))).foreach { name =>
       run(name, sfDir) // warmup + 1x
       val t1 = (1 to 2).map(_ => run(name, sfDir)).min
       val tn = (1 to 2).map(_ => run(name, work)).min

@@ -383,6 +383,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-10 instrument ops keep their claimed shapes") {
+    spark.conf.set("graft.stage.materialize", "none")
+    spark.conf.set("graft.artifacts.reuse", "false")
+    try {
+      // p111's 5-row threshold table must broadcast against the pair
+      // graph — a shuffled join here would key on a 5-value column
+      val p111 = plan("p111_dedup_threshold_curve")
+      assert(!p111.contains("CartesianProduct"),
+        s"p111 plans a cartesian:\n$p111")
+      // p112's only corpus-keyed exchanges are the (w, gram) df count
+      // chain; the width struct explode must NOT become a join
+      val p112 = plan("p112_dup_spectrum")
+      assert(!p112.contains("CartesianProduct") &&
+        !p112.contains("BroadcastNestedLoopJoin"),
+        s"p112 went all-pairs:\n$p112")
+      // p113/p114's island windows run over the SPARSE dup rows keyed
+      // by doc — a window without partitioning would funnel the corpus
+      Seq("p113_dup_run_lengths", "p114_run_strip").foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Exchange SinglePartition"),
+          s"$q funnels through one partition:\n$p")
+        assert(p.contains("Window"), s"$q lost its island window:\n$p")
+      }
+      // p115: no sort and no window anywhere — the hot-key pick is a
+      // broadcast-max filter + MIN aggregate
+      val p115 = plan("p115_skew_audit")
+      assert(!p115.contains("Window") && !p115.contains("SortExec"),
+        s"p115 plans a sort/window:\n$p115")
+      // p116 is a constant grid: no exchange may appear at all
+      val p116 = plan("p116_lsh_planner")
+      assert(!p116.contains("Exchange"), s"p116 shuffles a constant:\n$p116")
+      // p117's matrix joins are pair-keyed over bounded tables
+      val p117 = plan("p117_dedup_agreement")
+      assert(!p117.contains("CartesianProduct"),
+        s"p117 plans a cartesian:\n$p117")
+    } finally {
+      spark.conf.unset("graft.stage.materialize")
+      spark.conf.unset("graft.artifacts.reuse")
+    }
+  }
+
   test("catalog registration leaves row-count and column stats behind") {
     graft.sql.SparkSqlRunner.ensureRegistered(spark, sf)
     val stats = spark.table("customer").queryExecution.optimizedPlan.stats

@@ -291,6 +291,40 @@ class Round10dOpsSpec extends SparkSpec {
     assert(rows(("minhash", "simhash"))._1 == nPairs && nPairs > 0L)
   }
 
+  test("p118: every source row reconciles a driver-side replay") {
+    val docs = graft.Tables.documents(spark, Sf01)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def hash(t: String): String =
+      sha.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keeper = docs.groupBy(d => hash(d._3)).view
+      .mapValues(_.map(_._1).min).toMap
+    val linked = Pipeline.nearDupPairs(spark, Sf01).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val out = run("p118_source_scorecard").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == docs.map(_._2).toSet)
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (nDocs, nTok, exFrac, nearFrac) = out(src)
+      assert(nDocs == ds.length.toLong, s"$src docs")
+      assert(nTok == ds.map(_._3.split(" ").length.toLong).sum, s"$src tokens")
+      val nEx = ds.count(d => keeper(hash(d._3)) != d._1)
+      val nNear = ds.count(d => linked(d._1))
+      assert(exFrac == (nEx.toLong * 1000000L / nDocs).toDouble / 1e6,
+        s"$src exact")
+      assert(nearFrac == (nNear.toLong * 1000000L / nDocs).toDouble / 1e6,
+        s"$src near")
+    }
+    // the corpus must exercise the scorecard's near-dup column (the
+    // planted dups are near-identical, not byte-identical, so the
+    // exact column correctly reads zero here — the replay above pins
+    // both columns either way)
+    assert(out.values.exists(_._4 > 0.0))
+  }
+
   test("p113: the gate path equals an unbalanced-input replay") {
     // docsBalanced must be semantics-neutral: the histogram totals
     // cannot depend on input partitioning or row order

@@ -4880,6 +4880,47 @@ object Pipeline extends QueryModule {
         md5(array_join(col("clean"), " ")).as("clean_md5"))
   }
 
+  /** Dedup savings report — what deduplication actually buys, by
+    * cluster size: for each near-dup cluster size k (from the p32
+    * label artifact; k = 1 is the unlinked remainder, so the rows sum
+    * to the corpus), the cluster count, member docs, docs the min-id
+    * keeper rule drops (k − 1 per cluster), and the TOKENS those
+    * dropped docs carry — the "storage/compute reclaimed" number a
+    * dedup proposal leads with, broken down by duplication depth
+    * (a corpus of pairs dedups very differently from one with
+    * thousand-copy template families).
+    *
+    * Scale shape: rides the cluster-label artifact (built once per
+    * session/dataset); one doc-keyed token join, one cluster-keyed
+    * agg, one size-keyed histogram agg, one LEFT ANTI for the
+    * singleton census — every shuffle keyed and bounded by the
+    * cluster structure. The keeper IS the cluster_id (labels converge
+    * to the min member id), so the drop rule needs no extra pass. */
+  private def p119DedupSavings: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    val lbl = dupClusterLabels(s, d).select("doc_id", "cluster_id")
+    val perCluster = lbl.join(docs, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("doc_id") =!= col("cluster_id"), col("n_tok"))
+          .otherwise(0L)).as("tok_dropped"))
+    val clustered = perCluster.groupBy("k")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("k")).as("n_docs"),
+        sum(col("k") - 1L).as("n_docs_dropped"),
+        sum(col("tok_dropped")).as("n_tokens_dropped"))
+      .select(col("k").as("cluster_size"), col("n_clusters"),
+        col("n_docs"), col("n_docs_dropped"), col("n_tokens_dropped"))
+    val singles = docs.join(lbl, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+        col("n").as("n_docs"), lit(0L).as("n_docs_dropped"),
+        lit(0L).as("n_tokens_dropped"))
+    clustered.union(singles)
+  }
+
   /** Source scorecard — the per-source ranking table a corpus team
     * reads before deciding what to crawl more of and what to drop
     * (RefinedWeb/Dolma-style source tables): per source, document and
@@ -5109,6 +5150,7 @@ object Pipeline extends QueryModule {
     "p116_lsh_planner" -> p116LshPlanner,
     "p117_dedup_agreement" -> p117DedupAgreement,
     "p118_source_scorecard" -> p118SourceScorecard,
+    "p119_dedup_savings" -> p119DedupSavings,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5687,7 +5729,29 @@ object Pipeline extends QueryModule {
          |    AS exact_dup_frac,
          |  CAST((n_near * 1000000) // n_docs AS DOUBLE) / 1000000.0
          |    AS near_dup_frac
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin) +
+    ("p119_dedup_savings" ->
+      s"""WITH RECURSIVE $sqlClusterLabels,
+         |tk AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |pc AS (SELECT l.cluster_id, COUNT(*) AS k,
+         |    SUM(CASE WHEN l.doc_id <> l.cluster_id THEN t.n_tok
+         |      ELSE 0 END) AS tok_dropped
+         |  FROM lbl l JOIN tk t ON t.doc_id = l.doc_id GROUP BY 1),
+         |cl AS (SELECT CAST(k AS BIGINT) AS cluster_size,
+         |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |    CAST(SUM(k) AS BIGINT) AS n_docs,
+         |    CAST(SUM(k - 1) AS BIGINT) AS n_docs_dropped,
+         |    CAST(SUM(tok_dropped) AS BIGINT) AS n_tokens_dropped
+         |  FROM pc GROUP BY k),
+         |sg AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(0 AS BIGINT) AS n_docs_dropped,
+         |    CAST(0 AS BIGINT) AS n_tokens_dropped
+         |  FROM documents d
+         |  WHERE NOT EXISTS (SELECT 1 FROM lbl WHERE lbl.doc_id = d.doc_id))
+         |SELECT * FROM cl UNION ALL SELECT * FROM sg""".stripMargin)
 
   private lazy val oracleBase: Map[String, String] = Map(
     // rebuilds each image row's bytes from the text's hex directly; a

@@ -125,6 +125,14 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("p119_dedup_savings keeps its singleton row at zero") {
+    val rows = Pipeline.queries("p119_dedup_savings")(
+      spark, EmptyInputSpec.dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L &&
+      (1 to 4).forall(i => rows(0).getLong(i) == 0L))
+  }
+
   test("p117_dedup_agreement keeps its six-row matrix at zero") {
     val rows = Pipeline.queries("p117_dedup_agreement")(
       spark, EmptyInputSpec.dir).collect()

@@ -325,6 +325,43 @@ class Round10dOpsSpec extends SparkSpec {
     assert(out.values.exists(_._4 > 0.0))
   }
 
+  test("p119: the histogram replays a driver-side union-find") {
+    val pairs = Pipeline.nearDupPairs(spark, Sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val toks = graft.Tables.documents(spark, Sf01)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong)
+      .toMap
+    // union-find with min-id roots = the label-propagation fixpoint
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val linked = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val clusters = linked.groupBy(find)
+    val want = clusters.groupBy(_._2.length).map { case (k, cs) =>
+      k.toLong -> (cs.size.toLong, (k * cs.size).toLong,
+        ((k - 1) * cs.size).toLong,
+        cs.map { case (root, ms) =>
+          ms.filter(_ != root).map(toks).sum }.sum)
+    }
+    val out = run("p119_dedup_savings").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    want.foreach { case (k, v) => assert(out(k) == v, s"size $k") }
+    assert(out(1L) ==
+      ((toks.size - linked.length).toLong,
+        (toks.size - linked.length).toLong, 0L, 0L))
+    // the rows must account for the whole corpus
+    assert(out.values.map(_._2).sum == toks.size.toLong)
+    assert(want.nonEmpty, "corpus must exercise the cluster rows")
+  }
+
   test("p113: the gate path equals an unbalanced-input replay") {
     // docsBalanced must be semantics-neutral: the histogram totals
     // cannot depend on input partitioning or row order

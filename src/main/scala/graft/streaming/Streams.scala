@@ -754,25 +754,10 @@ object Streams {
             state: GroupState[SkewShardState]) =>
           val prev = state.getOption.getOrElse(
             SkewShardState(Map.empty, 0L, 0L))
-          var counts = prev.counts
-          var decs = prev.decs
-          var n = prev.n
-          batch.foreach { case (_, key) =>
-            n += 1
-            counts.get(key) match {
-              case Some(c) => counts = counts.updated(key, c + 1L)
-              case None if counts.size < k =>
-                counts = counts.updated(key, 1L)
-              case None =>
-                // MG decrement round: every counter down one, zeros
-                // evicted, the arriving key NOT inserted — the classic
-                // bound true ∈ [c, c + decs] follows
-                decs += 1L
-                counts = counts.collect {
-                  case (kk, c) if c > 1L => kk -> (c - 1L)
-                }
-            }
+          val next = batch.foldLeft(prev) { (st, kv) =>
+            mgUpdate(st, kv._2, k)
           }
+          val (counts, decs, n) = (next.counts, next.decs, next.n)
           if (n == prev.n) Iterator.empty
           else {
             state.update(SkewShardState(counts, decs, n))
@@ -797,6 +782,27 @@ object Streams {
     * domain across a cluster's state partitions while keeping the
     * merged report tiny (|domains| × 64 rows). */
   val SkewShards = 64
+
+  /** One Misra–Gries arrival, extracted pure so SkewMonitorPropertySpec
+    * can drive it against exact counts: present keys increment; absent
+    * keys insert while under the k-counter budget; a full summary takes
+    * a decrement round (every counter down one, zeros evicted, the
+    * arrival NOT inserted), whose exact tally `decs` gives every
+    * reported counter the classic bounds true ∈ [c, c + decs]. */
+  private[streaming] def mgUpdate(st: SkewShardState, key: String,
+      k: Int): SkewShardState = {
+    val n = st.n + 1L
+    st.counts.get(key) match {
+      case Some(c) =>
+        SkewShardState(st.counts.updated(key, c + 1L), st.decs, n)
+      case None if st.counts.size < k =>
+        SkewShardState(st.counts.updated(key, 1L), st.decs, n)
+      case None =>
+        SkewShardState(
+          st.counts.collect { case (kk, c) if c > 1L => kk -> (c - 1L) },
+          st.decs + 1L, n)
+    }
+  }
 
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned

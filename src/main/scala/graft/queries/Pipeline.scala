@@ -4880,6 +4880,97 @@ object Pipeline extends QueryModule {
         md5(array_join(col("clean"), " ")).as("clean_md5"))
   }
 
+  /** Share of the corpus token count the [[p120BudgetAllocation]]
+    * training budget covers, in percent. Shared with the oracle. */
+  private[graft] val TrainBudgetPct = 50L
+
+  /** Quality-greedy budget allocation — the step AFTER p118's
+    * scorecard: given a token budget ([[TrainBudgetPct]]% of the
+    * corpus), fill it source by source in quality order (Gopher pass
+    * rate desc, source asc), taking each source's full token mass
+    * until the boundary source gets the remainder and the tail gets
+    * zero — the greedy knapsack every "train on the best N tokens"
+    * recipe actually runs. Emits the full allocation table: rank,
+    * quality, available and allocated tokens per source, so the
+    * cut line is visible and auditable.
+    *
+    * Scale shape: one corpus scan aggregates to |sources| rows;
+    * the ordered running sum is a window over THAT bounded table
+    * (sources are a catalog-bounded dimension — 20 here, thousands at
+    * worst — so the single-partition window holds ~rows = sources,
+    * never corpus). Quality ranks by the exact integer ppm (no float
+    * compare), budget arithmetic is pure int64. */
+  private def p120BudgetAllocation: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val perSource = gopherRules(docs)
+      .select(col("doc_id"), col("keep").cast(LongType).as("keep"))
+      .join(docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_pass"),
+        sum(col("n_tok")).as("avail_tokens"))
+      .withColumn("pass_ppm", ldiv(col("n_pass") * lit(1000000L),
+        col("n_docs")))
+    val total = perSource.agg(
+      coalesce(sum(col("avail_tokens")), lit(0L)).as("total_tokens"))
+    val w = Window.orderBy(col("pass_ppm").desc, col("source"))
+    perSource.crossJoin(broadcast(total))
+      .withColumn("budget",
+        ldiv(col("total_tokens") * lit(TrainBudgetPct), lit(100L)))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum_before",
+        coalesce(sum(col("avail_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("rnk"),
+        (col("pass_ppm").cast(DoubleType) / 1000000.0)
+          .as("gopher_pass_frac"),
+        col("avail_tokens"),
+        greatest(lit(0L), least(col("avail_tokens"),
+          col("budget") - col("cum_before"))).as("alloc_tokens"))
+  }
+
+  /** Token frequency spectrum — the count-of-counts table (Good &
+    * Turing 1953; Gale & Sampson 1995's smoothing reads exactly this):
+    * per occurrence-count octave (bucket = ⌊log₂ c⌋), how many
+    * distinct terms occur that often, their total token mass, and the
+    * corpus mass share. The bucket-1 row (hapax legomena) is the
+    * Good–Turing unseen-mass estimate N₁/N; a heavy singleton bucket
+    * means vocabulary still growing (more data helps), a fat head
+    * octave means template repetition. Bucketing is integer-exact:
+    * ⌊log₂ c⌋ = len(bin(c)) − 1 in BOTH engines — no float log to
+    * diverge.
+    *
+    * Scale shape: one token-keyed counting shuffle (map-side
+    * combined, one row per DISTINCT term), then a ≤64-row octave
+    * aggregation; the 1-row total broadcasts for the mass share
+    * (p107's exact-ppm rule). Nothing beyond the term table ever
+    * shuffles. */
+  private def p121FreqSpectrum: Q = (s, d) =>
+    freqSpectrumOf(docsBalanced(s, d))
+
+  /** The p121 core over any (doc_id, text) frame — Round10dOpsSpec
+    * plants a corpus with a known spectrum (hapax through head terms)
+    * and replays every octave; the driver corpus itself is degenerate
+    * here (a ~31-term synthetic vocabulary, no singletons), which the
+    * gate records honestly. */
+  private[queries] def freqSpectrumOf(docsIn: DataFrame): DataFrame = {
+    val termCounts = docsIn
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val buckets = termCounts
+      .withColumn("bucket", (length(bin(col("c"))) - 1).cast(IntegerType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("n_occurrences"))
+    val total = buckets.agg(
+      coalesce(sum(col("n_occurrences")), lit(0L)).as("total"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("c_lo"),
+        col("n_terms"), col("n_occurrences"),
+        (ldiv(col("n_occurrences") * lit(1000000L), col("total"))
+          .cast(DoubleType) / 1000000.0).as("mass_frac"))
+  }
+
   /** Dedup savings report — what deduplication actually buys, by
     * cluster size: for each near-dup cluster size k (from the p32
     * label artifact; k = 1 is the unlinked remainder, so the rows sum
@@ -5151,6 +5242,8 @@ object Pipeline extends QueryModule {
     "p117_dedup_agreement" -> p117DedupAgreement,
     "p118_source_scorecard" -> p118SourceScorecard,
     "p119_dedup_savings" -> p119DedupSavings,
+    "p120_budget_allocation" -> p120BudgetAllocation,
+    "p121_freq_spectrum" -> p121FreqSpectrum,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5751,7 +5844,48 @@ object Pipeline extends QueryModule {
          |    CAST(0 AS BIGINT) AS n_tokens_dropped
          |  FROM documents d
          |  WHERE NOT EXISTS (SELECT 1 FROM lbl WHERE lbl.doc_id = d.doc_id))
-         |SELECT * FROM cl UNION ALL SELECT * FROM sg""".stripMargin)
+         |SELECT * FROM cl UNION ALL SELECT * FROM sg""".stripMargin) +
+    ("p120_budget_allocation" ->
+      s"""WITH g AS (SELECT doc_id, keep
+         |  FROM (${oracleBase("p76_gopher_rules")}) t),
+         |b AS (SELECT doc_id, source,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tok FROM documents),
+         |ps AS (SELECT b.source, COUNT(*) AS n_docs,
+         |    SUM(g.keep) AS n_pass, SUM(b.n_tok) AS avail_tokens
+         |  FROM b JOIN g USING (doc_id) GROUP BY 1),
+         |pp AS (SELECT source, n_docs, avail_tokens,
+         |    (n_pass * 1000000) // n_docs AS pass_ppm FROM ps),
+         |tt AS (SELECT COALESCE(SUM(avail_tokens), 0) AS total FROM pp),
+         |rk AS (SELECT pp.*, tt.total,
+         |    (tt.total * $TrainBudgetPct) // 100 AS budget,
+         |    CAST(ROW_NUMBER() OVER
+         |      (ORDER BY pass_ppm DESC, source) AS INT) AS rnk,
+         |    COALESCE(SUM(avail_tokens) OVER
+         |      (ORDER BY pass_ppm DESC, source
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM pp, tt)
+         |SELECT source, rnk,
+         |  CAST(pass_ppm AS DOUBLE) / 1000000.0 AS gopher_pass_frac,
+         |  CAST(avail_tokens AS BIGINT) AS avail_tokens,
+         |  CAST(greatest(0, least(avail_tokens, budget - cum_before))
+         |    AS BIGINT) AS alloc_tokens
+         |FROM rk""".stripMargin) +
+    ("p121_freq_spectrum" ->
+      s"""WITH tc AS (SELECT tok, COUNT(*) AS c FROM (
+         |    SELECT unnest($sqlToks) AS tok FROM documents)
+         |  GROUP BY 1),
+         |bk AS (SELECT CAST(len(bin(c)) - 1 AS INT) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(c) AS BIGINT) AS n_occurrences
+         |  FROM tc GROUP BY 1),
+         |tt AS (SELECT COALESCE(SUM(n_occurrences), 0) AS total FROM bk)
+         |SELECT bucket,
+         |  CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS c_lo,
+         |  n_terms, n_occurrences,
+         |  CAST((n_occurrences * 1000000) // tt.total AS DOUBLE)
+         |    / 1000000.0 AS mass_frac
+         |FROM bk, tt""".stripMargin)
 
   private lazy val oracleBase: Map[String, String] = Map(
     // rebuilds each image row's bytes from the text's hex directly; a

@@ -362,6 +362,54 @@ class Round10dOpsSpec extends SparkSpec {
     assert(want.nonEmpty, "corpus must exercise the cluster rows")
   }
 
+  test("p120: the greedy fill replays driver-side; budget conserved") {
+    val docs = graft.Tables.documents(spark, Sf01)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val keep = Pipeline.queries("p76_gopher_rules")(spark, Sf01)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val bySource = docs.groupBy(_._2).map { case (src, ds) =>
+      val avail = ds.map(_._3.split(" ").length.toLong).sum
+      val passPpm = ds.map(d => keep(d._1)).sum * 1000000L / ds.length
+      (src, avail, passPpm)
+    }.toSeq
+    val total = bySource.map(_._2).sum
+    val budget = total * Pipeline.TrainBudgetPct / 100L
+    val ordered = bySource.sortBy { case (src, _, ppm) => (-ppm, src) }
+    var cum = 0L
+    val want = ordered.zipWithIndex.map { case ((src, avail, _), i) =>
+      val alloc = math.max(0L, math.min(avail, budget - cum))
+      cum += avail
+      src -> (i + 1, avail, alloc)
+    }.toMap
+    val out = run("p120_budget_allocation").collect()
+      .map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(3), r.getLong(4))).toMap
+    assert(out == want)
+    assert(out.values.map(_._3).sum == math.min(budget, total))
+    // the cut must be visible: someone allocated fully, someone zero
+    assert(out.values.exists(v => v._3 == v._2 && v._3 > 0L))
+    assert(out.values.exists(_._3 == 0L))
+  }
+
+  test("p121: a planted corpus produces its exact octave spectrum") {
+    // term frequencies: a×1 (hapax), b×2, c×3, d×8, e×100
+    val text = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c")
+      ++ Seq.fill(8)("d") ++ Seq.fill(100)("e")).mkString(" ")
+    val out = Pipeline.freqSpectrumOf(docsDf(Seq(1L -> text))).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    // buckets: 0 (c=1: a), 1 (c=2,3: b,c), 3 (c=8: d), 6 (c=100: e)
+    assert(out.keySet == Set(0, 1, 3, 6))
+    assert(out(0) == (1L, 1L, 1L, (1000000L / 114L).toDouble / 1e6))
+    assert(out(1) == (2L, 2L, 5L, (5L * 1000000L / 114L).toDouble / 1e6))
+    assert(out(3) == (8L, 1L, 8L, (8L * 1000000L / 114L).toDouble / 1e6))
+    assert(out(6) == (64L, 1L, 100L,
+      (100L * 1000000L / 114L).toDouble / 1e6))
+  }
+
   test("p113: the gate path equals an unbalanced-input replay") {
     // docsBalanced must be semantics-neutral: the histogram totals
     // cannot depend on input partitioning or row order

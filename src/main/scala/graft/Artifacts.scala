@@ -57,9 +57,40 @@ object Artifacts {
     // queries sequentially, and a rare racing duplicate build is
     // correct, just wasted work — last writer wins.
     Option(forSession.get(key)).getOrElse {
-      val df = build
+      val df = s.conf.get("graft.artifacts.dir", "") match {
+        case "" => build
+        case root => loadOrWrite(s, root, dir, name)(build)
+      }
       forSession.put(key, df)
       df
+    }
+  }
+
+  /** The cross-session store: with `graft.artifacts.dir` set, an
+    * artifact is a parquet side-table under
+    * `<root>/<md5(dataset dir)>/<name>` — built by the FIRST session
+    * that needs it, read (never rebuilt) by every later session. This
+    * is the literal production shape the registry's scaladoc
+    * describes: the corpus build writes the pair graph once, every
+    * downstream job reads the table. CONTRACT: the store trusts the
+    * dataset dir to be immutable (true for versioned corpus
+    * snapshots); tools that rewrite a dataset in place under a fixed
+    * path (ScaleProbe's work dir) must leave the store off, which is
+    * its default. A write is visible only when parquet's _SUCCESS
+    * marker landed, so a killed half-write rebuilds instead of
+    * reading garbage. */
+  private def loadOrWrite(s: SparkSession, root: String, dir: String,
+      name: String)(build: => DataFrame): DataFrame = {
+    val dsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"$root/$dsKey/$name"
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+      s.read.parquet(path)
+    else {
+      build.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     }
   }
 

@@ -56,4 +56,45 @@ class ArtifactsSpec extends SparkSpec {
     val b = Pipeline.nearDupPairs(spark, sf)
     assert(!(a eq b), "invalidate must force a rebuild")
   }
+
+  test("graft.artifacts.dir persists artifacts across sessions") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-artifact-store").toString
+    spark.conf.set("graft.artifacts.dir", store)
+    try {
+      Artifacts.invalidate(spark)
+      val rows = Pipeline.nearDupPairs(spark, sf)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      // the store now holds the parquet side-table with its marker
+      val stored = new java.io.File(store).listFiles()
+      assert(stored != null && stored.length == 1, "one dataset key")
+      val table = new java.io.File(stored(0), "neardup_pairs")
+      assert(new java.io.File(table, "_SUCCESS").exists(),
+        s"no _SUCCESS under $table")
+      // a "new session" (registry invalidated) READS the side-table,
+      // not the corpus — proven by tampering: truncate the stored
+      // table to its first row and the next request must see ONE row
+      val one = spark.read.parquet(table.toString).limit(1)
+      val tmp = new java.io.File(stored(0), "tamper")
+      one.write.parquet(tmp.toString)
+      spark.read.parquet(tmp.toString).write
+        .mode("overwrite").parquet(table.toString)
+      Artifacts.invalidate(spark)
+      val again = Pipeline.nearDupPairs(spark, sf).collect().toSeq
+      assert(again.length == 1,
+        "a fresh session must read the (tampered) store, not rebuild")
+      // and the marker is the visibility gate: drop it and the
+      // artifact must REBUILD (half-write protection)
+      assert(new java.io.File(table, "_SUCCESS").delete())
+      Artifacts.invalidate(spark)
+      val rebuilt = Pipeline.nearDupPairs(spark, sf)
+        .orderBy("doc_a", "doc_b").collect().toSeq
+      assert(rebuilt == rows)
+      assert(new java.io.File(table, "_SUCCESS").exists(),
+        "rebuild must rewrite the side-table with its marker")
+    } finally {
+      spark.conf.unset("graft.artifacts.dir")
+      Artifacts.invalidate(spark)
+    }
+  }
 }

@@ -85,14 +85,49 @@ object Artifacts {
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val path = s"$root/$dsKey/$name"
     val hPath = new org.apache.hadoop.fs.Path(path)
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
-      s.read.parquet(path)
+    if (fs.exists(success)) s.read.parquet(path)
     else {
-      build.write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
+      // concurrent sessions may race this build: each writes to its
+      // own PRIVATE temp dir (no shared _temporary, no interleaved
+      // task commits) and publishes with one rename — never the final
+      // path directly, where two overwrite-mode jobs can interleave
+      // into a torn directory that still carries _SUCCESS. The rename
+      // is attempted only while the final path is absent (renaming
+      // onto an existing directory would nest into it on most
+      // Hadoop filesystems); a loser discards its temp copy and
+      // serves its own built frame — the published winner is
+      // equivalent, and the next session reads it.
+      val df = build
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$path.tmp-${java.util.UUID.randomUUID()}")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      // publish: a marker-less final dir is a torn write — clear it
+      // first (unless a racer published a GOOD copy meanwhile), then
+      // rename only into absence. A loser in the remaining window
+      // serves its own built frame; the published winner is
+      // equivalent and every later session reads it.
+      val won =
+        if (fs.exists(success)) false
+        else {
+          if (fs.exists(hPath)) fs.delete(hPath, true)
+          !fs.exists(hPath) && fs.rename(tmp, hPath)
+        }
+      if (!won) fs.delete(tmp, true)
+      if (fs.exists(success)) s.read.parquet(path) else df
     }
   }
+
+  /** Stage a builder's FINAL frame only when the artifact will live in
+    * memory: with the parquet store on, the write + read-back IS the
+    * materialization, and a localCheckpoint first would run the
+    * expensive job twice (once into executor blocks, once into the
+    * store). Builders' INTERNAL staging of reused subtrees is
+    * unaffected — this is only for the outermost cut. */
+  def stage(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.conf.get("graft.artifacts.dir", "").nonEmpty) df
+    else Stage.materialize(df)
 
   /** Forget everything cached for this session (spec hygiene when a
     * suite mutates the corpus under a fixed dir). */

@@ -245,7 +245,7 @@ object Pipeline extends QueryModule {
     * downstream curation jobs, not recomputed per query. */
   private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame =
     graft.Artifacts.cached(s, d, "neardup_pairs") {
-      buildNearDupPairs(s, d).staged
+      graft.Artifacts.stage(s, buildNearDupPairs(s, d))
     }
 
   private def buildNearDupPairs(s: SparkSession, d: String): DataFrame = {
@@ -1355,7 +1355,7 @@ object Pipeline extends QueryModule {
     * and the label propagation once each, not once per consumer. */
   private[graft] def dupClusterLabels(s: SparkSession, d: String): DataFrame =
     graft.Artifacts.cached(s, d, "dup_cluster_labels") {
-      buildDupClusters(s, d).staged
+      graft.Artifacts.stage(s, buildDupClusters(s, d))
     }
 
   private def buildDupClusters(s: SparkSession, d: String): DataFrame = {
@@ -2182,7 +2182,7 @@ object Pipeline extends QueryModule {
   private def kmeansState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
     val a2 = graft.Artifacts.cached(s, d, "kmeans_assign") {
-      kmeansAssign(qq, kmeansCentroids(s, d)).staged
+      graft.Artifacts.stage(s, kmeansAssign(qq, kmeansCentroids(s, d)))
     }
     (qq, a2)
   }
@@ -2807,10 +2807,14 @@ object Pipeline extends QueryModule {
     * the audit table stays narrow). */
   private def p75SpanStrip: Q = (s, d) => spanStrip(docsBalanced(s, d))
 
-  /** The p75 core over any `(doc_id, text)` frame — SpanStripGopherSpec
-    * plants a shared span across documents and asserts only the
-    * first-position copy survives and reconstruction preserves order. */
-  private[queries] def spanStrip(docsIn: DataFrame): DataFrame = {
+  /** The shared [[SpanW]]-window machinery of the span family — ONE
+    * definition of "what a window is" (tokenization, index explode,
+    * h60 span hash, position packing) consumed by p75, p113, and
+    * p114, so the three ops are structurally unable to disagree about
+    * duplication (their scaladocs promise exactly that). Returns
+    * (base, spans): base = (doc_id, t, n, n_spans) for reassembly,
+    * spans = (doc_id, j, hv, pos) window rows. */
+  private def spanWindowTable(docsIn: DataFrame): (DataFrame, DataFrame) = {
     val base = docsIn
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
@@ -2824,11 +2828,14 @@ object Pipeline extends QueryModule {
           element_at(col("t"), (col("j") - 1) * SpanW + k + 1)): _*))
           .as("hv"))
       .withColumn("pos", col("doc_id") * lit(StripPosPack) + col("j"))
-    val census = spans.groupBy("hv")
-      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("keeper"))
-    val drops = spans.join(census, "hv")
-      .filter(col("cnt") > 1 && col("pos") =!= col("keeper"))
-      .groupBy("doc_id").agg(collect_set(col("j")).as("drop_j"))
+    (base, spans)
+  }
+
+  /** The span family's shared reconstruction: excise each doc's
+    * `drop_j` windows and rebuild its token stream in order, keeping
+    * the sub-window tail. Extra columns on `drops` (p114's run count)
+    * ride through the join untouched. */
+  private def spanReassemble(base: DataFrame, drops: DataFrame): DataFrame =
     base.join(drops, Seq("doc_id"), "left_outer")
       .withColumn("dj", coalesce(col("drop_j"), array().cast("array<int>")))
       .withColumn("kept", when(col("n_spans") >= 1,
@@ -2840,6 +2847,18 @@ object Pipeline extends QueryModule {
           j => slice(col("t"), (j - 1) * SpanW + 1, lit(SpanW)))),
         slice(col("t"), col("n_spans") * SpanW + 1,
           col("n") - col("n_spans") * SpanW)))
+
+  /** The p75 core over any `(doc_id, text)` frame — SpanStripGopherSpec
+    * plants a shared span across documents and asserts only the
+    * first-position copy survives and reconstruction preserves order. */
+  private[queries] def spanStrip(docsIn: DataFrame): DataFrame = {
+    val (base, spans) = spanWindowTable(docsIn)
+    val census = spans.groupBy("hv")
+      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("keeper"))
+    val drops = spans.join(census, "hv")
+      .filter(col("cnt") > 1 && col("pos") =!= col("keeper"))
+      .groupBy("doc_id").agg(collect_set(col("j")).as("drop_j"))
+    spanReassemble(base, drops)
       .select(col("doc_id"),
         col("n_spans").cast(LongType).as("n_spans"),
         size(col("dj")).cast(LongType).as("n_dropped"),
@@ -4772,16 +4791,8 @@ object Pipeline extends QueryModule {
   /** The p113 core over any (doc_id, text) frame — Round10dOpsSpec
     * plants window-aligned shared blocks and asserts their run rows. */
   private[queries] def dupRunLengthsOf(docsIn: DataFrame): DataFrame = {
-    val spans = docsIn
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .withColumn("n_spans", (size(col("t")) / SpanW).cast(IntegerType))
-      .select(col("doc_id"), col("t"),
-        explode(when(col("n_spans") >= 1, sequence(lit(1), col("n_spans")))
-          .otherwise(array().cast("array<int>"))).as("j"))
-      .select(col("doc_id"), col("j"),
-        h60(concat_ws(" ", (0 until SpanW).map(k =>
-          element_at(col("t"), (col("j") - 1) * SpanW + k + 1)): _*))
-          .as("hv"))
+    val spans = spanWindowTable(docsIn)._2
+      .select("doc_id", "j", "hv")
       .staged // read by the census and the dup-window join
     // a window is duplicated if its span text occurs anywhere else in
     // the corpus — including the keeper copy (structure, not policy)
@@ -4834,19 +4845,7 @@ object Pipeline extends QueryModule {
     * plants a long shared block plus a short shared phrase and asserts
     * only the block is stripped (and only its non-keeper copy). */
   private[queries] def runStripOf(docsIn: DataFrame): DataFrame = {
-    val base = docsIn
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .withColumn("n", size(col("t")))
-      .withColumn("n_spans", (col("n") / SpanW).cast(IntegerType))
-    val spans = base
-      .select(col("doc_id"), col("t"),
-        explode(when(col("n_spans") >= 1, sequence(lit(1), col("n_spans")))
-          .otherwise(array().cast("array<int>"))).as("j"))
-      .select(col("doc_id"), col("j"),
-        h60(concat_ws(" ", (0 until SpanW).map(k =>
-          element_at(col("t"), (col("j") - 1) * SpanW + k + 1)): _*))
-          .as("hv"))
-      .withColumn("pos", col("doc_id") * lit(StripPosPack) + col("j"))
+    val (base, spans) = spanWindowTable(docsIn)
     val census = spans.groupBy("hv")
       .agg(count(lit(1)).as("cnt"), min(col("pos")).as("keeper"))
     val cand = spans.join(census, "hv")
@@ -4861,17 +4860,7 @@ object Pipeline extends QueryModule {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_runs"),
         flatten(collect_list(col("js"))).as("drop_j"))
-    base.join(drops, Seq("doc_id"), "left_outer")
-      .withColumn("dj", coalesce(col("drop_j"), array().cast("array<int>")))
-      .withColumn("kept", when(col("n_spans") >= 1,
-        filter(sequence(lit(1), col("n_spans")),
-          j => !array_contains(col("dj"), j)))
-        .otherwise(array().cast("array<int>")))
-      .withColumn("clean", concat(
-        flatten(transform(col("kept"),
-          j => slice(col("t"), (j - 1) * SpanW + 1, lit(SpanW)))),
-        slice(col("t"), col("n_spans") * SpanW + 1,
-          col("n") - col("n_spans") * SpanW)))
+    spanReassemble(base, drops)
       .select(col("doc_id"),
         col("n_spans").cast(LongType).as("n_spans"),
         coalesce(col("n_runs"), lit(0L)).as("n_runs_dropped"),

@@ -728,10 +728,15 @@ object Streams {
     * keyed by (domain, portable-hash shard of the KEY), so the key
     * space distributes across the cluster instead of funneling each
     * domain through one reducer — and because sharding is BY KEY the
-    * shards hold DISJOINT key sets: the global hot key is exactly the
-    * best shard winner (max hot_lb, min key on ties), and the global
-    * row count is the sum of shard totals — a merge over
-    * |domains| × [[SkewShards]] rows, the dashboard's job. Within a
+    * shards hold DISJOINT key sets: the global row count is EXACTLY
+    * the sum of shard totals, and the best shard winner (max hot_lb,
+    * min key on ties) is the global hot key whenever its lower bound
+    * clears every other shard's upper bound — the usual case once a
+    * true heavy hitter dominates; when bounds overlap, the per-shard
+    * [lb, ub] intervals make the ambiguity VISIBLE to the dashboard
+    * instead of hiding it (a single-reducer exact monitor could not
+    * scale; this is the honest bounded-state trade). The merge is
+    * over |domains| × [[SkewShards]] rows. Within a
     * shard, a Misra–Gries summary (p70's sketch, here maintained
     * incrementally) gives each reported counter the standard bounds
     * [c, c + decs] with decs tracked exactly; emit-on-change per

@@ -54,8 +54,14 @@ object ScaleProbe {
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val work = args.lift(2).getOrElse("/tmp/graft-scaleprobe")
     // optional 4th arg: comma-separated op names (local iteration on a
-    // subset; the full list is the per-round record)
+    // subset; the full list is the per-round record). Unknown names
+    // fail loudly — a typo must not become an empty, silent run.
     val only = args.lift(3).map(_.split(",").toSet)
+    only.foreach { o =>
+      val unknown = o -- Queries.toSet
+      require(unknown.isEmpty,
+        s"unknown ScaleProbe ops: ${unknown.mkString(", ")}")
+    }
     val spark = Session.local()
     build(spark, sfDir, mult, work)
 

@@ -407,9 +407,12 @@ class PlanShapeSpec extends SparkSpec {
         assert(p.contains("Window"), s"$q lost its island window:\n$p")
       }
       // p115: no sort and no window anywhere — the hot-key pick is a
-      // broadcast-max filter + MIN aggregate
+      // broadcast-max filter + MIN aggregate. Plan strings print the
+      // Exec-stripped nodeName, so match the bare word "Sort" (which
+      // SortAggregate/SortMergeJoin's longer tokens don't produce)
       val p115 = plan("p115_skew_audit")
-      assert(!p115.contains("Window") && !p115.contains("SortExec"),
+      assert(!p115.contains("Window") &&
+        !"""\bSort\b""".r.findFirstIn(p115).isDefined,
         s"p115 plans a sort/window:\n$p115")
       // p116 is a constant grid: no exchange may appear at all
       val p116 = plan("p116_lsh_planner")

@@ -158,8 +158,10 @@ class StreamsSpec extends SparkSpec {
           .groupBy(_._1).view
           .mapValues(_.map(_._2).maxBy(_._1)).toMap
       val s1 = latest()
-      // merge rule: global n = sum of shard totals; hot = best shard
-      // winner by (hot_lb desc, key asc)
+      // merge rule: global n = sum of shard totals (exact); hot = best
+      // shard winner by (hot_lb desc, key asc) — exact HERE because the
+      // planted winner's lb clears every other shard's ub; in general
+      // the emitted bounds make any overlap visible
       def merged(domain: String) = {
         val rows = s1.filter(_._1._1 == domain).values.toSeq
         (rows.map(_._1).sum,

@@ -3534,6 +3534,89 @@ object Pipeline extends QueryModule {
         (col("n_hours") * col("ss") - col("s") * col("s")).as("nvar"))
   }
 
+  /** CUSUM drift monitor — the slow-change complement to p84's 3σ
+    * spike gate (Page 1954; the control-charts pairing every
+    * monitoring text prescribes): a one-sided upper CUSUM over each
+    * event type's hourly count series detects a SUSTAINED upward
+    * shift that no single hour's z-score would flag. Control-chart
+    * discipline: the baseline μ₀/σ₀ come from each type's FIRST-HALF
+    * hours (phase I — a drifted tail must never inflate its own
+    * baseline, the self-masking failure of a full-series mean) and
+    * the CUSUM runs over the second half with reference k = μ₀/8
+    * (detects sustained shifts ≥ μ₀/4), alarm at 8σ₀ of cumulated
+    * deviation. House integer-exact form: in 8nb-scaled units
+    * S_t = max(0, S_{t−1} + 8nb·c_t − 9sb) is an exact int64
+    * recurrence and the alarm squares to S² > 4096(nb·ssb − sb²) —
+    * one integer compare. An int64 envelope assert (4·n·s < 1e9
+    * bounds S and S²) fails loudly instead of wrapping, p84's rule.
+    *
+    * Scale shape: one (type, hour) counting shuffle (p84's), then the
+    * sequential recurrence runs INSIDE a per-type `aggregate` HOF
+    * over that type's collected hour array — hours per type are
+    * time-bounded (a year is 8,760 entries), so the fold state is a
+    * bounded array, never corpus-sized, and types process in
+    * parallel. The oracle computes the identical recurrence as a
+    * recursive CTE. */
+  private def p122CusumDrift: Q = (s, d) =>
+    cusumDriftOf(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The p122 core over any (event_type, hour, c) frame —
+    * Round10dOpsSpec drives a drifting synthetic series through it
+    * (every hour 3σ-quiet, the CUSUM loud) and replays the
+    * recurrence driver-side. Phase I/II split: baseline moments
+    * (nb, sb, ssb) come from each type's FIRST HALF of hours — a
+    * drifted tail must not inflate its own baseline — and the CUSUM
+    * runs over the second half: S_t = max(0, S_{t−1} + 8nb·c_t − 9sb)
+    * (the k = μ₀/8 reference in 8nb-scaled exact integers), alarm
+    * when S_t > 8σ₀, squared to S² > 4096(nb·ssb − sb²). Types with
+    * fewer than 4 hours have no baseline and emit nothing. */
+  private[graft] def cusumDriftOf(hourly: DataFrame): DataFrame =
+    hourly.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("hour"), col("c"))))
+        .as("hs"))
+      .filter(size(col("hs")) >= 4)
+      .withColumn("nb", (size(col("hs")) / 2).cast(LongType))
+      .withColumn("sb", expr(
+        "aggregate(slice(hs, 1, CAST(nb AS INT)), CAST(0 AS BIGINT)," +
+          " (a, x) -> a + x.c)"))
+      .withColumn("ssb", expr(
+        "aggregate(slice(hs, 1, CAST(nb AS INT)), CAST(0 AS BIGINT)," +
+          " (a, x) -> a + x.c * x.c)"))
+      .withColumn("stot", expr(
+        "aggregate(hs, CAST(0 AS BIGINT), (a, x) -> a + x.c)"))
+      // int64 envelope, loud: S is bounded by 8·nb·(phase-II counts)
+      // ≤ 4·n·stot, and the alarm squares S — so 4·n·stot < 1e9 keeps
+      // S² < 1e18 < Long.Max. Feeds beyond it must pre-scale.
+      .filter(assert_true(
+        lit(4L) * size(col("hs")) * col("stot") < lit(1000000000L),
+        concat(lit("p122: counts exceed the exact-int64 CUSUM envelope" +
+          " (4*n*s >= 1e9) for event_type "), col("event_type")))
+        .isNull)
+      .select(col("event_type"), col("nb"), col("sb"), col("ssb"),
+        explode(expr(
+          """aggregate(
+            |  slice(hs, CAST(nb AS INT) + 1, size(hs) - CAST(nb AS INT)),
+            |  named_struct(
+            |    'run', CAST(0 AS BIGINT),
+            |    'out', CAST(array() AS
+            |      array<struct<hour:string,c:bigint,cusum:bigint>>)),
+            |  (acc, x) -> named_struct(
+            |    'run', greatest(CAST(0 AS BIGINT),
+            |      acc.run + 8 * nb * x.c - 9 * sb),
+            |    'out', concat(acc.out, array(named_struct(
+            |      'hour', x.hour, 'c', CAST(x.c AS BIGINT),
+            |      'cusum', greatest(CAST(0 AS BIGINT),
+            |        acc.run + 8 * nb * x.c - 9 * sb))))),
+            |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("event_type"), col("r.hour").as("hour"),
+        col("r.c").as("c"), col("r.cusum").as("cusum8nb"),
+        when(col("r.cusum") * col("r.cusum") >
+          lit(4096L) * (col("nb") * col("ssb") - col("sb") * col("sb")), 1)
+          .otherwise(0).cast(IntegerType).as("alarm"))
+
   /** CDC keep-latest compaction (the read side of an upsert/merge): the
     * events feed is split into a snapshot and a change batch (event_id
     * mod 10 = 9, tagged `from_batch`), and each (user_id, event_type)
@@ -5233,6 +5316,7 @@ object Pipeline extends QueryModule {
     "p119_dedup_savings" -> p119DedupSavings,
     "p120_budget_allocation" -> p120BudgetAllocation,
     "p121_freq_spectrum" -> p121FreqSpectrum,
+    "p122_cusum_drift" -> p122CusumDrift,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5874,7 +5958,40 @@ object Pipeline extends QueryModule {
          |  n_terms, n_occurrences,
          |  CAST((n_occurrences * 1000000) // tt.total AS DOUBLE)
          |    / 1000000.0 AS mass_frac
-         |FROM bk, tt""".stripMargin)
+         |FROM bk, tt""".stripMargin) +
+    ("p122_cusum_drift" ->
+      s"""WITH RECURSIVE h AS (
+         |  SELECT event_type, STRFTIME(ts, '%Y-%m-%d %H') AS hour,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |nn AS (SELECT event_type, COUNT(*) AS n FROM h
+         |  GROUP BY 1 HAVING COUNT(*) >= 4),
+         |rk AS (SELECT h.event_type, h.hour, h.c, nn.n,
+         |    ROW_NUMBER() OVER (PARTITION BY h.event_type
+         |      ORDER BY h.hour) AS rn
+         |  FROM h JOIN nn ON nn.event_type = h.event_type),
+         |bs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb,
+         |    CAST(SUM(c) AS BIGINT) AS sb,
+         |    CAST(SUM(c*c) AS BIGINT) AS ssb
+         |  FROM rk WHERE rn <= n // 2 GROUP BY 1),
+         |cu AS (
+         |  SELECT r.event_type, r.rn, r.hour, r.c,
+         |    GREATEST(0, 8 * b.nb * r.c - 9 * b.sb) AS cusum
+         |  FROM rk r JOIN bs b ON b.event_type = r.event_type
+         |  WHERE r.rn = r.n // 2 + 1
+         |  UNION ALL
+         |  SELECT r.event_type, r.rn, r.hour, r.c,
+         |    GREATEST(0, cu.cusum + 8 * b.nb * r.c - 9 * b.sb)
+         |  FROM cu
+         |  JOIN rk r ON r.event_type = cu.event_type
+         |    AND r.rn = cu.rn + 1
+         |  JOIN bs b ON b.event_type = r.event_type)
+         |SELECT cu.event_type, cu.hour, cu.c,
+         |  CAST(cu.cusum AS BIGINT) AS cusum8nb,
+         |  CAST(CASE WHEN cu.cusum * cu.cusum >
+         |      4096 * (b.nb * b.ssb - b.sb * b.sb)
+         |    THEN 1 ELSE 0 END AS INT) AS alarm
+         |FROM cu JOIN bs b ON b.event_type = cu.event_type""".stripMargin)
 
   private lazy val oracleBase: Map[String, String] = Map(
     // rebuilds each image row's bytes from the text's hex directly; a

@@ -410,6 +410,40 @@ class Round10dOpsSpec extends SparkSpec {
       (100L * 1000000L / 114L).toDouble / 1e6))
   }
 
+  test("p122: a sustained drift is 3-sigma-quiet but CUSUM-loud") {
+    import spark.implicits._
+    // baseline: 12 hours alternating 9/11 (mu0 = 10, sigma0 = 1);
+    // drift: 12 hours at 13 — under the FULL-series moments p84 uses,
+    // no hour's z clears 3 (the drifted mass inflates the variance),
+    // so the spike gate stays silent, while the sustained deviation
+    // drives the CUSUM over its 8-sigma handle after a few hours
+    val counts = (0 until 12).map(i => if (i % 2 == 0) 9L else 11L) ++
+      Seq.fill(12)(13L)
+    val hourly = counts.zipWithIndex
+      .map { case (c, i) => ("d", f"h$i%02d", c) }
+      .toDF("event_type", "hour", "c")
+    assert(Pipeline.p84Gate(hourly).collect().isEmpty,
+      "the drift must not trip the spike gate")
+    val out = Pipeline.cusumDriftOf(hourly).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    // driver replay: nb=11? no — nb = 22/2 = 11 baseline hours
+    // (ten 9/11 + the first drift hour), sb/ssb from those
+    val nb = counts.length / 2
+    val base = counts.take(nb)
+    val (sb, ssb) = (base.sum, base.map(c => c * c).sum)
+    var run = 0L
+    val want = counts.zipWithIndex.drop(nb).map { case (c, i) =>
+      run = math.max(0L, run + 8L * nb * c - 9L * sb)
+      val alarm = if (run * run > 4096L * (nb * ssb - sb * sb)) 1 else 0
+      f"h$i%02d" -> (c, run, alarm)
+    }.toMap
+    assert(out == want)
+    assert(out.values.exists(_._3 == 1), "the drift must alarm")
+    assert(out.values.exists(_._3 == 0),
+      "the CUSUM must take hours to accumulate, not fire instantly")
+  }
+
   test("p113: the gate path equals an unbalanced-input replay") {
     // docsBalanced must be semantics-neutral: the histogram totals
     // cannot depend on input partitioning or row order

@@ -669,6 +669,79 @@ object Streams {
       }
   }
 
+  final case class CusumRow(event_type: String, hour_start_ms: Long,
+      c: Long, cusum8nb: Long, alarm: Int)
+
+  /** State per event type for [[cusumDrift]]: open hour buckets (same
+    * closing discipline as [[hourlyAnomalies]]), the frozen baseline
+    * moments once [[CusumBaselineHours]] hours have closed, the
+    * running CUSUM, and the per-key watermark. Bounded: |open| ≤
+    * lateness window, plus six longs. */
+  final case class CusumState(open: Map[Long, Long], nb: Long, sb: Long,
+      ssb: Long, run: Long, maxMs: Long)
+
+  /** Closed hours a type's baseline freezes after — the streaming
+    * stand-in for batch p122's retrospective half-split (a stream
+    * cannot know its series midpoint; a fixed phase-I window is the
+    * control-chart deployment form). */
+  val CusumBaselineHours = 12L
+
+  /** Streaming CUSUM drift monitor — the continuous twin of batch
+    * p122_cusum_drift and the slow-change sibling of
+    * [[hourlyAnomalies]]: per event type, the first
+    * [[CusumBaselineHours]] CLOSED hours freeze the baseline moments
+    * (nb, sb, ssb — phase I, exactly once, immune to later drift),
+    * and every closed hour after that advances the integer-exact
+    * recurrence S = max(0, S + 8nb·c − 9sb), emitting the hour's
+    * count, scaled CUSUM, and the squared 8σ₀ alarm
+    * (S² > 4096(nb·ssb − sb²)). Hour closing is per-key
+    * watermark-driven with late arrivals dropped, hourlyAnomalies'
+    * contract verbatim; state is bounded by the lateness window. The
+    * deliberate twin divergence from batch (fixed phase-I window vs
+    * retrospective half-split) is documented on
+    * [[CusumBaselineHours]]. */
+  def cusumDrift(events: Dataset[Event],
+      latenessMs: Long = 2 * 3600000L,
+      baselineHours: Long = CusumBaselineHours): Dataset[CusumRow] = {
+    import events.sparkSession.implicits._
+    val HourMs = 3600000L
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (tpe: String, batch: Iterator[Event],
+            state: GroupState[CusumState]) =>
+          val prev = state.getOption.getOrElse(
+            CusumState(Map.empty, 0, 0, 0, 0, Long.MinValue))
+          var maxMs = prev.maxMs
+          val open = batch.foldLeft(prev.open) { (acc, e) =>
+            val ms = e.ts.getTime
+            maxMs = math.max(maxMs, ms)
+            val hour = ms - java.lang.Math.floorMod(ms, HourMs)
+            if (hour + HourMs + latenessMs <= prev.maxMs) acc
+            else acc.updated(hour, acc.getOrElse(hour, 0L) + 1L)
+          }
+          val (closing, stillOpen) = open.partition { case (hour, _) =>
+            hour + HourMs + latenessMs <= maxMs
+          }
+          var (nb, sb, ssb, run) = (prev.nb, prev.sb, prev.ssb, prev.run)
+          val out = closing.toSeq.sortBy(_._1).flatMap { case (hour, c) =>
+            if (nb < baselineHours) {
+              nb += 1; sb += c; ssb += c * c
+              None // phase I: the baseline absorbs the hour silently
+            } else {
+              run = math.max(0L, run + 8L * nb * c - 9L * sb)
+              val alarm =
+                if (run * run > 4096L * (nb * ssb - sb * sb)) 1 else 0
+              Some(CusumRow(tpe, hour, c, run, alarm))
+            }
+          }
+          state.update(CusumState(stillOpen, nb, sb, ssb, run, maxMs))
+          out.iterator
+      }
+  }
+
   final case class LatestRow(user_id: Long, event_type: String,
       event_id: Long, ts_us: Long, value: Double)
 

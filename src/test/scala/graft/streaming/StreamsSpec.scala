@@ -187,6 +187,46 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumDrift freezes the baseline then alarms on sustained drift") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = cusumDrift(in.toDS())
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append).start()
+    try {
+      var id = 0L
+      def burst(hour: Int, k: Long): Seq[Event] = (0 until k.toInt).map { i =>
+        id += 1; ev(id, hour * 60 + (i % 60), 7, "d", 1.0)
+      }
+      // the batch p122 fixture: 12 baseline hours alternating 9/11,
+      // then 12 drifted hours at 13
+      val counts = (0 until 12).map(i => if (i % 2 == 0) 9L else 11L) ++
+        Seq.fill(12)(13L)
+      in.addData(counts.zipWithIndex
+        .flatMap { case (c, h) => burst(h, c) }: _*)
+      in.addData(ev(99999, 5000, 7, "d", 1.0)) // close every hour
+      q.processAllAvailable()
+      val rows = spark.table("cusum").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .sortBy(_._1)
+      // phase II = the 12 drifted hours, in order, with the exact
+      // batch recurrence (nb = 12 matches the twin's half-split here)
+      val nb = 12L
+      val base = counts.take(12)
+      val (sb, ssb) = (base.sum, base.map(c => c * c).sum)
+      var run = 0L
+      val want = counts.drop(12).map { c =>
+        run = math.max(0L, run + 8L * nb * c - 9L * sb)
+        (c, run, if (run * run > 4096L * (nb * ssb - sb * sb)) 1 else 0)
+      }
+      assert(rows.length == 12)
+      assert(rows.map(t => (t._2, t._3, t._4)).toSeq == want)
+      assert(rows.map(_._1).distinct.length == 12 &&
+        rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+      assert(want.exists(_._3 == 1) && want.exists(_._3 == 0))
+    } finally q.stop()
+  }
+
   test("latestPerKey maintains the newest row per key, emit-on-change") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -3617,6 +3617,52 @@ object Pipeline extends QueryModule {
           lit(4096L) * (col("nb") * col("ssb") - col("sb") * col("sb")), 1)
           .otherwise(0).cast(IntegerType).as("alarm"))
 
+  /** Drift changepoint estimator — the CUSUM companion report: for
+    * each event type whose p122 CUSUM alarms, WHEN did the shift
+    * begin? The standard CUSUM changepoint MLE is the hour after the
+    * statistic's LAST ZERO before the first alarm (the last reset —
+    * everything since has accumulated into the alarm), plus the
+    * detection delay in hours. This is the row an on-call pages on:
+    * p122 says "drifting", p123 says "since 14:00, detected in 5
+    * hours". Types that never alarm emit nothing.
+    *
+    * Scale shape: runs entirely over p122's phase-II output (types ×
+    * bounded hours), per-type windows and keyed self-joins on that
+    * bounded frame — the corpus-sized work is p122's one counting
+    * shuffle, already paid. */
+  private def p123DriftChangepoint: Q = (s, d) =>
+    driftChangepointOf(cusumDriftOf(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+      .agg(count(lit(1)).as("c"))))
+
+  /** The p123 core over any p122-shaped (event_type, hour, c,
+    * cusum8nb, alarm) frame — Round10dOpsSpec replays it on the
+    * drift fixture where the changepoint is known by construction. */
+  private[queries] def driftChangepointOf(cu: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val rnk = cu.withColumn("rn", row_number().over(w)).staged
+    val fa = rnk.filter(col("alarm") === 1)
+      .groupBy("event_type").agg(min(col("rn")).as("arn"))
+    val lz = rnk.join(fa, "event_type")
+      .filter(col("cusum8nb") === 0L && col("rn") < col("arn"))
+      .groupBy("event_type").agg(max(col("rn")).as("zrn"))
+    val cp = fa.join(lz, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("arn"),
+        coalesce(col("zrn") + 1, lit(1)).as("crn"))
+    cp.join(rnk.select(col("event_type"), col("rn"),
+        col("hour").as("first_alarm_hour")),
+        col("rn") === col("arn") && rnk("event_type") === cp("event_type"))
+      .drop(rnk("event_type")).drop("rn")
+      .join(rnk.select(col("event_type").as("et2"), col("rn"),
+        col("hour").as("changepoint_hour")),
+        col("rn") === col("crn") && col("et2") === col("event_type"))
+      .select(col("event_type"), col("first_alarm_hour"),
+        col("changepoint_hour"),
+        (col("arn") - col("crn") + 1L).cast(LongType)
+          .as("hours_to_detect"))
+  }
+
   /** CDC keep-latest compaction (the read side of an upsert/merge): the
     * events feed is split into a snapshot and a change batch (event_id
     * mod 10 = 9, tagged `from_batch`), and each (user_id, event_type)
@@ -5317,6 +5363,7 @@ object Pipeline extends QueryModule {
     "p120_budget_allocation" -> p120BudgetAllocation,
     "p121_freq_spectrum" -> p121FreqSpectrum,
     "p122_cusum_drift" -> p122CusumDrift,
+    "p123_drift_changepoint" -> p123DriftChangepoint,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,
@@ -5959,7 +6006,33 @@ object Pipeline extends QueryModule {
          |  CAST((n_occurrences * 1000000) // tt.total AS DOUBLE)
          |    / 1000000.0 AS mass_frac
          |FROM bk, tt""".stripMargin) +
-    ("p122_cusum_drift" ->
+    ("p122_cusum_drift" -> sqlP122) +
+    ("p123_drift_changepoint" ->
+      // the p122 oracle rides verbatim as a parenthesized scoped
+      // subquery (DuckDB scopes its WITH RECURSIVE locally — the
+      // p110/p112 embedding pattern)
+      s"""WITH fin AS (SELECT * FROM ($sqlP122) t),
+         |rnk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY hour) AS rn FROM fin),
+         |fa AS (SELECT event_type, MIN(rn) AS arn FROM rnk
+         |  WHERE alarm = 1 GROUP BY 1),
+         |lz AS (SELECT r.event_type, MAX(r.rn) AS zrn
+         |  FROM rnk r JOIN fa ON fa.event_type = r.event_type
+         |  WHERE r.cusum8nb = 0 AND r.rn < fa.arn GROUP BY 1),
+         |cp AS (SELECT fa.event_type, fa.arn,
+         |    COALESCE(lz.zrn + 1, 1) AS crn
+         |  FROM fa LEFT JOIN lz ON lz.event_type = fa.event_type)
+         |SELECT cp.event_type, a.hour AS first_alarm_hour,
+         |  c.hour AS changepoint_hour,
+         |  CAST(cp.arn - cp.crn + 1 AS BIGINT) AS hours_to_detect
+         |FROM cp
+         |JOIN rnk a ON a.event_type = cp.event_type AND a.rn = cp.arn
+         |JOIN rnk c ON c.event_type = cp.event_type AND c.rn = cp.crn"""
+        .stripMargin)
+
+  /** The p122 oracle text, shared verbatim with p123's (which scopes
+    * it as the first CTE of its changepoint chain). */
+  private lazy val sqlP122: String =
       s"""WITH RECURSIVE h AS (
          |  SELECT event_type, STRFTIME(ts, '%Y-%m-%d %H') AS hour,
          |    CAST(COUNT(*) AS BIGINT) AS c
@@ -5991,7 +6064,7 @@ object Pipeline extends QueryModule {
          |  CAST(CASE WHEN cu.cusum * cu.cusum >
          |      4096 * (b.nb * b.ssb - b.sb * b.sb)
          |    THEN 1 ELSE 0 END AS INT) AS alarm
-         |FROM cu JOIN bs b ON b.event_type = cu.event_type""".stripMargin)
+         |FROM cu JOIN bs b ON b.event_type = cu.event_type""".stripMargin
 
   private lazy val oracleBase: Map[String, String] = Map(
     // rebuilds each image row's bytes from the text's hex directly; a

@@ -444,6 +444,32 @@ class Round10dOpsSpec extends SparkSpec {
       "the CUSUM must take hours to accumulate, not fire instantly")
   }
 
+  test("p123: changepoints land where the drifts were planted") {
+    import spark.implicits._
+    def series(name: String, counts: Seq[Long]): Seq[(String, String, Long)] =
+      counts.zipWithIndex.map { case (c, i) => (name, f"h$i%02d", c) }
+    // "a": drift starts immediately in phase II (no CUSUM reset ever:
+    // changepoint = the first phase-II hour). "b": six quiet hours
+    // hold the CUSUM at zero, THEN the drift — changepoint must land
+    // on the first drifted hour, after the last reset.
+    val a = (0 until 12).map(i => if (i % 2 == 0) 9L else 11L) ++
+      Seq.fill(12)(13L)
+    val b = (0 until 12).map(i => if (i % 2 == 0) 9L else 11L) ++
+      Seq.fill(6)(10L) ++ Seq.fill(8)(13L)
+    val hourly = (series("a", a) ++ series("b", b))
+      .toDF("event_type", "hour", "c")
+    val out = Pipeline.driftChangepointOf(Pipeline.cusumDriftOf(hourly))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    // "a": nb=12, phase II = h12.., steps +168, handle ~768 → first
+    // alarm at the 5th phase-II hour; no zero before it → crn = 1
+    assert(out("a") == (("h16", "h12", 5L)))
+    // "b": nb=13 (baseline absorbs one quiet hour), five phase-II
+    // zeros h13–h17, drift from h18, alarm on its 5th hour
+    assert(out("b") == (("h22", "h18", 5L)))
+  }
+
   test("p113: the gate path equals an unbalanced-input replay") {
     // docsBalanced must be semantics-neutral: the histogram totals
     // cannot depend on input partitioning or row order

@@ -4388,6 +4388,9 @@ object Pipeline extends QueryModule {
         p93DedupRecall(s, d).select(col("recall").as("v")), 0.8, false))
       .union(row("index_orphans",
         p87RefIntegrity(s, d).agg(sum(col("n_orphans")).as("v")), 0.0, true))
+      .union(row("cusum_drift_alarms",
+        p122CusumDrift(s, d).agg(
+          sum(col("alarm").cast(LongType)).as("v")), 0.0, true))
   }
 
   /** Corpus novelty curve — diminishing returns of data made visible:
@@ -5733,12 +5736,15 @@ object Pipeline extends QueryModule {
          |  FROM (${oracleBase("p93_dedup_recall")}) t),
          |v5 AS (SELECT CAST(SUM(n_orphans) AS DOUBLE) AS v
          |  FROM (${oracleBase("p87_ref_integrity")}) t)
+         |, v6 AS (SELECT CAST(SUM(alarm) AS DOUBLE) AS v
+         |  FROM ($sqlP122) t)
          |SELECT 'feed_anomaly_cells' AS "check", v AS value,
          |  0.0 AS threshold, v > 0.0 AS alarm FROM v1
          |UNION ALL SELECT 'source_drift_psi_max', v, 0.2, v > 0.2 FROM v2
          |UNION ALL SELECT 'embedding_drift_psi', v, 0.2, v > 0.2 FROM v3
          |UNION ALL SELECT 'dedup_index_recall', v, 0.8, v < 0.8 FROM v4
-         |UNION ALL SELECT 'index_orphans', v, 0.0, v > 0.0 FROM v5"""
+         |UNION ALL SELECT 'index_orphans', v, 0.0, v > 0.0 FROM v5
+         |UNION ALL SELECT 'cusum_drift_alarms', v, 0.0, v > 0.0 FROM v6"""
         .stripMargin) +
     ("p111_dedup_threshold_curve" ->
       s"""WITH p AS ($sqlP02),

@@ -47,7 +47,9 @@ object ScaleProbe {
     "p107_padding_audit", "p108_novelty_curve", "p109_decontam_release",
     "p110_health_report", "p111_dedup_threshold_curve",
     "p112_dup_spectrum", "p113_dup_run_lengths", "p114_run_strip",
-    "p115_skew_audit", "p117_dedup_agreement", "p122_cusum_drift")
+    "p115_skew_audit", "p117_dedup_agreement", "p118_source_scorecard",
+    "p119_dedup_savings", "p120_budget_allocation", "p121_freq_spectrum",
+    "p122_cusum_drift", "p123_drift_changepoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

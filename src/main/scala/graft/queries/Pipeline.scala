@@ -383,20 +383,90 @@ object Pipeline extends QueryModule {
       .select("probe_id", "vec_id", "rnk", "sim")
   }
 
-  /** LSH-bucketed ANN (the scale path): bucket every vector by the sign
-    * pattern of its first 8 dimensions (bit-sampling LSH for cosine —
-    * axis-aligned random-hyperplane hashing), then search ONLY within the
-    * probe's bucket. Candidate generation is an equi-join on the bucket
-    * key: work per probe is |corpus|/2^8 instead of |corpus|. Deterministic
-    * bucketing keeps the DuckDB oracle exact. */
+  /** Embedding dimensionality of the corpus (TESTDATA.md: 64-float
+    * vectors at every scale factor). The random hyperplanes below are
+    * declared at this width; a production build reads it from the table
+    * schema once at plan time. */
+  private[graft] val AnnDim = 64
+
+  /** splitmix64 finalizer (Steele et al., public) — the deterministic
+    * per-(plane, dim) coin for the hyperplane signs. Runs at PLAN time
+    * only; the resulting constants are embedded in both engines. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane `plane` as Rademacher ±1 coefficients (Achlioptas 2003's
+    * database-friendly projections): a full-rank random direction, unlike
+    * the axis-aligned bit-sampling this family replaced — p72's monitor
+    * measured the first-8-dims sign bucket at ≈0.03 mean recall@3 because
+    * dense-embedding mass is spread across ALL dimensions and the first
+    * few carry almost no locality. ±1 coefficients (not gaussians) keep
+    * the cross-engine contract exact: each product is ±v[i] with NO
+    * rounding, so both engines sum bit-identical doubles in array order
+    * and the sign can never diverge. */
+  private[graft] def hyperplaneSigns(plane: Int): IndexedSeq[Float] =
+    (0 until AnnDim).map { j =>
+      if (mix64(plane.toLong * 0x100000001B3L + j) < 0) -1f else 1f
+    }
+
+  /** Hyperplane count for the ANN sign bucket: 2^4 = 16 buckets,
+    * deliberately BUDGET-MATCHED to p20's 16 IVF cells so p72's monitor
+    * compares the two index families at the same candidate fraction
+    * (~1/16 of the corpus per probe) instead of handing IVF a 16×
+    * coverage head start — the flaw in the retired 8-bit bucket, whose
+    * 256 buckets searched 0.4% of the corpus and recalled accordingly.
+    * Like the IVF codebook, the width grows with the corpus (a p116-style
+    * planner would pick it from the target candidate fraction); the
+    * measured sweep on this corpus (PLANS.md round 11): 4-bit Charikar
+    * single-bucket 0.167 recall@3 at 6.2% candidates, Hamming≤1
+    * multi-probe 0.55 at 31%, vs IVF 0.833 at 6.2% — the data-dependent
+    * quantizer still wins on weakly-clustered data, and now the monitor
+    * proves it fairly. */
+  private[graft] val AnnBits = 4
+
+  /** Charikar (2002) random-hyperplane sign bucket of embedding column
+    * `v`: bit p = sign(v · r_p) over [[hyperplaneSigns]], as a `bits`-char
+    * '0'/'1' string. P(bit differs) = angle/π per hyperplane, so Hamming
+    * distance between buckets estimates the angle — the property the
+    * multi-probe fan-out (p104) exploits. The dot rides the codegen'd
+    * [[graft.functions.VectorDot]] against a constant-folded literal
+    * array: one tight fused loop per bit, same plan shape and cost as the
+    * old first-k-dims bucket. */
+  private[graft] def signBucket(v: Column, bits: Int): Column =
+    concat_ws("", (0 until bits).map { p =>
+      when(vdot(v, array(hyperplaneSigns(p).map(f => lit(f)): _*)) >= 0,
+        lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** The DuckDB twin of [[signBucket]], generated from the SAME
+    * [[hyperplaneSigns]] constants (the p89 oracle-generation rule: one
+    * declared source, two engines, drift impossible). `v` must name a
+    * DOUBLE list column in scope. */
+  private[graft] def sqlSignBucket(v: String, bits: Int): String =
+    (0 until bits).map { p =>
+      val coefs = hyperplaneSigns(p)
+        .map(f => if (f > 0) "1.0" else "-1.0").mkString(", ")
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, $AnnDim),
+         |    i -> $v[i] * list_extract([$coefs], i))) >= 0
+         |    THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" || ")
+
+  /** LSH-bucketed ANN (the scale path): bucket every vector by its
+    * Charikar random-hyperplane sign pattern ([[signBucket]], [[AnnBits]]
+    * seeded hyperplanes → 2^[[AnnBits]] buckets), then search ONLY within
+    * the probe's bucket. Candidate generation is an equi-join on the
+    * bucket key: work per probe is |corpus|/2^bits instead of |corpus|,
+    * with the bit width the budget knob (see [[AnnBits]]). Deterministic
+    * hyperplanes keep the DuckDB oracle exact. */
   private def p05AnnLshBucketed: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-      .withColumn("bucket", concat_ws("",
-        (1 to 8).map(i => // try_: short vectors pad with '0', like DuckDB's
-          when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
-            .otherwise(lit("0"))): _*))
+      .withColumn("bucket", signBucket(col("v"), AnnBits))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
       col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
     val sims = e.join(probes, Seq("bucket"))
@@ -483,18 +553,15 @@ object Pipeline extends QueryModule {
   }
 
   /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors are bucketed
-    * by the sign pattern of their first 4 dimensions (16 buckets) and only
-    * same-bucket pairs are compared — |corpus|²/16 instead of all pairs,
-    * and narrower buckets (more sign bits) shrink the work further at
-    * larger scale. */
+    * by their 4-bit Charikar sign pattern ([[signBucket]], 16 buckets)
+    * and only same-bucket pairs are compared — |corpus|²/16 instead of
+    * all pairs, and narrower buckets (more sign bits) shrink the work
+    * further at larger scale. */
   private def p13CosineNearDup: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-      .withColumn("bucket", concat_ws("",
-        (1 to 4).map(i =>
-          when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
-            .otherwise(lit("0"))): _*))
+      .withColumn("bucket", signBucket(col("v"), 4))
     e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na"))
       .join(e.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -2535,8 +2602,9 @@ object Pipeline extends QueryModule {
     * task: the monitoring job a production vector index runs
     * continuously, because approximate indexes degrade SILENTLY as the
     * corpus drifts and the only ground truth is the exact scan — and the
-    * side-by-side is how an index variant gets chosen or retired (here
-    * it shows IVF beating axis-aligned bit-sampling decisively). Exact
+    * side-by-side is how an index variant gets chosen or retired — it
+    * retired the first-8-dims bit-sampling bucket (≈0.03 recall@3) in
+    * favor of [[signBucket]]'s Charikar hyperplanes. Exact
     * side: one broadcast nested-loop corpus scan with the salted
     * two-phase top-k (no reducer ever holds more than k×salts rows per
     * probe). Approx sides: the same candidate joins p05/p20 run. Hits
@@ -2549,10 +2617,7 @@ object Pipeline extends QueryModule {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-      .withColumn("bucket", concat_ws("",
-        (1 to 8).map(i =>
-          when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
-            .otherwise(lit("0"))): _*))
+      .withColumn("bucket", signBucket(col("v"), AnnBits))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
       col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
     def sim = round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
@@ -2580,7 +2645,7 @@ object Pipeline extends QueryModule {
     // retires) the extra probes rides in the same report
     val probeKeys = probes.select(col("probe_id"), col("pv"), col("pnrm"),
       explode(array(col("bucket") +:
-        (1 to 8).map(i => flipBit(col("bucket"), i)): _*)).as("bucket"))
+        (1 to AnnBits).map(i => flipBit(col("bucket"), i)): _*)).as("bucket"))
     val approxMp = topk(e.join(probeKeys, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"), sim.as("sim")))
@@ -4525,15 +4590,16 @@ object Pipeline extends QueryModule {
       .select("doc_id", "step", "batch")
   }
 
-  /** Multi-probe sign-bucket ANN — the engineering response to p72's
-    * measured finding that single-bucket bit-sampling LSH recalls ≈0.03
-    * on this corpus: each probe searches its own sign bucket PLUS the 8
-    * buckets at Hamming distance 1 (Lv et al. 2007's multi-probe LSH —
-    * spend probes instead of building more tables), so a near neighbor
-    * that disagrees on one sign bit is no longer invisible. Only the
-    * PROBE side fans out (×9 keys on the small probe set); every corpus
-    * vector still carries exactly one bucket and the join stays keyed —
-    * per-probe work is 9 buckets ≈ 9·corpus/2^8 candidates, and because
+  /** Multi-probe sign-bucket ANN over [[signBucket]]'s Charikar
+    * hyperplanes — recall insurance for the single-bucket path (p72
+    * measures the lift): each probe searches its own sign bucket PLUS the
+    * [[AnnBits]] buckets at Hamming distance 1 (Lv et al. 2007's
+    * multi-probe LSH — spend probes instead of building more tables), so
+    * a near neighbor that disagrees on one sign bit is no longer
+    * invisible. Only the PROBE side fans out (×(bits+1) keys on the small
+    * probe set); every corpus vector still carries exactly one bucket and
+    * the join stays keyed — per-probe work is (bits+1)·corpus/2^bits
+    * candidates, and because
     * buckets partition the corpus the probe keys are distinct and no
     * candidate dedup stage is needed. Recall is monotonically ≥ the
     * single-bucket path by construction (a candidate that displaces a
@@ -4544,15 +4610,12 @@ object Pipeline extends QueryModule {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-      .withColumn("bucket", concat_ws("",
-        (1 to 8).map(i =>
-          when(try_element_at(col("v"), lit(i)) >= 0, lit("1"))
-            .otherwise(lit("0"))): _*))
+      .withColumn("bucket", signBucket(col("v"), AnnBits))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
       col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
     val probeKeys = probes.select(col("probe_id"), col("pv"), col("pnrm"),
       explode(array(col("bucket") +:
-        (1 to 8).map(i => flipBit(col("bucket"), i)): _*)).as("bucket"))
+        (1 to AnnBits).map(i => flipBit(col("bucket"), i)): _*)).as("bucket"))
     val sims = e.join(probeKeys, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
@@ -4565,12 +4628,13 @@ object Pipeline extends QueryModule {
       .select("probe_id", "vec_id", "rnk", "sim")
   }
 
-  /** The 8-char sign-bucket string with bit `i` (1-based) flipped —
-    * shared by p104's probe fan-out and p72's multi-probe monitor. */
+  /** The [[AnnBits]]-char sign-bucket string with bit `i` (1-based)
+    * flipped — shared by p104's probe fan-out and p72's multi-probe
+    * monitor. */
   private def flipBit(b: Column, i: Int): Column = concat(
     substring(b, 1, i - 1),
     when(substring(b, i, 1) === "1", lit("0")).otherwise(lit("1")),
-    substring(b, i + 1, 8 - i))
+    substring(b, i + 1, AnnBits - i))
 
   /** Source-trust policy table for provenance-aware dedup: tier 1 =
     * curated sources, tier 2 = vetted web, everything else tier 3
@@ -5688,13 +5752,12 @@ object Pipeline extends QueryModule {
   // p13's full oracle text, shared with p49 (which text-verifies p13's
   // embedding-bucketed candidate pairs).
   private val sqlP13: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |n AS (SELECT vec_id, v,
       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-      |  array_to_string(list_transform(generate_series(1, 4),
-      |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  ${sqlSignBucket("v", 4)} AS bucket
       |  FROM e)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  round(list_sum(list_transform(generate_series(1, len(a.v)),
@@ -6179,13 +6242,12 @@ object Pipeline extends QueryModule {
     // sign-bucket search AND the p20-shape IVF-cell search — hit counts
     // are integers, so both recalls are exact
     "p72_ann_recall" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |n AS (SELECT vec_id, v,
         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-        |  array_to_string(list_transform(generate_series(1, 8),
-        |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  ${sqlSignBucket("v", AnnBits)} AS bucket
         |  FROM e),
         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket
         |  FROM n WHERE vec_id < 20),
@@ -6205,11 +6267,11 @@ object Pipeline extends QueryModule {
         |    ORDER BY sim DESC, vec_id) AS rnk FROM lss) t WHERE rnk <= 3),
         |pk AS (SELECT probe_id, pv, pnrm,
         |    unnest(list_prepend(bucket,
-        |      list_transform(generate_series(1, 8), i ->
+        |      list_transform(generate_series(1, $AnnBits), i ->
         |        substr(bucket, 1, CAST(i - 1 AS INT)) ||
         |        (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
         |          THEN '0' ELSE '1' END) ||
-        |        substr(bucket, CAST(i + 1 AS INT), CAST(8 - i AS INT)))))
+        |        substr(bucket, CAST(i + 1 AS INT), CAST($AnnBits - i AS INT)))))
         |      AS bucket
         |  FROM p),
         |mss AS (SELECT probe_id, vec_id,
@@ -6795,13 +6857,12 @@ object Pipeline extends QueryModule {
         |    ORDER BY sim DESC, vec_id) AS INT) AS rnk FROM s)
         |SELECT probe_id, vec_id, rnk, sim FROM r WHERE rnk <= 10""".stripMargin,
     "p05_ann_lsh_bucketed" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |n AS (SELECT vec_id, v,
         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-        |  array_to_string(list_transform(generate_series(1, 8),
-        |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  ${sqlSignBucket("v", AnnBits)} AS bucket
         |  FROM e),
         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket
         |  FROM n WHERE vec_id < 20),
@@ -6932,23 +6993,22 @@ object Pipeline extends QueryModule {
          |  FROM k)
          |SELECT doc_id, step, step // $OrderBatch AS batch FROM r""".stripMargin,
     "p104_ann_multiprobe" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |n AS (SELECT vec_id, v,
         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-        |  array_to_string(list_transform(generate_series(1, 8),
-        |    i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  ${sqlSignBucket("v", AnnBits)} AS bucket
         |  FROM e),
         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, bucket
         |  FROM n WHERE vec_id < 20),
         |pk AS (SELECT probe_id, pv, pnrm,
         |    unnest(list_prepend(bucket,
-        |      list_transform(generate_series(1, 8), i ->
+        |      list_transform(generate_series(1, $AnnBits), i ->
         |        substr(bucket, 1, CAST(i - 1 AS INT)) ||
         |        (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
         |          THEN '0' ELSE '1' END) ||
-        |        substr(bucket, CAST(i + 1 AS INT), CAST(8 - i AS INT)))))
+        |        substr(bucket, CAST(i + 1 AS INT), CAST($AnnBits - i AS INT)))))
         |      AS bucket
         |  FROM p),
         |s AS (

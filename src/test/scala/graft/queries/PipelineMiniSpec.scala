@@ -27,7 +27,11 @@ object PipelineMiniSpec {
         "fr", "src3", 60L),
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$d/documents.parquet")
-    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    // zero-padded to the engine's declared AnnDim so the Charikar sign
+    // buckets (64-wide hyperplanes) see full-length vectors; padding
+    // changes no cosine and no centroid assignment
+    def vec(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(Pipeline.AnnDim - xs.length)(0.0)).map(_.toFloat)
     Seq(
       (0L, vec(1, 0, 0, 0), 0),
       (1L, vec(0.9, 0.1, 0, 0), 0), // nearest to 0
@@ -97,12 +101,14 @@ class PipelineMiniSpec extends SparkSpec {
     val rows = run("p05_ann_lsh_bucketed")
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // p05 buckets on 8 sign bits; these 4-dim vectors pad dims 5-8 with
-    // '0'. Zero counts as >=0, so v0=[1,0,0,0], v1=[.9,.1,0,0] and
-    // v2=[0,1,0,0] all bucket as "11110000", while v3=[-1,0,0,0] is
-    // "01110000": 0,1,2 pair up within the bucket and 3 is alone.
+    // Charikar buckets: bit p = sign(v · r_p). v1 = [.9,.1,0,...] always
+    // shares v0 = [1,0,0,...]'s bucket (its dot is 0.9·r0 + 0.1·r1, and
+    // |0.9| > |0.1| pins the sign to r0's), while v3 = -v0 flips EVERY
+    // bit (dot exactly negated, never zero), so 0/1 pair up and 3 can
+    // never match 0 or 1.
     assert(rows.contains((0L, 1L)))
-    assert(!rows.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!rows.exists(p =>
+      (p._1 == 3L && p._2 <= 1L) || (p._2 == 3L && p._1 <= 1L)))
   }
 
   test("p20 IVF ANN searches only the probe's centroid cell") {
@@ -561,7 +567,7 @@ class PipelineMiniSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
         ((r.getAs[Long]("n"), r.getAs[Double]("centroid_q"),
           r.getAs[Double]("centroid")))).toMap
-    assert(rows.size == 12) // 3 labels x 4 dims
+    assert(rows.size == 3 * Pipeline.AnnDim) // 3 labels x 64 dims
     // label 0 = vecs 0,1 with codes 127/114 on dim 0: mean 120.5,
     // dequantized -1 + (120.5+128)*2/255 = 0.949020
     assert(rows((0, 0)) == ((2L, 120.5, 0.94902)))

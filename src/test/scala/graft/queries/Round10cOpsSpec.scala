@@ -106,12 +106,19 @@ class Round10cOpsSpec extends SparkSpec {
   }
 
   test("p104: candidates stay within Hamming radius 1 of the probe bucket") {
+    // recompute the Charikar bucket from the same declared hyperplanes,
+    // with vdot's exact arithmetic (float→double products, array-order sum)
+    val planes = (0 until Pipeline.AnnBits).map(Pipeline.hyperplaneSigns)
     val bucketOf = Tables.embeddings(spark, Sf01)
       .select(col("vec_id"), col("embedding")).collect()
       .map { r =>
         val v = r.getSeq[Float](1)
-        r.getLong(0) -> (0 until 8).map(i =>
-          if (i < v.length && v(i) >= 0) '1' else '0').mkString
+        r.getLong(0) -> planes.map { pl =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { acc += v(i).toDouble * pl(i).toDouble; i += 1 }
+          if (acc >= 0) '1' else '0'
+        }.mkString
       }.toMap
     val rows = run("p104_ann_multiprobe").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

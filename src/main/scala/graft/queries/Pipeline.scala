@@ -3628,22 +3628,35 @@ object Pipeline extends QueryModule {
         date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
       .agg(count(lit(1)).as("c")))
 
+  /** Closed hours a type's baseline freezes after — ONE declared
+    * phase-I window shared by this batch op and its streaming twin
+    * ([[graft.streaming.Streams.cusumDrift]] takes it as its default),
+    * so the two are literally the same control chart: CusumTwinSpec
+    * drives one series through both paths and asserts identical
+    * (c, cusum8nb, alarm) rows. A fixed window (not the series
+    * midpoint) is the control-chart deployment form — a stream cannot
+    * know its own midpoint. */
+  val CusumBaselineHours = 12L
+
   /** The p122 core over any (event_type, hour, c) frame —
     * Round10dOpsSpec drives a drifting synthetic series through it
     * (every hour 3σ-quiet, the CUSUM loud) and replays the
     * recurrence driver-side. Phase I/II split: baseline moments
-    * (nb, sb, ssb) come from each type's FIRST HALF of hours — a
-    * drifted tail must not inflate its own baseline — and the CUSUM
-    * runs over the second half: S_t = max(0, S_{t−1} + 8nb·c_t − 9sb)
+    * (nb, sb, ssb) come from each type's FIRST [[CusumBaselineHours]]
+    * hours (phase I, frozen — a drifted tail must not inflate its own
+    * baseline) and the CUSUM runs over every later hour:
+    * S_t = max(0, S_{t−1} + 8nb·c_t − 9sb)
     * (the k = μ₀/8 reference in 8nb-scaled exact integers), alarm
     * when S_t > 8σ₀, squared to S² > 4096(nb·ssb − sb²). Types with
-    * fewer than 4 hours have no baseline and emit nothing. */
-  private[graft] def cusumDriftOf(hourly: DataFrame): DataFrame =
+    * no hours beyond the baseline window emit nothing — exactly the
+    * streaming twin's phase-I silence. */
+  private[graft] def cusumDriftOf(hourly: DataFrame,
+      baselineHours: Long = CusumBaselineHours): DataFrame =
     hourly.groupBy("event_type")
       .agg(array_sort(collect_list(struct(col("hour"), col("c"))))
         .as("hs"))
-      .filter(size(col("hs")) >= 4)
-      .withColumn("nb", (size(col("hs")) / 2).cast(LongType))
+      .filter(size(col("hs")) > baselineHours)
+      .withColumn("nb", lit(baselineHours))
       .withColumn("sb", expr(
         "aggregate(slice(hs, 1, CAST(nb AS INT)), CAST(0 AS BIGINT)," +
           " (a, x) -> a + x.c)"))
@@ -3659,6 +3672,16 @@ object Pipeline extends QueryModule {
         lit(4L) * size(col("hs")) * col("stot") < lit(1000000000L),
         concat(lit("p122: counts exceed the exact-int64 CUSUM envelope" +
           " (4*n*s >= 1e9) for event_type "), col("event_type")))
+        .isNull)
+      // threshold-side exactness: the alarm compares S^2 (< 4e18 under
+      // the envelope above) against 4096*(nb*ssb - sb^2); nb*ssb < 2^50
+      // keeps that product under 2^62 so the compare is exact int64 on
+      // both sides even for baselines with extreme hourly mass (the
+      // 4*n*s envelope alone does not bound it)
+      .filter(assert_true(
+        col("nb") * col("ssb") < lit(1L << 50),
+        concat(lit("p122: baseline moments exceed the exact-int64 alarm" +
+          " envelope (nb*ssb >= 2^50) for event_type "), col("event_type")))
         .isNull)
       .select(col("event_type"), col("nb"), col("sb"), col("ssb"),
         explode(expr(
@@ -6107,7 +6130,7 @@ object Pipeline extends QueryModule {
          |    CAST(COUNT(*) AS BIGINT) AS c
          |  FROM events GROUP BY 1, 2),
          |nn AS (SELECT event_type, COUNT(*) AS n FROM h
-         |  GROUP BY 1 HAVING COUNT(*) >= 4),
+         |  GROUP BY 1 HAVING COUNT(*) > $CusumBaselineHours),
          |rk AS (SELECT h.event_type, h.hour, h.c, nn.n,
          |    ROW_NUMBER() OVER (PARTITION BY h.event_type
          |      ORDER BY h.hour) AS rn
@@ -6115,12 +6138,12 @@ object Pipeline extends QueryModule {
          |bs AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nb,
          |    CAST(SUM(c) AS BIGINT) AS sb,
          |    CAST(SUM(c*c) AS BIGINT) AS ssb
-         |  FROM rk WHERE rn <= n // 2 GROUP BY 1),
+         |  FROM rk WHERE rn <= $CusumBaselineHours GROUP BY 1),
          |cu AS (
          |  SELECT r.event_type, r.rn, r.hour, r.c,
          |    GREATEST(0, 8 * b.nb * r.c - 9 * b.sb) AS cusum
          |  FROM rk r JOIN bs b ON b.event_type = r.event_type
-         |  WHERE r.rn = r.n // 2 + 1
+         |  WHERE r.rn = $CusumBaselineHours + 1
          |  UNION ALL
          |  SELECT r.event_type, r.rn, r.hour, r.c,
          |    GREATEST(0, cu.cusum + 8 * b.nb * r.c - 9 * b.sb)

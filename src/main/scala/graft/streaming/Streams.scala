@@ -675,16 +675,18 @@ object Streams {
   /** State per event type for [[cusumDrift]]: open hour buckets (same
     * closing discipline as [[hourlyAnomalies]]), the frozen baseline
     * moments once [[CusumBaselineHours]] hours have closed, the
-    * running CUSUM, and the per-key watermark. Bounded: |open| ≤
-    * lateness window, plus six longs. */
+    * running CUSUM, the envelope totals (closed hours, total count),
+    * and the per-key watermark. Bounded: |open| ≤ lateness window,
+    * plus eight longs. */
   final case class CusumState(open: Map[Long, Long], nb: Long, sb: Long,
-      ssb: Long, run: Long, maxMs: Long)
+      ssb: Long, run: Long, nt: Long, st: Long, maxMs: Long)
 
-  /** Closed hours a type's baseline freezes after — the streaming
-    * stand-in for batch p122's retrospective half-split (a stream
-    * cannot know its series midpoint; a fixed phase-I window is the
-    * control-chart deployment form). */
-  val CusumBaselineHours = 12L
+  /** Closed hours a type's baseline freezes after — THE SAME declared
+    * phase-I window as batch p122
+    * ([[graft.queries.Pipeline.CusumBaselineHours]]), so batch and
+    * streaming are literally the same control chart (CusumTwinSpec
+    * proves it row for row on a shared series). */
+  val CusumBaselineHours: Long = graft.queries.Pipeline.CusumBaselineHours
 
   /** Streaming CUSUM drift monitor — the continuous twin of batch
     * p122_cusum_drift and the slow-change sibling of
@@ -696,10 +698,11 @@ object Streams {
     * count, scaled CUSUM, and the squared 8σ₀ alarm
     * (S² > 4096(nb·ssb − sb²)). Hour closing is per-key
     * watermark-driven with late arrivals dropped, hourlyAnomalies'
-    * contract verbatim; state is bounded by the lateness window. The
-    * deliberate twin divergence from batch (fixed phase-I window vs
-    * retrospective half-split) is documented on
-    * [[CusumBaselineHours]]. */
+    * contract verbatim; state is bounded by the lateness window.
+    * Batch p122 uses the SAME fixed [[CusumBaselineHours]] phase-I
+    * window, so the two paths emit identical rows for identical
+    * closed-hour series (CusumTwinSpec), and both enforce the same
+    * int64 envelope loudly instead of letting S² wrap. */
   def cusumDrift(events: Dataset[Event],
       latenessMs: Long = 2 * 3600000L,
       baselineHours: Long = CusumBaselineHours): Dataset[CusumRow] = {
@@ -713,7 +716,7 @@ object Streams {
         (tpe: String, batch: Iterator[Event],
             state: GroupState[CusumState]) =>
           val prev = state.getOption.getOrElse(
-            CusumState(Map.empty, 0, 0, 0, 0, Long.MinValue))
+            CusumState(Map.empty, 0, 0, 0, 0, 0, 0, Long.MinValue))
           var maxMs = prev.maxMs
           val open = batch.foldLeft(prev.open) { (acc, e) =>
             val ms = e.ts.getTime
@@ -726,9 +729,27 @@ object Streams {
             hour + HourMs + latenessMs <= maxMs
           }
           var (nb, sb, ssb, run) = (prev.nb, prev.sb, prev.ssb, prev.run)
+          var (nt, st) = (prev.nt, prev.st)
           val out = closing.toSeq.sortBy(_._1).flatMap { case (hour, c) =>
+            // batch p122's int64 envelope, enforced incrementally and
+            // LOUDLY (4·n·s is prefix-monotone, so this fires no later
+            // than the batch assert would on the same closed hours):
+            // it bounds S < 2e9 so S² below can never wrap negative
+            // and silently suppress the alarm under sustained drift.
+            // The c guard first keeps the products themselves exact.
+            require(c < 250000000L, s"cusumDrift($tpe): hour count $c " +
+              "exceeds the exact-int64 CUSUM envelope; pre-scale the feed")
+            nt += 1; st += c
+            require(4L * nt * st < 1000000000L,
+              s"cusumDrift($tpe): counts exceed the exact-int64 CUSUM " +
+                "envelope (4*n*s >= 1e9); pre-scale the feed")
             if (nb < baselineHours) {
               nb += 1; sb += c; ssb += c * c
+              // threshold-side exactness, batch p122's second guard:
+              // 4096·(nb·ssb − sb²) must stay under 2^62
+              require(nb * ssb < (1L << 50),
+                s"cusumDrift($tpe): baseline moments exceed the " +
+                  "exact-int64 alarm envelope (nb*ssb >= 2^50)")
               None // phase I: the baseline absorbs the hour silently
             } else {
               run = math.max(0L, run + 8L * nb * c - 9L * sb)
@@ -737,7 +758,7 @@ object Streams {
               Some(CusumRow(tpe, hour, c, run, alarm))
             }
           }
-          state.update(CusumState(stillOpen, nb, sb, ssb, run, maxMs))
+          state.update(CusumState(stillOpen, nb, sb, ssb, run, nt, st, maxMs))
           out.iterator
       }
   }

@@ -3612,8 +3612,9 @@ object Pipeline extends QueryModule {
     * deviation. House integer-exact form: in 8nb-scaled units
     * S_t = max(0, S_{t−1} + 8nb·c_t − 9sb) is an exact int64
     * recurrence and the alarm squares to S² > 4096(nb·ssb − sb²) —
-    * one integer compare. An int64 envelope assert (4·n·s < 1e9
-    * bounds S and S²) fails loudly instead of wrapping, p84's rule.
+    * one integer compare. Int64 envelope asserts (every hour count
+    * < 2.5e8 for exact steps, every S < 2e9 so S² cannot wrap) fail
+    * loudly instead of wrapping, p84's rule.
     *
     * Scale shape: one (type, hour) counting shuffle (p84's), then the
     * sequential recurrence runs INSIDE a per-type `aggregate` HOF
@@ -3663,15 +3664,20 @@ object Pipeline extends QueryModule {
       .withColumn("ssb", expr(
         "aggregate(slice(hs, 1, CAST(nb AS INT)), CAST(0 AS BIGINT)," +
           " (a, x) -> a + x.c * x.c)"))
-      .withColumn("stot", expr(
-        "aggregate(hs, CAST(0 AS BIGINT), (a, x) -> a + x.c)"))
-      // int64 envelope, loud: S is bounded by 8·nb·(phase-II counts)
-      // ≤ 4·n·stot, and the alarm squares S — so 4·n·stot < 1e9 keeps
-      // S² < 1e18 < Long.Max. Feeds beyond it must pre-scale.
+      .withColumn("cmax", expr(
+        "aggregate(hs, CAST(0 AS BIGINT), (a, x) -> greatest(a, x.c))"))
+      // int64 envelope, loud — the streaming twin's exact guards
+      // (graft.streaming.Streams.cusumDrift), re-derived from the
+      // quantities the alarm actually squares rather than a cumulative
+      // total that grows forever on healthy feeds: (1) every hour
+      // count < 2.5e8 keeps each recurrence step's products exact;
+      // (2) every emitted S < 2e9 (checked after the explode, below)
+      // keeps S² < 4e18 < 2^63 in the alarm compare. Feeds beyond
+      // either must pre-scale.
       .filter(assert_true(
-        lit(4L) * size(col("hs")) * col("stot") < lit(1000000000L),
-        concat(lit("p122: counts exceed the exact-int64 CUSUM envelope" +
-          " (4*n*s >= 1e9) for event_type "), col("event_type")))
+        col("cmax") < lit(250000000L),
+        concat(lit("p122: hour count exceeds the exact-int64 CUSUM" +
+          " envelope (c >= 2.5e8) for event_type "), col("event_type")))
         .isNull)
       // threshold-side exactness: the alarm compares S^2 (< 4e18 under
       // the envelope above) against 4096*(nb*ssb - sb^2); nb*ssb < 2^50
@@ -3699,6 +3705,16 @@ object Pipeline extends QueryModule {
             |      'cusum', greatest(CAST(0 AS BIGINT),
             |        acc.run + 8 * nb * x.c - 9 * sb))))),
             |  acc -> acc.out)""".stripMargin)).as("r"))
+      // streaming-twin S guard: each emitted cusum IS the post-update
+      // run, so asserting every row < 2e9 is exactly the per-step
+      // check in Streams.cusumDrift. The first violating step is
+      // computed exactly (prior S < 2e9, |step| ≤ 9·nb·2.5e8 under
+      // cmax), so it cannot wrap before this catches it.
+      .filter(assert_true(
+        col("r.cusum") < lit(2000000000L),
+        concat(lit("p122: CUSUM statistic exceeds the exact-int64 alarm" +
+          " envelope (S >= 2e9) for event_type "), col("event_type")))
+        .isNull)
       .select(col("event_type"), col("r.hour").as("hour"),
         col("r.c").as("c"), col("r.cusum").as("cusum8nb"),
         when(col("r.cusum") * col("r.cusum") >

@@ -675,11 +675,10 @@ object Streams {
   /** State per event type for [[cusumDrift]]: open hour buckets (same
     * closing discipline as [[hourlyAnomalies]]), the frozen baseline
     * moments once [[CusumBaselineHours]] hours have closed, the
-    * running CUSUM, the envelope totals (closed hours, total count),
-    * and the per-key watermark. Bounded: |open| ≤ lateness window,
-    * plus eight longs. */
+    * running CUSUM, and the per-key watermark. Bounded: |open| ≤
+    * lateness window, plus six longs. */
   final case class CusumState(open: Map[Long, Long], nb: Long, sb: Long,
-      ssb: Long, run: Long, nt: Long, st: Long, maxMs: Long)
+      ssb: Long, run: Long, maxMs: Long)
 
   /** Closed hours a type's baseline freezes after — THE SAME declared
     * phase-I window as batch p122
@@ -702,7 +701,17 @@ object Streams {
     * Batch p122 uses the SAME fixed [[CusumBaselineHours]] phase-I
     * window, so the two paths emit identical rows for identical
     * closed-hour series (CusumTwinSpec), and both enforce the same
-    * int64 envelope loudly instead of letting S² wrap. */
+    * int64 envelope loudly instead of letting S² wrap.
+    *
+    * Envelope derivation (shared with batch p122): the alarm compares
+    * S² against 4096(nb·ssb − sb²), so exactness needs S < √2^63 ≈
+    * 3.03e9 — guarded as S < 2e9 AFTER each recurrence update (the
+    * only quantity that grows with drift). Per-step arithmetic is
+    * exact before that check fires: the prior step left S < 2e9 and
+    * the increment |8nb·c − 9sb| ≤ 9·nb·2.5e8 under the c guard, far
+    * inside int64. A healthy feed never trips it — S resets toward 0
+    * whenever counts sit at baseline (8nb·c < 9sb on average), unlike
+    * a cumulative-total guard which grows monotonically forever. */
   def cusumDrift(events: Dataset[Event],
       latenessMs: Long = 2 * 3600000L,
       baselineHours: Long = CusumBaselineHours): Dataset[CusumRow] = {
@@ -716,7 +725,7 @@ object Streams {
         (tpe: String, batch: Iterator[Event],
             state: GroupState[CusumState]) =>
           val prev = state.getOption.getOrElse(
-            CusumState(Map.empty, 0, 0, 0, 0, 0, 0, Long.MinValue))
+            CusumState(Map.empty, 0, 0, 0, 0, Long.MinValue))
           var maxMs = prev.maxMs
           val open = batch.foldLeft(prev.open) { (acc, e) =>
             val ms = e.ts.getTime
@@ -729,20 +738,18 @@ object Streams {
             hour + HourMs + latenessMs <= maxMs
           }
           var (nb, sb, ssb, run) = (prev.nb, prev.sb, prev.ssb, prev.run)
-          var (nt, st) = (prev.nt, prev.st)
           val out = closing.toSeq.sortBy(_._1).flatMap { case (hour, c) =>
-            // batch p122's int64 envelope, enforced incrementally and
-            // LOUDLY (4·n·s is prefix-monotone, so this fires no later
-            // than the batch assert would on the same closed hours):
-            // it bounds S < 2e9 so S² below can never wrap negative
-            // and silently suppress the alarm under sustained drift.
-            // The c guard first keeps the products themselves exact.
+            // batch p122's int64 envelope, enforced LOUDLY so the S²
+            // alarm compare can never wrap negative and silently
+            // suppress the alarm under sustained drift. The c guard
+            // keeps each step's products exact; the S guard (after
+            // the recurrence update below) bounds the one quantity
+            // drift actually grows. Guarding S itself — not a
+            // cumulative total — means a healthy feed never trips it
+            // no matter how long it runs: S resets toward zero while
+            // counts sit at baseline rates.
             require(c < 250000000L, s"cusumDrift($tpe): hour count $c " +
               "exceeds the exact-int64 CUSUM envelope; pre-scale the feed")
-            nt += 1; st += c
-            require(4L * nt * st < 1000000000L,
-              s"cusumDrift($tpe): counts exceed the exact-int64 CUSUM " +
-                "envelope (4*n*s >= 1e9); pre-scale the feed")
             if (nb < baselineHours) {
               nb += 1; sb += c; ssb += c * c
               // threshold-side exactness, batch p122's second guard:
@@ -753,12 +760,22 @@ object Streams {
               None // phase I: the baseline absorbs the hour silently
             } else {
               run = math.max(0L, run + 8L * nb * c - 9L * sb)
+              // S² must stay exact int64: S < 2e9 keeps S² < 4e18 <
+              // 2^63 (threshold side is bounded by the nb·ssb guard).
+              // The update itself was exact — the prior step left
+              // S < 2e9 and |8nb·c − 9sb| ≤ 9·nb·2.5e8 under the c
+              // guard — so the first violating S is computed exactly
+              // and caught here before any compare could wrap.
+              require(run < 2000000000L,
+                s"cusumDrift($tpe): CUSUM statistic exceeds the " +
+                  "exact-int64 alarm envelope (S >= 2e9); the feed has " +
+                  "drifted far past the alarm point — reset or pre-scale")
               val alarm =
                 if (run * run > 4096L * (nb * ssb - sb * sb)) 1 else 0
               Some(CusumRow(tpe, hour, c, run, alarm))
             }
           }
-          state.update(CusumState(stillOpen, nb, sb, ssb, run, nt, st, maxMs))
+          state.update(CusumState(stillOpen, nb, sb, ssb, run, maxMs))
           out.iterator
       }
   }

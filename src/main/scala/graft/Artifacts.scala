@@ -93,30 +93,84 @@ object Artifacts {
       // own PRIVATE temp dir (no shared _temporary, no interleaved
       // task commits) and publishes with one rename — never the final
       // path directly, where two overwrite-mode jobs can interleave
-      // into a torn directory that still carries _SUCCESS. The rename
-      // is attempted only while the final path is absent (renaming
-      // onto an existing directory would nest into it on most
-      // Hadoop filesystems); a loser discards its temp copy and
-      // serves its own built frame — the published winner is
-      // equivalent, and the next session reads it.
+      // into a torn directory that still carries _SUCCESS. The
+      // publish itself is serialized through an atomic claim file
+      // (see [[publish]]): without it, two sessions could both pass
+      // an absence check, and on Hadoop filesystems — where rename
+      // onto an existing directory NESTS the source inside it — the
+      // loser's tmp dir would land inside the winner's published
+      // artifact, which still carries _SUCCESS, so every later
+      // session would silently read doubled rows. A session that
+      // cannot claim serves its own built frame; the published
+      // winner is equivalent, and the next session reads it.
       val df = build
       val tmp = new org.apache.hadoop.fs.Path(
         s"$path.tmp-${java.util.UUID.randomUUID()}")
       df.write.mode("overwrite").parquet(tmp.toString)
-      // publish: a marker-less final dir is a torn write — clear it
-      // first (unless a racer published a GOOD copy meanwhile), then
-      // rename only into absence. A loser in the remaining window
-      // serves its own built frame; the published winner is
-      // equivalent and every later session reads it.
-      val won =
-        if (fs.exists(success)) false
-        else {
-          if (fs.exists(hPath)) fs.delete(hPath, true)
-          !fs.exists(hPath) && fs.rename(tmp, hPath)
-        }
-      if (!won) fs.delete(tmp, true)
+      publish(fs, tmp, hPath): Unit
       if (fs.exists(success)) s.read.parquet(path) else df
     }
+  }
+
+  /** A crashed publisher's claim file may be broken (taken over) after
+    * this long — liveness for the store, far above any real publish. */
+  private val ClaimStaleMs = 15L * 60 * 1000
+
+  /** Atomically publish `tmp` as artifact dir `hPath`. Mutual
+    * exclusion comes from a sibling `<name>.claim` file taken with
+    * `FileSystem.createNewFile` (atomic create-if-absent on HDFS and
+    * local filesystems — the primitive distributed Hadoop jobs use
+    * for exactly this): only the claim holder may delete a torn final
+    * dir and rename into it, so the nesting race (two publishers both
+    * passing an absence check, the loser's rename nesting its tmp
+    * INSIDE the winner's `_SUCCESS`-carrying dir) cannot happen. A
+    * claim older than [[ClaimStaleMs]] is broken once — a crashed
+    * publisher must not wedge the store forever; sessions that cannot
+    * claim discard `tmp` and serve their own built frame. Under the
+    * claim, `_SUCCESS` is re-checked immediately before any delete —
+    * a torn-write cleanup can no longer race a concurrent good
+    * publish — and after the rename the final dir is verified to
+    * contain no nested `*.tmp-*` entry (repairing by deleting any
+    * found: belt-and-braces against legacy unclaimed writers).
+    * `onClaimHeld` is a test seam run while the claim is held, before
+    * the publish decision — race-injection specs schedule a competing
+    * publisher inside it. Returns whether THIS caller published. */
+  private[graft] def publish(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, hPath: org.apache.hadoop.fs.Path,
+      onClaimHeld: () => Unit = () => ()): Boolean = {
+    val success = new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")
+    val claim = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + ".claim")
+    def tryClaim(): Boolean =
+      try { fs.mkdirs(hPath.getParent); fs.createNewFile(claim) }
+      catch { case _: java.io.IOException => false }
+    val owned = tryClaim() || {
+      // stale-claim takeover: exactly one retry after breaking it, so
+      // two takers still serialize on the fresh createNewFile
+      val stale = try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(claim).getModificationTime > ClaimStaleMs
+      } catch { case _: java.io.IOException => false }
+      stale && fs.delete(claim, false) && tryClaim()
+    }
+    val won = owned && {
+      try {
+        onClaimHeld()
+        if (fs.exists(success)) false // a racer published first: done
+        else {
+          // marker-less final dir = torn write; safe to clear under
+          // the claim (no one else can be mid-publish)
+          if (fs.exists(hPath)) fs.delete(hPath, true): Unit
+          val renamed = fs.rename(tmp, hPath)
+          if (renamed) fs.listStatus(hPath)
+            .filter(_.getPath.getName.contains(".tmp-"))
+            .foreach(st => fs.delete(st.getPath, true): Unit)
+          renamed
+        }
+      } finally fs.delete(claim, false): Unit
+    }
+    if (!won) fs.delete(tmp, true): Unit
+    won
   }
 
   /** Stage a builder's FINAL frame only when the artifact will live in

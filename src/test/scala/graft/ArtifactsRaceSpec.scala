@@ -1,0 +1,149 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import org.apache.hadoop.fs.Path
+
+/** Race injection for the cross-session artifact store's publish step.
+  * The hazard (pre-round-12 code): between a publisher's absence check
+  * and its rename, a second session could publish — and on Hadoop
+  * filesystems rename onto an existing directory NESTS the source
+  * inside it, so the loser's tmp dir landed inside the winner's
+  * `_SUCCESS`-carrying artifact and every later session silently read
+  * doubled rows. [[Artifacts.publish]] now serializes publishers
+  * through an atomic claim file; the `onClaimHeld` seam lets these
+  * tests schedule a competitor inside the exact window that used to
+  * corrupt. */
+class ArtifactsRaceSpec extends SparkSpec {
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+
+  private def tempRoot(): String = java.nio.file.Files
+    .createTempDirectory("graft-artifact-race").toString
+
+  /** One parquet copy of `n` rows tagged `src`, in its own tmp dir. */
+  private def writeTmp(root: String, src: String, n: Int): Path = {
+    import org.apache.spark.sql.functions.lit
+    val tmp = new Path(s"$root/art.tmp-${java.util.UUID.randomUUID()}")
+    spark.range(n).toDF("id").withColumn("src", lit(src))
+      .coalesce(1).write.parquet(tmp.toString)
+    tmp
+  }
+
+  private def childNames(p: Path): Seq[String] = {
+    val fs = p.getFileSystem(hconf)
+    fs.listStatus(p).map(_.getPath.getName).toSeq
+  }
+
+  test("a competitor publishing inside the claim window cannot nest " +
+      "its tmp into the artifact") {
+    val root = tempRoot()
+    val hPath = new Path(s"$root/art")
+    val fs = hPath.getFileSystem(hconf)
+    val tmpA = writeTmp(root, "A", 10)
+    val tmpB = writeTmp(root, "B", 10)
+    var bWon = false
+    // A holds the claim; B attempts a full publish inside A's window —
+    // the interleaving that used to nest B's rename into A's dir (or
+    // vice versa). B must be locked out entirely.
+    val aWon = Artifacts.publish(fs, tmpA, hPath, { () =>
+      bWon = Artifacts.publish(fs, tmpB, hPath)
+    })
+    assert(aWon && !bWon, "the claim holder and only it publishes")
+    val kids = childNames(hPath)
+    assert(kids.contains("_SUCCESS"))
+    assert(!kids.exists(_.contains(".tmp-")),
+      s"published artifact must hold no nested tmp dir, got $kids")
+    assert(!fs.exists(tmpB), "the loser's tmp copy is discarded")
+    val rows = spark.read.parquet(hPath.toString).collect()
+    assert(rows.length == 10 &&
+      rows.forall(_.getString(1) == "A"), "exactly one clean copy")
+  }
+
+  test("the torn-write cleanup re-checks _SUCCESS under the claim " +
+      "and never deletes a racer's good publish") {
+    val root = tempRoot()
+    val hPath = new Path(s"$root/art")
+    val fs = hPath.getFileSystem(hconf)
+    // a torn write: a final dir WITHOUT the marker
+    fs.mkdirs(new Path(hPath, "part-torn"))
+    val tmpA = writeTmp(root, "A", 5)
+    val tmpGood = writeTmp(root, "GOOD", 5)
+    // inside A's claim window a raw writer (no claim discipline)
+    // replaces the torn dir with a good _SUCCESS-carrying publish;
+    // A must then stand down instead of deleting it as torn
+    val aWon = Artifacts.publish(fs, tmpA, hPath, { () =>
+      fs.delete(hPath, true)
+      fs.rename(tmpGood, hPath): Unit
+    })
+    assert(!aWon, "a good publish observed under the claim wins")
+    assert(!fs.exists(tmpA), "the stand-down discards A's tmp")
+    val rows = spark.read.parquet(hPath.toString).collect()
+    assert(rows.length == 5 && rows.forall(_.getString(1) == "GOOD"),
+      "the racer's good copy survives intact")
+  }
+
+  test("a fresh foreign claim blocks publishing; a stale one is " +
+      "broken and taken over") {
+    val root = tempRoot()
+    val hPath = new Path(s"$root/art")
+    val fs = hPath.getFileSystem(hconf)
+    val claim = new Path(s"$root/art.claim")
+    fs.createNewFile(claim)
+    val tmpA = writeTmp(root, "A", 3)
+    assert(!Artifacts.publish(fs, tmpA, hPath),
+      "a live claim held elsewhere blocks the publish")
+    assert(!fs.exists(hPath), "nothing was published")
+    // the claim goes stale (its holder crashed 16 minutes ago)
+    val old = System.currentTimeMillis() - 16L * 60 * 1000
+    fs.setTimes(claim, old, old)
+    val tmpB = writeTmp(root, "B", 3)
+    assert(Artifacts.publish(fs, tmpB, hPath),
+      "a stale claim is broken exactly once and taken over")
+    assert(childNames(hPath).contains("_SUCCESS"))
+    assert(spark.read.parquet(hPath.toString).collect()
+      .forall(_.getString(1) == "B"))
+  }
+
+  test("two concurrent loadOrWrite sessions publish one clean copy " +
+      "and both serve identical rows") {
+    val store = tempRoot()
+    val dsDir = s"race-ds-${java.util.UUID.randomUUID()}"
+    val latch = new CountDownLatch(2)
+    def run(): Array[Long] = {
+      val s = spark.newSession()
+      s.conf.set("graft.artifacts.dir", store)
+      Artifacts.cached(s, dsDir, "race_art") {
+        // hold both builds open so BOTH sessions reach the publish
+        // step believing the store is empty — the widest race window
+        latch.countDown()
+        assert(latch.await(60, TimeUnit.SECONDS), "peer never arrived")
+        s.range(100).toDF("id")
+      }.collect().map(_.getLong(0)).sorted
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val task = new java.util.concurrent.Callable[Array[Long]] {
+        def call(): Array[Long] = run()
+      }
+      val (fa, fb) = (pool.submit(task), pool.submit(task))
+      val (ra, rb) = (fa.get(120, TimeUnit.SECONDS),
+        fb.get(120, TimeUnit.SECONDS))
+      assert(ra.toSeq == (0L until 100L).toSeq && rb.toSeq == ra.toSeq)
+    } finally pool.shutdownNow()
+    // the store holds exactly one clean, marker-carrying copy
+    val dsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dsDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val art = new Path(s"$store/$dsKey/race_art")
+    val kids = childNames(art)
+    assert(kids.contains("_SUCCESS"))
+    assert(!kids.exists(_.contains(".tmp-")),
+      s"no nested tmp dir may survive, got $kids")
+    val siblings = childNames(art.getParent)
+    assert(!siblings.contains("race_art.claim"),
+      "the claim is released after publishing")
+    assert(!siblings.exists(_.contains(".tmp-")),
+      s"loser tmp dirs are discarded, got $siblings")
+    assert(spark.read.parquet(art.toString).count() == 100)
+  }
+}

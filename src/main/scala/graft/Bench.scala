@@ -57,6 +57,40 @@ object Bench {
     (1 to 3).map(_ => pass()).min
   }
 
+  /** Parallel host-speed canary: 32 threads each running a
+    * serially-dependent 100M-step LCG, wall-clock to join them all,
+    * min of 3 timed passes after an untimed warmup. The serial canary
+    * cannot see contention that only bites PARALLEL execution — CPU
+    * oversubscription by co-tenants, cgroup quota, thermal or
+    * scheduler pressure across cores — which is exactly the regime the
+    * 32-way bench runs in: round 11's suite drifted 19% while the
+    * serial canary moved 1%, an unfalsifiable "probably host noise".
+    * On an uncontended 32-vCPU host this sits near the serial
+    * canary's per-step rate (each thread does 1/5 the serial steps);
+    * it stretching while the serial number holds IS the contention
+    * signature. Label names the recipe, same rule as the serial one. */
+  private[graft] def hostCanaryParallel(threads: Int = 32): Double = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { k =>
+        val t = new Thread(() => {
+          var acc = 12345L + k
+          var i = 0L
+          while (i < 100000000L) {
+            acc = acc * 6364136223846793005L + 1442695040888963407L
+            i += 1
+          }
+          if (acc == 42L) System.err.println("") // keep acc live
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass()
+    (1 to 3).map(_ => pass()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.local()
@@ -110,8 +144,11 @@ object Bench {
     // rounded via rint, not %f: Double.toString is locale-independent,
     // so the JSON decimal point can never become a locale comma
     val canary = math.rint(hostCanary() * 1000) / 1000
+    val canaryPar = math.rint(hostCanaryParallel() * 1000) / 1000
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""canary_sec":$canary,"canary":"lcg64-500m-minof3","sf":"$sfDir"}"""
+      s""""canary_sec":$canary,"canary":"lcg64-500m-minof3",""" +
+      s""""canary_par_sec":$canaryPar,"canary_par":"lcg64-100mx32-minof3",""" +
+      s""""sf":"$sfDir"}"""
     // stdout for the driver's scraper (raw via build.sbt outputStrategy),
     // plus a file copy in case stdout is decorated by the launcher.
     println(json)

@@ -435,11 +435,22 @@ object Pipeline extends QueryModule {
     * multi-probe fan-out (p104) exploits. The dot rides the codegen'd
     * [[graft.functions.VectorDot]] against a constant-folded literal
     * array: one tight fused loop per bit, same plan shape and cost as the
-    * old first-k-dims bucket. */
+    * old first-k-dims bucket.
+    *
+    * The [[AnnDim]] contract is enforced LOUDLY: VectorDot returns NULL
+    * on a length mismatch or a NULL element, and an `otherwise("0")`
+    * would silently absorb that into an all-'0' bucket while the DuckDB
+    * twin's `list_sum` skips NULL products and signs the partial dot —
+    * an engine divergence latent until the first malformed vector. Each
+    * bit instead raises on a NULL dot, so off-contract vectors fail the
+    * job instead of polluting one bucket on one engine. */
   private[graft] def signBucket(v: Column, bits: Int): Column =
     concat_ws("", (0 until bits).map { p =>
-      when(vdot(v, array(hyperplaneSigns(p).map(f => lit(f)): _*)) >= 0,
-        lit("1")).otherwise(lit("0"))
+      val d = vdot(v, array(hyperplaneSigns(p).map(f => lit(f)): _*))
+      when(d >= 0, lit("1")).when(d < 0, lit("0"))
+        .otherwise(raise_error(concat(
+          lit(s"signBucket: embedding violates the $AnnDim-dim " +
+            "non-null contract: "), col("vec_id").cast("string"))))
     }: _*)
 
   /** The DuckDB twin of [[signBucket]], generated from the SAME

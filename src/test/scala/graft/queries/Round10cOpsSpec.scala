@@ -129,6 +129,36 @@ class Round10cOpsSpec extends SparkSpec {
     }
   }
 
+  test("signBucket enforces the 64-dim non-null contract loudly") {
+    import spark.implicits._
+    // on contract: a clean 64-dim vector gets a 4-char '0'/'1' bucket
+    val good = Seq((7L, Array.fill(Pipeline.AnnDim)(0.5f)))
+      .toDF("vec_id", "v")
+      .select(Pipeline.signBucket(col("v"), Pipeline.AnnBits).as("b"))
+      .head().getString(0)
+    assert(good.length == Pipeline.AnnBits && good.forall("01".contains(_)))
+    // off contract, both ways VectorDot goes NULL: wrong length, and a
+    // NULL element — the silent path would emit an all-'0' bucket on
+    // Spark while DuckDB signs a partial dot; both must RAISE instead
+    val short = Seq((8L, Array.fill(Pipeline.AnnDim - 1)(0.5f)))
+      .toDF("vec_id", "v")
+    val holed = spark.range(1).select(col("id").as("vec_id"),
+      expr(s"transform(sequence(1, ${Pipeline.AnnDim}), i -> " +
+        "CASE WHEN i = 7 THEN CAST(NULL AS FLOAT) " +
+        "ELSE CAST(0.5 AS FLOAT) END)").as("v"))
+    for (bad <- Seq(short, holed)) {
+      val e = intercept[Throwable] {
+        bad.select(Pipeline.signBucket(col("v"), Pipeline.AnnBits))
+          .collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++
+          messages(t.getCause)
+      assert(messages(e).exists(_.contains("non-null contract")),
+        s"expected the loud contract error, got $e")
+    }
+  }
+
   test("p104/p72: multi-probe recall dominates single-bucket, per probe") {
     // structural monotonicity (superset candidates can only improve the
     // top-k under the shared global sim order) plus the measured lift

@@ -3872,10 +3872,12 @@ object Pipeline extends QueryModule {
     * with its count. The count/distinct/mode shuffle is DIGEST-KEYED:
     * the unpivoted rows are reduced to (column_name, 16-byte md5 digest)
     * before the keyed count, so no full value — in particular no multi-KB
-    * `text` payload — ever rides an exchange key (the round-9 scale nit).
-    * The modal VALUE is recovered afterwards by one narrow join of the
-    * per-column argmax digests back to a re-scan, with min(v) resolving
-    * count ties exactly like the oracle's ORDER BY cnt DESC, v ASC;
+    * `text` payload — ever rides an exchange KEY (the round-9 scale nit);
+    * the value itself rides that same aggregate as a min(v) PAYLOAD
+    * (constant per digest), so the modal value needs NO second corpus
+    * scan — it is read back off the staged per-digest frame, with min(v)
+    * over the top-count ties resolving exactly like the oracle's
+    * ORDER BY cnt DESC, v ASC;
     * min/max come from a no-unpivot per-column global aggregate whose
     * partials are one value per column per task. Digest collisions are
     * the p01 content-hash assumption (128-bit md5, negligible at any
@@ -3886,14 +3888,21 @@ object Pipeline extends QueryModule {
     require(cols == DocumentsColumns,
       s"documents schema drifted: $cols vs $DocumentsColumns — update " +
         "Pipeline.DocumentsColumns (the p89 oracle regenerates from it)")
-    def unpivot = df.select(explode(array(cols.map(c =>
+    val unpivot = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("column_name"),
           col(c).cast(StringType).as("v"))): _*)).as("e"))
       .select(col("e.column_name").as("column_name"), col("e.v").as("v"))
+    // ONE corpus scan: the value rides the digest-keyed count as an
+    // aggregation PAYLOAD (min(v) — constant per digest, so map-side
+    // combine carries one value per (column, digest) per task), never
+    // as an exchange key. This replaces the round-11 shape whose modal
+    // recovery re-evaluated the unpivot for a second full scan +
+    // re-hash of every value: the payload bytes here equal what that
+    // join shuffled anyway, and the second scan is gone.
     val grouped = unpivot
-      .select(col("column_name"), unhex(md5(col("v"))).as("dg"))
+      .select(col("column_name"), unhex(md5(col("v"))).as("dg"), col("v"))
       .groupBy("column_name", "dg")
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("v"))
       .staged
     val stats = grouped.groupBy("column_name").agg(
       sum(col("cnt")).as("n_rows"),
@@ -3912,13 +3921,13 @@ object Pipeline extends QueryModule {
       .select("e.*")
     val maxc = grouped.filter(col("dg").isNotNull)
       .groupBy("column_name").agg(max(col("cnt")).as("top_cnt"))
-    val cand = grouped.filter(col("dg").isNotNull)
+    // modal value straight off the staged frame (no corpus re-scan):
+    // min(v) over the digests tied at top_cnt is the oracle's
+    // ORDER BY cnt DESC, v ASC resolution, since v is constant per
+    // digest under the p01 128-bit collision assumption
+    val top = grouped.filter(col("dg").isNotNull)
       .join(broadcast(maxc), "column_name")
       .filter(col("cnt") === col("top_cnt"))
-      .select(col("column_name"), col("dg"), col("top_cnt"))
-    val top = unpivot
-      .select(col("column_name"), col("v"), unhex(md5(col("v"))).as("dg"))
-      .join(cand, Seq("column_name", "dg"))
       .groupBy("column_name")
       .agg(min(col("v")).as("top_value"), max(col("top_cnt")).as("top_cnt"))
     stats.join(broadcast(minmax), "column_name").join(top, "column_name")
@@ -4056,6 +4065,12 @@ object Pipeline extends QueryModule {
     // measured 14.3 → see PLANS.md). Integers stack through a cast to
     // their canonical decimal string, which is injective, so
     // string-equality on the stack is integer-equality on the data.
+    // The stack is then reduced to (family, 16-byte md5 digest) BEFORE
+    // the distinct and the containment self-join: the discovery only
+    // COUNTS shared values, never reads one back, so the engine's
+    // digests-on-exchange-keys rule (p89) applies verbatim — no raw
+    // value rides the distinct's or the join's exchange, under the
+    // same 128-bit collision assumption as p01/p89.
     val needed = candidates.flatMap(cp => Seq(cp._1, cp._2)).distinct
     val stacked = needed.map { case (t, c, fam) =>
         val v = if (fam == "int") col(c).cast(LongType).cast(StringType)
@@ -4063,13 +4078,14 @@ object Pipeline extends QueryModule {
         tables(t).select(lit(fam).as("fam"), lit(s"$t.$c").as("cid"),
           v.as("v")).filter(col("v").isNotNull)
       }.reduce(_ unionAll _)
+      .select(col("fam"), col("cid"), unhex(md5(col("v"))).as("dg"))
       .distinct()
       .staged
     val profile = stacked.groupBy("fam", "cid")
       .agg(count(lit(1)).as("nd"))
     val matched = stacked
-      .join(stacked.select(col("fam"), col("cid").as("pcid"), col("v")),
-        Seq("fam", "v"))
+      .join(stacked.select(col("fam"), col("cid").as("pcid"), col("dg")),
+        Seq("fam", "dg"))
       .filter(col("cid") =!= col("pcid"))
       .groupBy("cid", "pcid").agg(count(lit(1)).as("n_matched"))
     val rowsPerTable = needed.map(_._1).distinct.map(t =>

@@ -1,0 +1,709 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Exact._
+import graft.Stage.StageOps
+import graft.Tables
+import graft.functions.Portable._
+import graft.functions.VectorDot.vdot
+import graft.functions.VectorDotLong.vdotl
+
+/** Similarity search over the embeddings table: brute-force cosine,
+  * Charikar sign-bucket LSH, IVF, k-means cells, int8 quantization,
+  * kNN graph/label eval, recall monitoring, multi-probe.
+  *
+  * Implementation module of [[Pipeline]] (mixed into the one public
+  * object; members are package-private to graft.queries). Split from
+  * the former monolith in round 12 with zero behavior change. */
+trait PipelineVectors extends PipelineText {
+
+
+  // ---- similarity search -------------------------------------------------
+
+  /** Brute-force cosine top-k: the correctness baseline for ANN. The probe
+    * set (5 vectors) is broadcast against one scan of the corpus — a
+    * broadcast nested loop that is linear in corpus size. Top-k is
+    * two-phase: a salted local top-k bounds any reducer's input to k×salts
+    * rows per probe (a single per-probe window would funnel the whole
+    * corpus through one reducer per probe), then the global top-k ranks
+    * the survivors — provably the same rows, so the oracle is single-phase
+    * SQL. Similarity is rounded to 6 decimals BEFORE ranking so engine
+    * summation-order noise (≈1e-15) can never flip an ordering. */
+  private[queries] def p04AnnCosineTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm")).filter(col("probe_id") < 5)
+    val sims = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+    val local = Window.partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= 10)
+      .withColumn("rnk", row_number().over(global))
+      .filter(col("rnk") <= 10)
+      .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+
+  /** Embedding dimensionality of the corpus (TESTDATA.md: 64-float
+    * vectors at every scale factor). The random hyperplanes below are
+    * declared at this width; a production build reads it from the table
+    * schema once at plan time. */
+  private[graft] val AnnDim = 64
+
+
+  /** splitmix64 finalizer (Steele et al., public) — the deterministic
+    * per-(plane, dim) coin for the hyperplane signs. Runs at PLAN time
+    * only; the resulting constants are embedded in both engines. */
+  private[queries] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+
+  /** Hyperplane `plane` as Rademacher ±1 coefficients (Achlioptas 2003's
+    * database-friendly projections): a full-rank random direction, unlike
+    * the axis-aligned bit-sampling this family replaced — p72's monitor
+    * measured the first-8-dims sign bucket at ≈0.03 mean recall@3 because
+    * dense-embedding mass is spread across ALL dimensions and the first
+    * few carry almost no locality. ±1 coefficients (not gaussians) keep
+    * the cross-engine contract exact: each product is ±v[i] with NO
+    * rounding, so both engines sum bit-identical doubles in array order
+    * and the sign can never diverge. */
+  private[graft] def hyperplaneSigns(plane: Int): IndexedSeq[Float] =
+    (0 until AnnDim).map { j =>
+      if (mix64(plane.toLong * 0x100000001B3L + j) < 0) -1f else 1f
+    }
+
+
+  /** Hyperplane count for the ANN sign bucket: 2^4 = 16 buckets,
+    * deliberately BUDGET-MATCHED to p20's 16 IVF cells so p72's monitor
+    * compares the two index families at the same candidate fraction
+    * (~1/16 of the corpus per probe) instead of handing IVF a 16×
+    * coverage head start — the flaw in the retired 8-bit bucket, whose
+    * 256 buckets searched 0.4% of the corpus and recalled accordingly.
+    * Like the IVF codebook, the width grows with the corpus (a p116-style
+    * planner would pick it from the target candidate fraction); the
+    * measured sweep on this corpus (PLANS.md round 11): 4-bit Charikar
+    * single-bucket 0.167 recall@3 at 6.2% candidates, Hamming≤1
+    * multi-probe 0.55 at 31%, vs IVF 0.833 at 6.2% — the data-dependent
+    * quantizer still wins on weakly-clustered data, and now the monitor
+    * proves it fairly. */
+  private[graft] val AnnBits = 4
+
+
+  /** Charikar (2002) random-hyperplane sign bucket of embedding column
+    * `v`: bit p = sign(v · r_p) over [[hyperplaneSigns]], as a `bits`-char
+    * '0'/'1' string. P(bit differs) = angle/π per hyperplane, so Hamming
+    * distance between buckets estimates the angle — the property the
+    * multi-probe fan-out (p104) exploits. The dot rides the codegen'd
+    * [[graft.functions.VectorDot]] against a constant-folded literal
+    * array: one tight fused loop per bit, same plan shape and cost as the
+    * old first-k-dims bucket.
+    *
+    * The [[AnnDim]] contract is enforced LOUDLY: VectorDot returns NULL
+    * on a length mismatch or a NULL element, and an `otherwise("0")`
+    * would silently absorb that into an all-'0' bucket while the DuckDB
+    * twin's `list_sum` skips NULL products and signs the partial dot —
+    * an engine divergence latent until the first malformed vector. Each
+    * bit instead raises on a NULL dot, so off-contract vectors fail the
+    * job instead of polluting one bucket on one engine. */
+  private[graft] def signBucket(v: Column, bits: Int): Column =
+    concat_ws("", (0 until bits).map { p =>
+      val d = vdot(v, array(hyperplaneSigns(p).map(f => lit(f)): _*))
+      when(d >= 0, lit("1")).when(d < 0, lit("0"))
+        .otherwise(raise_error(concat(
+          lit(s"signBucket: embedding violates the $AnnDim-dim " +
+            "non-null contract: "), col("vec_id").cast("string"))))
+    }: _*)
+
+
+  /** The DuckDB twin of [[signBucket]], generated from the SAME
+    * [[hyperplaneSigns]] constants (the p89 oracle-generation rule: one
+    * declared source, two engines, drift impossible). `v` must name a
+    * DOUBLE list column in scope. */
+  private[graft] def sqlSignBucket(v: String, bits: Int): String =
+    (0 until bits).map { p =>
+      val coefs = hyperplaneSigns(p)
+        .map(f => if (f > 0) "1.0" else "-1.0").mkString(", ")
+      s"""(CASE WHEN list_sum(list_transform(generate_series(1, $AnnDim),
+         |    i -> $v[i] * list_extract([$coefs], i))) >= 0
+         |    THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" || ")
+
+
+  /** LSH-bucketed ANN (the scale path): bucket every vector by its
+    * Charikar random-hyperplane sign pattern ([[signBucket]], [[AnnBits]]
+    * seeded hyperplanes → 2^[[AnnBits]] buckets), then search ONLY within
+    * the probe's bucket. Candidate generation is an equi-join on the
+    * bucket key: work per probe is |corpus|/2^bits instead of |corpus|,
+    * with the bit width the budget knob (see [[AnnBits]]). Deterministic
+    * hyperplanes keep the DuckDB oracle exact. */
+  private[queries] def p05AnnLshBucketed: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .withColumn("bucket", signBucket(col("v"), AnnBits))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
+    val sims = e.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+
+  /** IVF (inverted-file) ANN — the second scale path next to p05's LSH.
+    * A small coarse-quantizer codebook is broadcast, every vector is
+    * assigned to its nearest centroid in one map pass + one keyed argmax,
+    * and probes search ONLY their own cell: work per probe is
+    * |corpus|/|cells|, and the assignment is reusable across queries
+    * (that is the IVF index). The codebook here is the first 16 vectors —
+    * a deterministic stand-in for k-means centroids, which keeps the
+    * DuckDB oracle bit-exact; a production build would train the codebook
+    * offline and broadcast it the same way. */
+  /** IVF cell assignment shared by p20 (probe search) and p33 (kNN
+    * graph): every vector keyed to its nearest codebook centroid via a
+    * broadcast crossJoin + per-vector argmax — one map-side pass, one
+    * keyed shuffle for the argmax window. Checkpointed because both
+    * consumers read it from two join sides. */
+  private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        round(vdot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("csim"))
+      .withColumn("arnk", row_number().over(wAssign))
+      .filter(col("arnk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+      .staged
+  }
+
+
+  private[queries] def p20AnnIvf: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
+    val probes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("cell"))
+    val sims = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+
+  /** kNN graph over ALL vectors, IVF-bucketed: each vector's top-3
+    * cosine neighbors searched only within its centroid cell — the
+    * |corpus|²→Σ|cell|² candidate reduction that makes a full
+    * neighbor-graph build (the input to embedding-space dedup and
+    * clustering) tractable. The per-vector top-k window reads at most
+    * one cell, so no reducer ever sees more than a cell's worth of
+    * candidates; finer codebooks shrink cells as the corpus grows. */
+  private[queries] def p33KnnGraph: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d)
+    val sims = assigned.join(
+        assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+          col("v").as("nv"), col("nrm").as("nnrm")), Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        round(vdot(col("v"), col("nv")) / (col("nrm") * col("nnrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("vec_id", "nbr_id", "rnk", "sim")
+  }
+
+
+  /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors are bucketed
+    * by their 4-bit Charikar sign pattern ([[signBucket]], 16 buckets)
+    * and only same-bucket pairs are compared — |corpus|²/16 instead of
+    * all pairs, and narrower buckets (more sign bits) shrink the work
+    * further at larger scale. */
+  private[queries] def p13CosineNearDup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .withColumn("bucket", signBucket(col("v"), 4))
+    e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(e.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(vdot(col("va"), col("vb")) /
+        (col("na") * col("nb")), 6))
+      .filter(col("sim") >= 0.40)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+
+  /** Quantized vector table shared by p42 (quantized ANN) and p47
+    * (centroid build): per-dimension corpus min/max packed into two
+    * broadcast arrays, then every vector mapped to int8 codes in one
+    * pass. Checkpointed because consumers read it from multiple join
+    * sides — at production scale this is the persisted quantized index. */
+  /** The per-session quantized-index artifact — at production scale the
+    * persisted int8 index every quantized-path consumer (p42, p47, the
+    * k-means state behind p53/p94) reads instead of re-quantizing the
+    * corpus; within a session the registry hands them one build. */
+  private[graft] def quantizedVectors(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cached(s, d, "quantized_vectors") {
+      buildQuantizedVectors(s, d)
+    }
+
+
+  private[queries] def buildQuantizedVectors(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    // per-dim extrema in ONE map-side pass via the native mergeable
+    // vector-state aggregate (VecMinMaxAgg; spec-asserted equal to the
+    // previous posexplode → groupBy(i) form, which shuffled corpus×dims
+    // rows to key the per-dimension aggregation — partials here are two
+    // dims-length arrays per task, nothing corpus-sized moves)
+    val stats = e
+      .agg(graft.functions.VecMinMaxAgg.vecMinMax(col("v")).as("s"))
+      .select(col("s").getField("mns").as("mns"),
+        col("s").getField("mxs").as("mxs"))
+    def quant(x: Column, mn: Column, mx: Column): Column =
+      when(mx === mn, lit(0L)).otherwise(
+        least(lit(127L),
+          floor((x.cast(DoubleType) - mn) * lit(255.0) / (mx - mn)) -
+            lit(128L)))
+    e.crossJoin(broadcast(stats))
+      .withColumn("qv", transform(col("v"), (x, i) =>
+        quant(x, element_at(col("mns"), i + 1),
+          element_at(col("mxs"), i + 1)))
+        // codes are int8 by construction; store them as 1-byte elements
+        // so the persisted/staged index and every exchange that carries
+        // it pay 1 byte per dimension, not 8 — the storage half of the
+        // scalar-quantization claim, literal in the schema
+        .cast(ArrayType(ByteType)))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("qv"),
+        col("mns"), col("mxs"))
+      .staged
+  }
+
+
+  /** Int8 scalar quantization + quantized ANN with exact re-rank — the
+    * memory-bandwidth scale path for similarity search: the corpus scan
+    * reads 1-byte codes (4× less than float32), candidates are ranked by
+    * the INTEGER quantized dot product (bit-exact across engines — no
+    * float summation anywhere in the wide phase), and only the top-20
+    * survivors per probe fetch their float vectors for the exact cosine
+    * re-rank. Per-dimension min/max is one tiny two-level aggregation
+    * (dims rows) packed into two broadcast arrays; the quantized corpus
+    * is checkpointed because the probe and corpus sides both read it —
+    * at production scale it is the persisted quantized index. */
+  private[queries] def p42AnnQuantized: Q = (s, d) => {
+    val q = quantizedVectors(s, d)
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("qv").as("qpv"))
+    // native codegen'd integer loop (VectorDotLong) — the wide phase of
+    // the quantized scan must not pay interpreted-lambda dispatch. The
+    // candidate rows carry ONLY ids + the integer score: the int8 codes
+    // are the widest thing the scan-and-rank phases touch, so the 4×
+    // bandwidth saving of quantization is real in the plan, not just in
+    // the storage format.
+    val qdot = vdotl(col("qpv"), col("qv"))
+    val cands = q.select(col("vec_id"), col("qv"))
+      .crossJoin(broadcast(probes.select(col("probe_id"), col("qpv"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), qdot.as("qsim"))
+    // same provably-lossless two-phase top-k as p04, keyed on the
+    // integer score; only the ≤20 survivors per probe then fetch their
+    // float vectors (survivor side broadcast — it is k×probes rows)
+    val local = Window
+      .partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("qsim").desc, col("vec_id").asc)
+    val rerank = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val survivors = cands
+      .withColumn("lrnk", row_number().over(local)).filter(col("lrnk") <= 20)
+      .withColumn("qrnk", row_number().over(global)).filter(col("qrnk") <= 20)
+      .select("probe_id", "vec_id", "qsim")
+    q.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(survivors), "vec_id")
+      .join(broadcast(probes.select(col("probe_id"), col("pv"),
+        col("pnrm"))), "probe_id")
+      .withColumn("sim",
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6))
+      .withColumn("rnk", row_number().over(rerank).cast(IntegerType))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "vec_id", "rnk", "sim", "qsim")
+  }
+
+
+  /** Per-label centroid build over the QUANTIZED codes — the codebook
+    * training step the IVF path (p20/p33) consumes. Averaging raw floats
+    * distributed-style is order-DEPENDENT (float partial sums differ by
+    * merge order, so no two runs — or engines — agree bit-for-bit);
+    * averaging the int8 codes is two exact integer aggregates per
+    * (label, dim) cell, map-side combinable and identical on any
+    * partitioning, the same reason the money pipeline sums decimals.
+    * The dequantized float centroid is derived from the integer mean by
+    * one fixed arithmetic chain per cell. One explode + one keyed agg —
+    * linear, no pairwise work. */
+  private[queries] def p47QuantizedCentroids: Q = (s, d) => {
+    // per-label centroid sums through the native elementwise aggregate:
+    // the label-keyed shuffle carries dims-length buffers, and the
+    // per-dimension unpack explodes only |labels| result rows (was
+    // corpus×dims rows into a (label, dim) aggregation)
+    val qv = quantizedVectors(s, d)
+    val stats = qv.select("mns", "mxs").limit(1)
+    val centroidQ =
+      col("s_").cast(DoubleType) / col("n").cast(DoubleType)
+    qv.groupBy("label")
+      .agg(graft.functions.VecSumAgg.vecSum(col("qv")).as("sc"))
+      .crossJoin(broadcast(stats)) // 1-row global min/max arrays
+      .select(col("label"), col("mns"), col("mxs"),
+        posexplode(zip_with(col("sc").getField("sums"),
+          col("sc").getField("counts"),
+          (s_, n_) => struct(s_.as("s"), n_.as("n")))).as(Seq("i", "sn")))
+      .select(col("label"), col("i"),
+        col("sn").getField("n").as("n"),
+        col("sn").getField("s").as("s_"),
+        element_at(col("mns"), col("i") + 1).as("mn"),
+        element_at(col("mxs"), col("i") + 1).as("mx"))
+      .select(col("label"), col("i").as("dim"), col("n"),
+        round(centroidQ, 6).as("centroid_q"),
+        round(col("mn") + (centroidQ + lit(128.0)) *
+          (col("mx") - col("mn")) / lit(255.0), 6).as("centroid"))
+  }
+
+
+  private[graft] val KmeansK = 8
+
+
+  /** Two Lloyd iterations of k-means over the int8-quantized embedding
+    * codes — the clustering step of cluster-based curation (SemDeDup
+    * family: cluster first, then dedup/prune within cells). Everything
+    * is INTEGER-exact on both engines, which a float k-means can never
+    * be: distances are integer squared-L2 on the codes (expanded to
+    * three native `vector_dot_long` calls), argmin ties break to the
+    * smallest cell id via a min-join (no engine-specific arg_min
+    * semantics), and the centroid update is an element-wise integer
+    * floor-mean (sum − pmod(sum, n)) div n. Per iteration: one
+    * broadcast of K tiny centroids × one corpus scan, one keyed argmin
+    * agg, one cell-keyed native vec_sum agg (dims-length buffers, not
+    * corpus×dims exploded rows) — linear in N×K×dims, the textbook
+    * distributed-Lloyd shape; iterations are a driver-side loop over
+    * DataFrames, state never leaves the cluster. */
+  /** The p53 k-means state, shared with p94's SemDeDup prune step: the
+    * quantized code table `qq` (vec_id, qv — a narrow projection of the
+    * checkpointed quantized-index artifact, so repeated reads re-scan
+    * blocks, never recompute) and the final (vec_id, d2, cell)
+    * assignment after two Lloyd iterations — itself a session artifact,
+    * since both p53's census and p94's prune consume it. */
+  private[queries] def kmeansAssign(qq: DataFrame, cents: DataFrame): DataFrame = {
+    def sqdist(a: Column, b: Column): Column =
+      vdotl(a, a) - lit(2L) * vdotl(a, b) + vdotl(b, b)
+    val scored = qq.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        sqdist(col("qv"), col("cv")).as("d2"))
+    val best = scored.groupBy("vec_id").agg(min(col("d2")).as("d2"))
+    scored.join(best, Seq("vec_id", "d2"))
+      .groupBy("vec_id", "d2").agg(min(col("cell")).as("cell"))
+  }
+
+
+  private[queries] def kmeansUpdate(qq: DataFrame, assigned: DataFrame): DataFrame =
+    // centroid update through the native elementwise-sum aggregate: one
+    // cell-keyed shuffle of dims-length buffers (was corpus×dims rows
+    // through a (cell, dim) aggregation plus a re-pack sort); the
+    // floor-divided mean stays exact — (sx − pmod) is exactly divisible
+    // and everything sits far below 2^53, so the double division is
+    // IEEE-exact and the cast back lossless
+    assigned.join(qq, "vec_id")
+      .groupBy("cell")
+      .agg(graft.functions.VecSumAgg.vecSum(col("qv")).as("sc"))
+      .select(col("cell"), zip_with(
+        col("sc").getField("sums"), col("sc").getField("counts"),
+        (sx, n) => ((sx - pmod(sx, n)) / n).cast(LongType)).as("cv"))
+
+
+  /** The trained codebook (cell → centroid codes) behind p53/p94/p100 —
+    * exposed as its own artifact because the STREAMING cell-census twin
+    * ([[graft.streaming.Streams.cellCensus]]) assigns arriving vectors
+    * against exactly this table; at production scale it is the persisted
+    * model file of the cell build. */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+    val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
+    graft.Artifacts.cached(s, d, "kmeans_centroids") {
+      val c0 = qq.filter(col("vec_id") < KmeansK)
+        .select(col("vec_id").as("cell"), col("qv").as("cv"))
+      kmeansUpdate(qq, kmeansAssign(qq, c0))
+    }
+  }
+
+
+  private[queries] def kmeansState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
+    val a2 = graft.Artifacts.cached(s, d, "kmeans_assign") {
+      graft.Artifacts.stage(s, kmeansAssign(qq, kmeansCentroids(s, d)))
+    }
+    (qq, a2)
+  }
+
+
+  private[queries] def p53KmeansCells: Q = (s, d) => {
+    val (_, a2) = kmeansState(s, d)
+    a2.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("sum_sqdist"))
+  }
+
+
+  private[queries] val RecallK = 3
+
+
+  /** ANN index-quality evaluation — recall@k of BOTH approximate
+    * indexes (p05's sign-bucket LSH and p20's IVF cells) against the
+    * exact brute-force top-k (p04's baseline) on the identical 20-probe
+    * task: the monitoring job a production vector index runs
+    * continuously, because approximate indexes degrade SILENTLY as the
+    * corpus drifts and the only ground truth is the exact scan — and the
+    * side-by-side is how an index variant gets chosen or retired — it
+    * retired the first-8-dims bit-sampling bucket (≈0.03 recall@3) in
+    * favor of [[signBucket]]'s Charikar hyperplanes. Exact
+    * side: one broadcast nested-loop corpus scan with the salted
+    * two-phase top-k (no reducer ever holds more than k×salts rows per
+    * probe). Approx sides: the same candidate joins p05/p20 run. Hits
+    * are inner matches of the (probe, neighbor) rank sets — integer
+    * counts, so per-probe recall is exact in both engines. The
+    * corpus-sized work is the one exact scan, and its cost is amortized
+    * exactly as in production: the eval runs on a probe SAMPLE (20
+    * here), never per query. */
+  private[queries] def p72AnnRecall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .withColumn("bucket", signBucket(col("v"), AnnBits))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
+    def sim = round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+    def topk(cands: DataFrame): DataFrame = {
+      val local = Window
+        .partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      val global = Window.partitionBy("probe_id")
+        .orderBy(col("sim").desc, col("vec_id").asc)
+      cands.withColumn("lrnk", row_number().over(local))
+        .filter(col("lrnk") <= RecallK)
+        .withColumn("rnk", row_number().over(global))
+        .filter(col("rnk") <= RecallK)
+        .select("probe_id", "vec_id")
+    }
+    val exact = topk(e.drop("bucket")
+      .crossJoin(broadcast(probes.drop("bucket")))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim")))
+    val approxLsh = topk(e.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim")))
+    // the p104 variant under the same monitor: probe-side ×9 fan-out,
+    // corpus side unchanged — the recall number that justifies (or
+    // retires) the extra probes rides in the same report
+    val probeKeys = probes.select(col("probe_id"), col("pv"), col("pnrm"),
+      explode(array(col("bucket") +:
+        (1 to AnnBits).map(i => flipBit(col("bucket"), i)): _*)).as("bucket"))
+    val approxMp = topk(e.join(probeKeys, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim")))
+    val assigned = ivfAssigned(s, d)
+    val iprobes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("cell"))
+    val approxIvf = topk(assigned.join(iprobes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), sim.as("sim")))
+    exact
+      .join(approxLsh.withColumn("hit_lsh", lit(1)),
+        Seq("probe_id", "vec_id"), "left_outer")
+      .join(approxMp.withColumn("hit_mp", lit(1)),
+        Seq("probe_id", "vec_id"), "left_outer")
+      .join(approxIvf.withColumn("hit_ivf", lit(1)),
+        Seq("probe_id", "vec_id"), "left_outer")
+      .groupBy("probe_id")
+      .agg(
+        sum(coalesce(col("hit_lsh"), lit(0))).cast(LongType).as("n_hits_lsh"),
+        sum(coalesce(col("hit_mp"), lit(0))).cast(LongType).as("n_hits_mp"),
+        sum(coalesce(col("hit_ivf"), lit(0))).cast(LongType).as("n_hits_ivf"))
+      .select(col("probe_id"),
+        col("n_hits_lsh"),
+        round(col("n_hits_lsh").cast(DoubleType) / lit(RecallK.toDouble), 6)
+          .as("recall_lsh"),
+        col("n_hits_mp"),
+        round(col("n_hits_mp").cast(DoubleType) / lit(RecallK.toDouble), 6)
+          .as("recall_mp"),
+        col("n_hits_ivf"),
+        round(col("n_hits_ivf").cast(DoubleType) / lit(RecallK.toDouble), 6)
+          .as("recall_ivf"))
+  }
+
+
+  /** Embedding-quality eval by kNN label agreement — the training-free
+    * health check an embedding table gets before anything trusts it
+    * (and the monitoring probe that catches a bad re-embedding run):
+    * each vector's 3 nearest neighbors (p33's IVF-bucketed exact-cosine
+    * graph) vote with their labels, the majority label (count DESC,
+    * label ASC on ties) is compared to the vector's own label, and the
+    * per-label census reports coverage and accuracy. A label whose
+    * accuracy dips marks a region where the embedding space no longer
+    * separates the classes — the drift signal for re-training. Votes,
+    * argmax, and censuses are exact integers (accuracy is one IEEE
+    * division at output); vectors alone in their IVF cell have no
+    * neighbors and are reported as unvoted coverage loss, not dropped.
+    * Cost beyond the graph build: one vec-keyed count, a per-vec argmax
+    * through the native top-k rewrite, and a label join that broadcasts
+    * at any corpus size (labels ride with vec ids, never vectors). */
+  private[queries] def p96KnnLabelEval: Q = (s, d) => {
+    val labels = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = p33KnnGraph(s, d)
+      .join(labels.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .groupBy("vec_id", "nbr_label").agg(count(lit(1)).as("cnt"))
+    val pred = votes
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("cnt").desc, col("nbr_label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nbr_label").as("pred_label"))
+    labels.join(pred, Seq("vec_id"), "left")
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        count(col("pred_label")).as("n_voted"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_voted"), col("n_correct"),
+        when(col("n_voted") > 0,
+          round(col("n_correct").cast(DoubleType) / col("n_voted"), 6))
+          .as("accuracy"))
+  }
+
+
+  /** Multi-probe sign-bucket ANN over [[signBucket]]'s Charikar
+    * hyperplanes — recall insurance for the single-bucket path (p72
+    * measures the lift): each probe searches its own sign bucket PLUS the
+    * [[AnnBits]] buckets at Hamming distance 1 (Lv et al. 2007's
+    * multi-probe LSH — spend probes instead of building more tables), so
+    * a near neighbor that disagrees on one sign bit is no longer
+    * invisible. Only the PROBE side fans out (×(bits+1) keys on the small
+    * probe set); every corpus vector still carries exactly one bucket and
+    * the join stays keyed — per-probe work is (bits+1)·corpus/2^bits
+    * candidates, and because
+    * buckets partition the corpus the probe keys are distinct and no
+    * candidate dedup stage is needed. Recall is monotonically ≥ the
+    * single-bucket path by construction (a candidate that displaces a
+    * true top-k hit must itself be a true top-k hit under the same
+    * global sim order); AnnRecallSpec measures the actual lift and p72
+    * now monitors all three index variants. */
+  private[queries] def p104AnnMultiprobe: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .withColumn("bucket", signBucket(col("v"), AnnBits))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
+    val probeKeys = probes.select(col("probe_id"), col("pv"), col("pnrm"),
+      explode(array(col("bucket") +:
+        (1 to AnnBits).map(i => flipBit(col("bucket"), i)): _*)).as("bucket"))
+    val sims = e.join(probeKeys, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "vec_id", "rnk", "sim")
+  }
+
+
+  /** The [[AnnBits]]-char sign-bucket string with bit `i` (1-based)
+    * flipped — shared by p104's probe fan-out and p72's multi-probe
+    * monitor. */
+  private[queries] def flipBit(b: Column, i: Int): Column = concat(
+    substring(b, 1, i - 1),
+    when(substring(b, i, 1) === "1", lit("0")).otherwise(lit("1")),
+    substring(b, i + 1, AnnBits - i))
+
+
+  /** Embedding-space snapshot drift — the monitor that explains WHY ANN
+    * recall decays (p72/p93 measure THAT it decays): the population
+    * share of each k-means codebook cell is compared between two corpus
+    * snapshots with the same PSI-in-bits rule as p81 (0.5-per-cell
+    * Laplace smoothing makes p and q exact integer ratios, each term a
+    * qlog2 delta of integer products, the total a cell-SORTED fold —
+    * bit-identical across engines). A codebook trained on snapshot A
+    * silently mis-buckets snapshot B's vectors as the distribution
+    * moves; this is the standing alarm that triggers recentering.
+    * Snapshots are the p63 hash-slice stand-ins (vec_id mod 7 / mod 5);
+    * in production they are two corpus versions. Cost: the cell
+    * assignment is the shared kmeans artifact — this op adds two
+    * filtered per-cell counts and K-row arithmetic, nothing
+    * corpus-sized beyond the (already-paid) assignment scan. */
+  private[queries] def p100EmbeddingDrift: Q = (s, d) => {
+    val (_, a2) = kmeansState(s, d)
+    val cells = a2.select(col("vec_id"), col("cell"))
+    val counts = cells.groupBy("cell").agg(
+      count(when(pmod(col("vec_id"), lit(7L)) =!= 0, 1)).as("n_prev"),
+      count(when(pmod(col("vec_id"), lit(5L)) =!= 0, 1)).as("n_next"))
+    val grid = broadcast(s.range(0, KmeansK).toDF("cell"))
+    val f = grid.join(counts, Seq("cell"), "left_outer")
+      .select(col("cell"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"))
+      .staged // read twice: per-cell terms + the snapshot totals
+    val tot = f.agg(sum("n_prev").as("tp"), sum("n_next").as("tn"))
+    val B = KmeansK.toLong
+    val pn = lit(2L) * col("n_next") + lit(1L)
+    val pd = lit(2L) * col("tn") + lit(B)
+    val qn = lit(2L) * col("n_prev") + lit(1L)
+    val qd = lit(2L) * col("tp") + lit(B)
+    val dq = (qlog2(pn * qd) - qlog2(qn * pd)).cast(DoubleType)
+    val term = (pn.cast(DoubleType) / pd.cast(DoubleType)
+      - qn.cast(DoubleType) / qd.cast(DoubleType)) * dq / lit(65536.0)
+    val terms = f.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_prev"), col("n_next"), term.as("term"))
+    val psi = terms.groupBy()
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("cell"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("psi"))
+    terms.crossJoin(broadcast(psi)) // 1-row scalar side
+      .select(col("cell"), col("n_prev"), col("n_next"),
+        round(col("term"), 6).as("term"), round(col("psi"), 6).as("psi"))
+  }
+}

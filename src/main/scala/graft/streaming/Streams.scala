@@ -920,6 +920,91 @@ object Streams {
     }
   }
 
+  final case class PsiRow(source: String, window_idx: Long, psi: Double,
+      level: Int)
+
+  /** Per-source state for [[psiDrift]]: the frozen baseline histogram
+    * (phase I), the open window histogram, and their doc counts.
+    * Bounded: 2·(PsiMaxBin+1) longs + two counters per source. */
+  final case class PsiState(base: Seq[Long], nb: Long, win: Seq[Long],
+      nw: Long, widx: Long)
+
+  /** The PSI fold's pure arithmetic, shared with the spec's driver-side
+    * replay: add-½-smoothed population-stability index of the window
+    * histogram against the baseline, in bits (log2), rounded to 6
+    * decimals. Every term (p−q)·log2(p/q) is ≥ 0, so PSI ≥ 0. */
+  private[streaming] def psiOf(base: Seq[Long], nb: Long,
+      win: Seq[Long], nw: Long): Double = {
+    val bins = base.length
+    val raw = (0 until bins).iterator.map { i =>
+      val p = (2.0 * win(i) + 1) / (2.0 * nw + bins)
+      val q = (2.0 * base(i) + 1) / (2.0 * nb + bins)
+      (p - q) * (math.log(p / q) / math.log(2.0))
+    }.sum
+    math.rint(raw * 1e6) / 1e6
+  }
+
+  /** Streaming PSI distribution-drift monitor over a DOCUMENT stream —
+    * the third leg of the monitoring trio next to [[hourlyAnomalies]]
+    * (3σ count spikes) and [[cusumDrift]] (sustained mean drift): PSI
+    * sees the SHAPE of a distribution move even when its volume and
+    * mean look healthy. Batch p81 contrasts each source against the
+    * rest of a corpus snapshot; the deployment form here is the other
+    * standard PSI contract — each source against its own FROZEN
+    * baseline: per source, the first `baselineDocs` arrivals freeze a
+    * length histogram (phase I, immune to later drift — the CUSUM
+    * rule), then every `windowDocs` arrivals close a window and emit
+    * its PSI against the baseline, with the add-½ smoothing p81 uses
+    * (no zero-bin infinities). Binning is p81's: min(PsiMaxBin,
+    * n_chars div 100). `level` applies the standard PSI bands —
+    * 0 stable (<0.1), 1 moderate (0.1–0.25), 2 major (≥0.25).
+    *
+    * Count-based windows make the op deterministic given per-source
+    * arrival order (the dedupDocStream contract); state is two small
+    * histograms per source, nothing scales with stream length.
+    * PsiDriftSpec replays the fold driver-side row for row. */
+  def psiDrift(docs: DataFrame, baselineDocs: Int = 32,
+      windowDocs: Int = 16): Dataset[PsiRow] = {
+    import docs.sparkSession.implicits._
+    val bins = graft.queries.Pipeline.PsiMaxBin + 1
+    docs
+      .select(col("source"),
+        least(lit(graft.queries.Pipeline.PsiMaxBin.toLong),
+          expr("n_chars div 100")).as("bin"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PsiState, PsiRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (src: String, batch: Iterator[(String, Long)],
+            state: GroupState[PsiState]) =>
+          var st = state.getOption.getOrElse(
+            PsiState(Seq.fill(bins)(0L), 0L, Seq.fill(bins)(0L), 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PsiRow]
+          batch.foreach { case (_, bin) =>
+            val i = bin.toInt
+            if (st.nb < baselineDocs)
+              st = st.copy(base = st.base.updated(i, st.base(i) + 1),
+                nb = st.nb + 1)
+            else {
+              val win = st.win.updated(i, st.win(i) + 1)
+              if (st.nw + 1 < windowDocs) st = st.copy(win = win,
+                nw = st.nw + 1)
+              else {
+                val psi = psiOf(st.base, st.nb, win, windowDocs.toLong)
+                val level = if (psi >= 0.25) 2
+                  else if (psi >= 0.1) 1 else 0
+                out += PsiRow(src, st.widx, psi, level)
+                st = st.copy(win = Seq.fill(bins)(0L), nw = 0L,
+                  widx = st.widx + 1)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Custom keyed state: running per-user totals maintained with
     * mapGroupsWithState. State is one small record per user, partitioned
     * by user_id across the cluster. (A deployment bounding state for a

@@ -216,6 +216,88 @@ trait PipelineEvents extends PipelineMultimodal {
     * scale-invariant) to keep the qlog2 products inside a long. */
   private[graft] val PsiMaxBin = 5
 
+  /** ONE declared phase-I/window sizing shared by batch p124 and its
+    * streaming twin ([[graft.streaming.Streams.psiDrift]] takes them
+    * as defaults), the [[CusumBaselineHours]] rule applied to the PSI
+    * family: per source, the first [[PsiBaselineDocs]] docs (by doc_id
+    * — the stream's arrival order) freeze the baseline histogram, and
+    * every [[PsiWindowDocs]] docs thereafter close a scored window.
+    * Sized so the gate corpus (25 docs per source at sf0.01) yields
+    * two full windows per source; a production deploy would raise
+    * both with its traffic, exactly like a CUSUM phase-I width. */
+  private[graft] val PsiBaselineDocs = 12L
+  private[graft] val PsiWindowDocs = 6L
+
+  /** Batch PSI baseline drift — p81's sibling in the OTHER standard
+    * PSI contract: p81 contrasts each source against the rest of the
+    * same snapshot; p124 contrasts each source's later windows against
+    * its own FROZEN phase-I baseline (the deployment form — drift
+    * relative to what this source looked like when monitoring began,
+    * exactly [[graft.streaming.Streams.psiDrift]]'s semantics, proven
+    * row for row by PsiTwinSpec). Same add-½ smoothing and the same
+    * integer-exact qlog2 fixed-point log2 as p81, so the DuckDB twin
+    * is bit-exact; `level` applies the standard PSI bands on the
+    * ROUNDED psi (0 < 0.1 ≤ 1 < 0.25 ≤ 2). Sources too small to
+    * finish phase I plus one full window emit nothing (the streaming
+    * twin's silence); only COMPLETE windows score.
+    *
+    * Scale shape: one narrow (source, bin) projection, one rank
+    * window per source (the per-source doc order a stream gets for
+    * free), two keyed count aggregations over bounded (source ×
+    * window × 6-bin) frames, and a bin-ordered fold per window — no
+    * corpus-sized state, no cross-source work. */
+  private[queries] def p124PsiBaselineDrift: Q = (s, d) =>
+    psiBaselineDriftOf(Tables.documents(s, d))
+
+  private[graft] def psiBaselineDriftOf(docs: DataFrame,
+      baselineDocs: Long = PsiBaselineDocs,
+      windowDocs: Long = PsiWindowDocs): DataFrame = {
+    val binsB = PsiMaxBin + 1
+    val s = docs.sparkSession
+    val byId = Window.partitionBy("source").orderBy("doc_id")
+    val ranked = docs.select(col("source"), col("doc_id"),
+        least(lit(PsiMaxBin.toLong), expr("n_chars div 100")).as("bin"))
+      .withColumn("idx", row_number().over(byId))
+      .staged // read by the baseline and the window aggregations
+    val baseCnt = ranked.filter(col("idx") <= baselineDocs)
+      .groupBy("source", "bin").agg(count(lit(1)).as("bc"))
+    val winRows = ranked.filter(col("idx") > baselineDocs)
+      .withColumn("window_idx",
+        expr(s"(idx - ${baselineDocs + 1}) div $windowDocs"))
+    val complete = winRows.groupBy("source", "window_idx")
+      .agg(count(lit(1)).as("nw"))
+      .filter(col("nw") === windowDocs)
+      .select("source", "window_idx")
+    val winCnt = winRows.groupBy("source", "window_idx", "bin")
+      .agg(count(lit(1)).as("wc"))
+    // densify both histograms over the full bin grid (absent bins
+    // carry the smoothing mass alone)
+    val grid = complete.crossJoin(
+      broadcast(s.range(0, binsB).toDF("bin")))
+    val f = grid
+      .join(winCnt, Seq("source", "window_idx", "bin"), "left_outer")
+      .join(baseCnt, Seq("source", "bin"), "left_outer")
+      .select(col("source"), col("window_idx"), col("bin"),
+        (lit(2L) * coalesce(col("wc"), lit(0L)) + lit(1L)).as("pn"),
+        lit(2L * windowDocs + binsB).as("pd"),
+        (lit(2L) * coalesce(col("bc"), lit(0L)) + lit(1L)).as("qn"),
+        lit(2L * baselineDocs + binsB).as("qd"))
+    val dq = (qlog2(col("pn") * col("qd")) - qlog2(col("qn") * col("pd")))
+      .cast(DoubleType)
+    val term = (col("pn").cast(DoubleType) / col("pd").cast(DoubleType)
+      - col("qn").cast(DoubleType) / col("qd").cast(DoubleType)) *
+      dq / lit(65536.0)
+    val psi = f.select(col("source"), col("window_idx"),
+        col("bin"), term.as("term"))
+      .groupBy("source", "window_idx")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("bin"), col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")), 6).as("psi"))
+    psi.select(col("source"), col("window_idx"), col("psi"),
+      when(col("psi") >= 0.25, 2).when(col("psi") >= 0.1, 1)
+        .otherwise(0).cast(IntegerType).as("level"))
+  }
+
   private[queries] def p81SourceDriftPsi: Q = (s, d) => {
     val binsB = PsiMaxBin + 1 // number of bins = total smoothing mass ×2
     val binned = Tables.documents(s, d)

@@ -2437,6 +2437,55 @@ trait PipelineOracles extends PipelineReports {
          |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list(term ORDER BY bin)), (a, x) -> a + x), 6) AS psi
          |FROM tm GROUP BY source""".stripMargin,
+    "p124_psi_baseline_drift" ->
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id,
+         |    least($PsiMaxBin, n_chars // 100) AS bin,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS idx
+         |  FROM documents),
+         |basecnt AS (
+         |  SELECT source, bin, COUNT(*) AS bc FROM ranked
+         |  WHERE idx <= $PsiBaselineDocs GROUP BY 1, 2),
+         |winrows AS (
+         |  SELECT source, bin,
+         |    (idx - ${PsiBaselineDocs + 1}) // $PsiWindowDocs
+         |      AS window_idx
+         |  FROM ranked WHERE idx > $PsiBaselineDocs),
+         |complete AS (
+         |  SELECT source, window_idx FROM winrows
+         |  GROUP BY 1, 2 HAVING COUNT(*) = $PsiWindowDocs),
+         |wincnt AS (
+         |  SELECT source, window_idx, bin, COUNT(*) AS wc
+         |  FROM winrows GROUP BY 1, 2, 3),
+         |grid AS (
+         |  SELECT source, window_idx, bin FROM complete,
+         |    (SELECT unnest(generate_series(0, $PsiMaxBin)) AS bin)),
+         |f AS (
+         |  SELECT g.source, g.window_idx, g.bin,
+         |    2 * coalesce(w.wc, 0) + 1 AS pn,
+         |    ${2 * PsiWindowDocs + PsiMaxBin + 1} AS pd,
+         |    2 * coalesce(b.bc, 0) + 1 AS qn,
+         |    ${2 * PsiBaselineDocs + PsiMaxBin + 1} AS qd
+         |  FROM grid g
+         |  LEFT JOIN wincnt w ON g.source = w.source
+         |    AND g.window_idx = w.window_idx AND g.bin = w.bin
+         |  LEFT JOIN basecnt b ON g.source = b.source AND g.bin = b.bin),
+         |tm AS (
+         |  SELECT source, window_idx, bin,
+         |    (CAST(pn AS DOUBLE) / pd - CAST(qn AS DOUBLE) / qd)
+         |      * (${sqlQlog2("pn * qd")} - ${sqlQlog2("qn * pd")})
+         |      / 65536.0 AS term
+         |  FROM f),
+         |p AS (
+         |  SELECT source, window_idx,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(term ORDER BY bin)), (a, x) -> a + x), 6) AS psi
+         |  FROM tm GROUP BY 1, 2)
+         |SELECT source, window_idx, psi,
+         |  CASE WHEN psi >= 0.25 THEN 2 WHEN psi >= 0.1 THEN 1
+         |    ELSE 0 END AS level
+         |FROM p""".stripMargin,
     "p82_soft_dedup_weights" ->
       s"""WITH RECURSIVE $sqlClusterLabels,
          |sz AS (SELECT cluster_id, COUNT(*) AS n_members

@@ -929,18 +929,34 @@ object Streams {
   final case class PsiState(base: Seq[Long], nb: Long, win: Seq[Long],
       nw: Long, widx: Long)
 
+  /** The house qlog2 fixed-point log2 (⌊log2(x)·2^16⌋-style, exact
+    * int64 — `graft.queries` Pipeline's `qlog2` SQL expression in
+    * Scala), so the streaming PSI is BIT-EQUAL to batch p124 and its
+    * DuckDB oracle: m = bit length of x, then
+    * (m−1)·65536 + ⌊x·65536 / 2^(m−1)⌋ − 65536. Args here are tiny
+    * products (≤ a few thousand), far inside the ×65536 envelope. */
+  private[streaming] def qlog2i(x: Long): Long = {
+    val m = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    (m - 1) * 65536L + (x * 65536L) / (1L << (m - 1)) - 65536L
+  }
+
   /** The PSI fold's pure arithmetic, shared with the spec's driver-side
-    * replay: add-½-smoothed population-stability index of the window
-    * histogram against the baseline, in bits (log2), rounded to 6
-    * decimals. Every term (p−q)·log2(p/q) is ≥ 0, so PSI ≥ 0. */
+    * replay and arithmetic-identical to batch p124 / its DuckDB twin:
+    * add-½-smoothed population-stability index of the window histogram
+    * against the baseline, terms in bin order via [[qlog2i]], summed
+    * left-to-right from 0.0 (the engines' shared fold order), rounded
+    * to 6 decimals. Every term (p−q)·log2(p/q) is ≥ 0, so PSI ≥ 0. */
   private[streaming] def psiOf(base: Seq[Long], nb: Long,
       win: Seq[Long], nw: Long): Double = {
     val bins = base.length
+    val pd = 2 * nw + bins
+    val qd = 2 * nb + bins
     val raw = (0 until bins).iterator.map { i =>
-      val p = (2.0 * win(i) + 1) / (2.0 * nw + bins)
-      val q = (2.0 * base(i) + 1) / (2.0 * nb + bins)
-      (p - q) * (math.log(p / q) / math.log(2.0))
-    }.sum
+      val pn = 2 * win(i) + 1
+      val qn = 2 * base(i) + 1
+      (pn.toDouble / pd - qn.toDouble / qd) *
+        (qlog2i(pn * qd) - qlog2i(qn * pd)).toDouble / 65536.0
+    }.foldLeft(0.0)(_ + _)
     math.rint(raw * 1e6) / 1e6
   }
 
@@ -949,39 +965,48 @@ object Streams {
     * (3σ count spikes) and [[cusumDrift]] (sustained mean drift): PSI
     * sees the SHAPE of a distribution move even when its volume and
     * mean look healthy. Batch p81 contrasts each source against the
-    * rest of a corpus snapshot; the deployment form here is the other
-    * standard PSI contract — each source against its own FROZEN
-    * baseline: per source, the first `baselineDocs` arrivals freeze a
-    * length histogram (phase I, immune to later drift — the CUSUM
-    * rule), then every `windowDocs` arrivals close a window and emit
-    * its PSI against the baseline, with the add-½ smoothing p81 uses
-    * (no zero-bin infinities). Binning is p81's: min(PsiMaxBin,
+    * rest of a corpus snapshot; this is the other standard PSI
+    * contract — each source against its own FROZEN baseline: per
+    * source, the first `baselineDocs` arrivals freeze a length
+    * histogram (phase I, immune to later drift — the CUSUM rule),
+    * then every `windowDocs` arrivals close a window and emit its PSI
+    * against the baseline, with the add-½ smoothing p81 uses (no
+    * zero-bin infinities). Binning is p81's: min(PsiMaxBin,
     * n_chars div 100). `level` applies the standard PSI bands —
     * 0 stable (<0.1), 1 moderate (0.1–0.25), 2 major (≥0.25).
+    * Batch p124 (graft.queries Pipeline `psiBaselineDriftOf`) is the
+    * at-rest twin with the SAME declared sizing (PsiBaselineDocs /
+    * PsiWindowDocs) and the same qlog2 fixed-point arithmetic, doc_id
+    * standing in for arrival order — PsiTwinSpec proves the two emit
+    * identical rows for one corpus.
     *
     * Count-based windows make the op deterministic given per-source
-    * arrival order (the dedupDocStream contract); state is two small
+    * arrival order; batches fold in doc_id order, so arrival order IS
+    * doc_id order whenever each microbatch arrives sorted (and the
+    * fold is batch-boundary-invariant regardless). State is two small
     * histograms per source, nothing scales with stream length.
     * PsiDriftSpec replays the fold driver-side row for row. */
-  def psiDrift(docs: DataFrame, baselineDocs: Int = 32,
-      windowDocs: Int = 16): Dataset[PsiRow] = {
+  def psiDrift(docs: DataFrame,
+      baselineDocs: Long = graft.queries.Pipeline.PsiBaselineDocs,
+      windowDocs: Long = graft.queries.Pipeline.PsiWindowDocs)
+      : Dataset[PsiRow] = {
     import docs.sparkSession.implicits._
     val bins = graft.queries.Pipeline.PsiMaxBin + 1
     docs
-      .select(col("source"),
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         least(lit(graft.queries.Pipeline.PsiMaxBin.toLong),
           expr("n_chars div 100")).as("bin"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
       .flatMapGroupsWithState[PsiState, PsiRow](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
-        (src: String, batch: Iterator[(String, Long)],
+        (src: String, batch: Iterator[(Long, String, Long)],
             state: GroupState[PsiState]) =>
           var st = state.getOption.getOrElse(
             PsiState(Seq.fill(bins)(0L), 0L, Seq.fill(bins)(0L), 0L, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[PsiRow]
-          batch.foreach { case (_, bin) =>
+          batch.toSeq.sortBy(_._1).foreach { case (_, _, bin) =>
             val i = bin.toInt
             if (st.nb < baselineDocs)
               st = st.copy(base = st.base.updated(i, st.base(i) + 1),
@@ -991,7 +1016,7 @@ object Streams {
               if (st.nw + 1 < windowDocs) st = st.copy(win = win,
                 nw = st.nw + 1)
               else {
-                val psi = psiOf(st.base, st.nb, win, windowDocs.toLong)
+                val psi = psiOf(st.base, st.nb, win, windowDocs)
                 val level = if (psi >= 0.25) 2
                   else if (psi >= 0.1) 1 else 0
                 out += PsiRow(src, st.widx, psi, level)

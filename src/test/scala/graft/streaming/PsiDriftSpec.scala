@@ -20,15 +20,17 @@ class PsiDriftSpec extends SparkSpec {
 
   test("psiDrift freezes the baseline, scores windows, bands levels") {
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(String, Long)]
-    val q = psiDrift(in.toDF().toDF("source", "n_chars"),
+    val in = MemoryStream[(Long, String, Long)]
+    val q = psiDrift(in.toDF().toDF("doc_id", "source", "n_chars"),
         baselineDocs = 8, windowDocs = 8)
       .writeStream.format("memory").queryName("psi")
       .outputMode(OutputMode.Append).start()
     val rows =
       try {
-        in.addData((baseA ++ win1A ++ win2A).map("a" -> _): _*)
-        in.addData(allB.map("b" -> _): _*)
+        in.addData((baseA ++ win1A ++ win2A).zipWithIndex
+          .map { case (c, i) => (i.toLong, "a", c) }: _*)
+        in.addData(allB.zipWithIndex
+          .map { case (c, i) => (i.toLong, "b", c) }: _*)
         q.processAllAvailable()
         spark.table("psi").collect()
           .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
@@ -55,18 +57,20 @@ class PsiDriftSpec extends SparkSpec {
 
   test("a partial window emits nothing until it closes") {
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(String, Long)]
-    val q = psiDrift(in.toDF().toDF("source", "n_chars"),
+    val in = MemoryStream[(Long, String, Long)]
+    val q = psiDrift(in.toDF().toDF("doc_id", "source", "n_chars"),
         baselineDocs = 4, windowDocs = 4)
       .writeStream.format("memory").queryName("psi_partial")
       .outputMode(OutputMode.Append).start()
     try {
-      in.addData(Seq.fill(4)(50L).map("c" -> _): _*) // baseline only
-      in.addData(Seq(150L, 150L).map("c" -> _): _*)  // half a window
+      var id = 0L
+      def rows(cs: Seq[Long]) = cs.map { c => id += 1; (id, "c", c) }
+      in.addData(rows(Seq.fill(4)(50L)): _*) // baseline only
+      in.addData(rows(Seq(150L, 150L)): _*)  // half a window
       q.processAllAvailable()
       assert(spark.table("psi_partial").isEmpty,
         "phase I and open windows are silent")
-      in.addData(Seq(150L, 150L).map("c" -> _): _*)  // closes the window
+      in.addData(rows(Seq(150L, 150L)): _*)  // closes the window
       q.processAllAvailable()
       val got = spark.table("psi_partial").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))

@@ -295,6 +295,15 @@ private[sources] class TextDataWriter(path: String, finalName: String,
       }
       i += 1
     }
+    // a row whose whole encoding is empty (single string column holding
+    // "") would round-trip as a blank line, which the reader skips as
+    // padding — a silently LOST row (probe-confirmed: wrote 3, read 2).
+    // The format cannot represent it; reject loudly like NULL and
+    // tab/newline above.
+    if (sb.length() == 0)
+      throw new IllegalArgumentException(
+        s"graft-txt cannot represent a row that encodes to an empty " +
+          s"line (single empty string, $finalName)")
     sb.append('\n')
     out.write(sb.toString)
   }

@@ -295,13 +295,17 @@ trait PipelineOracles extends PipelineReports {
          |  FROM (${oracleBase("p87_ref_integrity")}) t)
          |, v6 AS (SELECT CAST(SUM(alarm) AS DOUBLE) AS v
          |  FROM ($sqlP122) t)
+         |, v7 AS (SELECT CAST(SUM(CASE WHEN level >= 1 THEN 1 ELSE 0
+         |    END) AS DOUBLE) AS v
+         |  FROM (${oracleBase("p124_psi_baseline_drift")}) t)
          |SELECT 'feed_anomaly_cells' AS "check", v AS value,
          |  0.0 AS threshold, v > 0.0 AS alarm FROM v1
          |UNION ALL SELECT 'source_drift_psi_max', v, 0.2, v > 0.2 FROM v2
          |UNION ALL SELECT 'embedding_drift_psi', v, 0.2, v > 0.2 FROM v3
          |UNION ALL SELECT 'dedup_index_recall', v, 0.8, v < 0.8 FROM v4
          |UNION ALL SELECT 'index_orphans', v, 0.0, v > 0.0 FROM v5
-         |UNION ALL SELECT 'cusum_drift_alarms', v, 0.0, v > 0.0 FROM v6"""
+         |UNION ALL SELECT 'cusum_drift_alarms', v, 0.0, v > 0.0 FROM v6
+         |UNION ALL SELECT 'psi_window_alarms', v, 0.0, v > 0.0 FROM v7"""
         .stripMargin) +
     ("p111_dedup_threshold_curve" ->
       s"""WITH p AS ($sqlP02),

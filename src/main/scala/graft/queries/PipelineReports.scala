@@ -360,6 +360,10 @@ trait PipelineReports extends PipelineAssembly {
       .union(row("cusum_drift_alarms",
         p122CusumDrift(s, d).agg(
           sum(col("alarm").cast(LongType)).as("v")), 0.0, true))
+      .union(row("psi_window_alarms",
+        p124PsiBaselineDrift(s, d).agg(
+          sum(when(col("level") >= 1, 1L).otherwise(0L)).as("v")),
+        0.0, true))
   }
 
 

@@ -45,6 +45,7 @@ class EmptyInputSpec extends SparkSpec {
     "p108_novelty_curve", "p113_dup_run_lengths", "p114_run_strip",
     "p118_source_scorecard", "p120_budget_allocation", "p121_freq_spectrum",
     "p122_cusum_drift", "p123_drift_changepoint",
+    "p124_psi_baseline_drift",
     "q19_agg_group", "q30_top_revenue", "q53_topk_native",
     "s08_sql_agg_groupby", "s15_sql_cte_window",
     "s25_sql_small_qty_revenue", "s28_sql_pricing_summary")

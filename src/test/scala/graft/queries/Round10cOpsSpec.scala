@@ -277,11 +277,15 @@ class Round10cOpsSpec extends SparkSpec {
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
           r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
       .toMap
-    assert(rows.size == 6)
+    assert(rows.size == 7)
     assert(rows("feed_anomaly_cells")._1.get ==
       run("p84_hourly_anomaly").count().toDouble)
     assert(rows("cusum_drift_alarms")._1.get ==
       run("p122_cusum_drift").agg(sum(col("alarm")))
+        .collect().head.getLong(0).toDouble)
+    assert(rows("psi_window_alarms")._1.get ==
+      run("p124_psi_baseline_drift").agg(
+        sum(when(col("level") >= 1, 1L).otherwise(0L)))
         .collect().head.getLong(0).toDouble)
     assert(rows("source_drift_psi_max")._1.get ==
       run("p81_source_drift_psi").agg(max(col("psi")))

@@ -100,16 +100,18 @@ class EmptyInputSpec extends SparkSpec {
     rows.values.foreach { case (d, t) => assert(d == 0L && t == 0L) }
   }
 
-  test("p110_health_report keeps its six rows; absent checks stay NULL") {
+  test("p110_health_report keeps its seven rows; absent checks stay NULL") {
     val rows = Pipeline.queries("p110_health_report")(
       spark, EmptyInputSpec.dir).collect()
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
-    assert(rows.size == 6)
+    assert(rows.size == 7)
     // zero-count checks report 0.0 (healthy); undefined ones stay NULL
     assert(rows("feed_anomaly_cells").contains(0.0))
     assert(rows("cusum_drift_alarms").isEmpty,
       "no hourly series at all -> the drift sum is NULL, not healthy-0")
+    assert(rows("psi_window_alarms").isEmpty,
+      "no windows at all -> the PSI alarm sum is NULL, not healthy-0")
     assert(rows("index_orphans").contains(0.0))
     assert(rows("dedup_index_recall").isEmpty,
       "recall of an empty corpus must be NULL, not a number")

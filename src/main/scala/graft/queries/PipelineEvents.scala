@@ -245,7 +245,13 @@ trait PipelineEvents extends PipelineMultimodal {
     * window per source (the per-source doc order a stream gets for
     * free), two keyed count aggregations over bounded (source ×
     * window × 6-bin) frames, and a bin-ordered fold per window — no
-    * corpus-sized state, no cross-source work. */
+    * corpus-sized state, no cross-source work. Honest caveat: source
+    * cardinality is LOW, so the rank window concentrates each
+    * source's rows in one task — exactly the skew shape p115 flags.
+    * At 100 TB the deployment path is the STREAMING twin (no rank,
+    * state per source is two histograms); batch p124 is the at-rest
+    * audit/backfill twin, and a backfill over a giant source would
+    * chunk the rank by doc_id ranges before windowing. */
   private[queries] def p124PsiBaselineDrift: Q = (s, d) =>
     psiBaselineDriftOf(Tables.documents(s, d))
 

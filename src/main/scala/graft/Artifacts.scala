@@ -144,15 +144,8 @@ object Artifacts {
     def tryClaim(): Boolean =
       try { fs.mkdirs(hPath.getParent); fs.createNewFile(claim) }
       catch { case _: java.io.IOException => false }
-    val owned = tryClaim() || {
-      // stale-claim takeover: exactly one retry after breaking it, so
-      // two takers still serialize on the fresh createNewFile
-      val stale = try {
-        System.currentTimeMillis() -
-          fs.getFileStatus(claim).getModificationTime > ClaimStaleMs
-      } catch { case _: java.io.IOException => false }
-      stale && fs.delete(claim, false) && tryClaim()
-    }
+    val owned = tryClaim() ||
+      takeoverStaleClaim(fs, claim, tryClaim)
     val won = owned && {
       try {
         onClaimHeld()
@@ -171,6 +164,50 @@ object Artifacts {
     }
     if (!won) fs.delete(tmp, true): Unit
     won
+  }
+
+  /** Break a stale claim and retry `tryClaim`. NOT delete-then-create:
+    * two takers can interleave so the second DELETES the first's fresh
+    * claim and both end up publishing — the exact race this file
+    * exists to prevent. Instead the claim is RENAMED to a taker-unique
+    * tombstone (rename of one source path succeeds for exactly one
+    * taker), and because a concurrent taker may have completed its
+    * whole takeover in the gap between this taker's staleness
+    * observation and its rename, the captured tombstone's mtime
+    * (rename preserves it) is re-checked: a FRESH capture means a
+    * live claim was stolen, and it is handed back by renaming the
+    * tombstone to the claim path (or dropped if a newer claim already
+    * occupies it — that claim excludes this taker either way). Only a
+    * still-stale capture is discarded, after which `tryClaim` re-runs
+    * — `createNewFile` stays the sole arbiter of ownership, so a
+    * third session that claimed in the gap still wins cleanly.
+    * `onObservedStale` is a test seam between the staleness
+    * observation and the rename — race-injection specs complete a
+    * competing takeover inside it. */
+  private[graft] def takeoverStaleClaim(
+      fs: org.apache.hadoop.fs.FileSystem,
+      claim: org.apache.hadoop.fs.Path, tryClaim: () => Boolean,
+      onObservedStale: () => Unit = () => ()): Boolean = {
+    def staleAt(p: org.apache.hadoop.fs.Path): Boolean = try {
+      System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime > ClaimStaleMs
+    } catch { case _: java.io.IOException => false }
+    staleAt(claim) && {
+      onObservedStale()
+      val tomb = new org.apache.hadoop.fs.Path(claim.getParent,
+        claim.getName + s".tomb-${java.util.UUID.randomUUID()}")
+      val broke = try fs.rename(claim, tomb)
+        catch { case _: java.io.IOException => false }
+      broke && {
+        if (staleAt(tomb)) { fs.delete(tomb, false): Unit; tryClaim() }
+        else {
+          try { if (!fs.rename(tomb, claim)) fs.delete(tomb, false): Unit }
+          catch { case _: java.io.IOException =>
+            fs.delete(tomb, false): Unit }
+          false
+        }
+      }
+    }
   }
 
   /** Stage a builder's FINAL frame only when the artifact will live in

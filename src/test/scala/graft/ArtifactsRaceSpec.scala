@@ -105,6 +105,37 @@ class ArtifactsRaceSpec extends SparkSpec {
       .forall(_.getString(1) == "B"))
   }
 
+  test("a taker that lost the stale-claim race hands back the " +
+      "winner's fresh claim instead of breaking it") {
+    val root = tempRoot()
+    val fs = new Path(root).getFileSystem(hconf)
+    val claim = new Path(s"$root/art.claim")
+    fs.createNewFile(claim)
+    val old = System.currentTimeMillis() - 16L * 60 * 1000
+    fs.setTimes(claim, old, old) // holder crashed 16 minutes ago
+    var winnerOwns = false
+    // B observes the stale claim; inside the observation window the
+    // competing taker A completes its ENTIRE takeover (break + fresh
+    // createNewFile). Pre-fix delete-then-create code had B delete
+    // A's fresh claim and claim too — two owners. B must instead
+    // detect the freshly-captured claim and restore it.
+    val bOwns = Artifacts.takeoverStaleClaim(fs, claim,
+      () => fs.createNewFile(claim),
+      onObservedStale = { () =>
+        winnerOwns = Artifacts.takeoverStaleClaim(fs, claim,
+          () => fs.createNewFile(claim))
+      })
+    assert(winnerOwns, "the takeover completing first owns the claim")
+    assert(!bOwns, "the late taker must NOT also acquire ownership")
+    assert(fs.exists(claim), "the winner's fresh claim survives")
+    assert(System.currentTimeMillis() -
+      fs.getFileStatus(claim).getModificationTime < 60 * 1000,
+      "the surviving claim is the winner's FRESH one, not the stale")
+    val kids = fs.listStatus(new Path(root)).map(_.getPath.getName)
+    assert(!kids.exists(_.contains(".tomb-")),
+      s"no tombstone may survive the takeover, got ${kids.toSeq}")
+  }
+
   test("two concurrent loadOrWrite sessions publish one clean copy " +
       "and both serve identical rows") {
     val store = tempRoot()

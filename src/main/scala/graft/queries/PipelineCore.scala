@@ -22,6 +22,44 @@ import graft.functions.VectorDotLong.vdotl
 trait PipelineCore extends QueryModule {
 
 
+  /** Corpus row counts, cached per (session, dataset dir, table):
+    * several operators size their structures from the corpus
+    * (corpus-scaled codebooks, fixed-size monitoring samples), and
+    * that sizing must be ONE metadata-cheap job per gate run, not one
+    * per consumer. Sessions are held weakly — same keying discipline
+    * as [[graft.Artifacts]]. At production scale this is a catalog
+    * lookup, not a job at all. */
+  private val rowCounts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String),
+        java.lang.Long]]())
+
+  private[queries] def cachedRowCount(s: SparkSession, d: String,
+      table: String)(count: => Long): Long = {
+    val forSession = rowCounts.synchronized {
+      var m = rowCounts.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String),
+          java.lang.Long]()
+        rowCounts.put(s, m)
+      }
+      m
+    }
+    forSession.computeIfAbsent((d, table),
+      _ => java.lang.Long.valueOf(count)).longValue()
+  }
+
+  /** max(floor, ceil(n / target)) — the one sizing rule every
+    * corpus-scaled structure uses, mirrored in SQL as
+    * `greatest(floor, (count(*) + target - 1) // target)`. */
+  private[queries] def corpusCells(n: Long, floor: Long,
+      target: Long): Long = math.max(floor, (n + target - 1) / target)
+
+  /** Document-corpus row count for dataset `d` (cached). */
+  private[graft] def docCount(s: SparkSession, d: String): Long =
+    cachedRowCount(s, d, "documents")(Tables.documents(s, d).count())
+
+
   // MinHash configuration: 12 hashes in 6 bands of 2 rows. P(candidate) =
   // 1-(1-j^2)^6 — misses a j=0.9 near-dup with p≈5e-5, keeps the j≈0.03
   // background at ≈0.5%, which the exact-Jaccard verify then discards.

@@ -937,40 +937,59 @@ trait PipelineDedup extends PipelineVectors {
   }
 
 
+  /** The dedup-recall monitoring sample holds ~this many docs at any
+    * corpus size: the sampling divisor is max(2, ceil(N/target)) — the
+    * [[corpusCells]] rule — so the exact-truth stage below stays
+    * |S|×N however large the corpus grows. At the sf0.01 gate corpus
+    * (500 docs) the divisor floors at the historical mod-2. */
+  private[queries] val DedupSampleTarget = 250L
+
   /** Dedup-index quality monitoring — p72's recall@k story for the
     * near-dup family: the capped-LSH index (p02) is probabilistic, and
     * its recall degrades silently as the corpus drifts (band width,
     * shingle length and the bucket cap were tuned for SOME duplicate
     * structure), so a production pipeline continuously compares it to
-    * EXACT ground truth on a deterministic sample. Sample = doc_id ≡ 0
-    * (mod 2) here (a fixture-sized stand-in — production uses a
-    * fixed-size hash sample so the exact side stays bounded at any
-    * corpus size); ground truth is all-pairs exact Jaccard WITHIN the
-    * sample (a broadcast self-join of sample sketches — |S|² work by
-    * design, never corpus-pairwise), found = the p02 pair-graph
-    * artifact restricted to sample-internal pairs. One summary row:
-    * true/found/hit counts, recall (the number that decays), precision
-    * (structurally 1.0 — the LSH index exact-verifies every candidate,
-    * so it can only MISS pairs, never invent them; reported so a
-    * verify-stage regression is visible too). */
+    * EXACT ground truth on a deterministic FIXED-SIZE sample: docs
+    * with doc_id ≡ 0 (mod D), D = max(2, ceil(N/[[DedupSampleTarget]]))
+    * — ~250 docs at any corpus size, the same corpus-derived sizing
+    * rule as the k-means/IVF codebooks, computed identically by the
+    * DuckDB twin. Ground truth is SAMPLE-ANCHORED: every exact-Jaccard
+    * near-dup pair with at least one sampled endpoint, computed by
+    * broadcasting the ~250 sample sketches against one corpus scan —
+    * |S|×N work, LINEAR in the corpus (the previous proportional
+    * mod-2 sample paid |N/2|² — quadratic, and ScaleProbe measured
+    * p110 riding it to 73 s at a 10× corpus). Anchoring also keeps the
+    * estimator useful: a sampled doc's true near-dups are found
+    * wherever they live in the corpus, so true pairs don't vanish as
+    * the sampling rate drops (both-endpoints-sampled pairs would decay
+    * as 1/D²). `found` = the p02 pair-graph artifact restricted to
+    * pairs touching the sample. One summary row: true/found/hit
+    * counts, recall (the number that decays), precision (structurally
+    * 1.0 — the LSH index exact-verifies every candidate, so it can
+    * only MISS pairs, never invent them; reported so a verify-stage
+    * regression is visible too). */
   private[queries] def p93DedupRecall: Q = (s, d) => {
+    val dMod = corpusCells(docCount(s, d), 2L, DedupSampleTarget)
     val sig = minhashSig(s, d)
-      .filter(pmod(col("doc_id"), lit(2L)) === 0)
       .select(col("doc_id"), col("shset"), col("n"))
-    val truth = sig
-      .select(col("doc_id").as("doc_a"), col("shset").as("sa"),
+    val sample = sig.filter(pmod(col("doc_id"), lit(dMod)) === 0)
+      .select(col("doc_id").as("s_id"), col("shset").as("sa"),
         col("n").as("na"))
-      .crossJoin(broadcast(sig.select(col("doc_id").as("doc_b"),
-        col("shset").as("sb"), col("n").as("nb"))))
-      .filter(col("doc_a") < col("doc_b"))
+    val truth = sig
+      .select(col("doc_id").as("o_id"), col("shset").as("sb"),
+        col("n").as("nb"))
+      .crossJoin(broadcast(sample))
+      .filter(col("o_id") =!= col("s_id"))
       .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))))
       .filter(col("ninter").cast(DoubleType) /
         (col("na") + col("nb") - col("ninter")) >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"))
+      .select(least(col("s_id"), col("o_id")).as("doc_a"),
+        greatest(col("s_id"), col("o_id")).as("doc_b"))
+      .distinct() // a both-sampled pair arrives once per endpoint
       .staged
     val found = nearDupPairs(s, d)
-      .filter(pmod(col("doc_a"), lit(2L)) === 0 &&
-        pmod(col("doc_b"), lit(2L)) === 0)
+      .filter(pmod(col("doc_a"), lit(dMod)) === 0 ||
+        pmod(col("doc_b"), lit(dMod)) === 0)
       .select(col("doc_a"), col("doc_b"))
       .staged
     truth.agg(count(lit(1)).as("n_true"))

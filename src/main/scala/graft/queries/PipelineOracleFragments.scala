@@ -181,12 +181,18 @@ trait PipelineOracleFragments extends PipelineReports {
        |  GROUP BY tk.doc_id, tk.lang, cs.cls, cs.q_prior, cs.q_den)""".stripMargin
 
 
+  // `kk` mirrors [[PipelineVectors.kmeansK]]: max(floor, ceil(N/target))
+  // via BIGINT ceil-division over the SAME relation the Spark side
+  // counts — the corpus-scaled codebook stays bit-identical across
+  // engines because K is a pure function of row count.
   private[queries] val sqlKmeansCtes: String =
     s"""qq AS (SELECT vec_id, qv FROM q),
+       |kk AS (SELECT greatest($KmeansK, (count(*) + ${KmeansCellTarget - 1})
+       |    // $KmeansCellTarget) AS k FROM qq),
        |dims AS (SELECT unnest(generate_series(1,
        |    (SELECT max(len(qv)) FROM qq))) AS i),
        |c0 AS (SELECT vec_id AS cell, qv AS cv FROM qq
-       |  WHERE vec_id < $KmeansK),
+       |  WHERE vec_id < (SELECT k FROM kk)),
        |s1 AS (SELECT v.vec_id, c.cell,
        |    list_sum(list_transform(generate_series(1, len(v.qv)),
        |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
@@ -214,13 +220,15 @@ trait PipelineOracleFragments extends PipelineReports {
   // The p33 IVF-bucketed kNN-graph chain, shared by the p33 and p96
   // oracles. Prepend WITH; readers get `r` (vec_id, nbr_id, sim, rnk).
   private[queries] val sqlP33Chain: String =
-    """e AS (
+    s"""e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |n AS (SELECT vec_id, v,
       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |ik AS (SELECT greatest($IvfKFloor, (count(*) + ${IvfCellTarget - 1})
+      |    // $IvfCellTarget) AS k FROM n),
       |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-      |  FROM n WHERE vec_id < 16),
+      |  FROM n WHERE vec_id < (SELECT k FROM ik)),
       |a0 AS (
       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
       |    round(list_sum(list_transform(generate_series(1, len(n.v)),
@@ -418,8 +426,10 @@ trait PipelineOracleFragments extends PipelineReports {
         |ms AS (SELECT probe_id, vec_id FROM (
         |  SELECT probe_id, vec_id, ROW_NUMBER() OVER (PARTITION BY probe_id
         |    ORDER BY sim DESC, vec_id) AS rnk FROM mss) t WHERE rnk <= 3),
+        |ik AS (SELECT greatest($IvfKFloor, (count(*) + ${IvfCellTarget - 1})
+        |    // $IvfCellTarget) AS k FROM n),
         |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-        |  FROM n WHERE vec_id < 16),
+        |  FROM n WHERE vec_id < (SELECT k FROM ik)),
         |a0 AS (
         |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
         |    round(list_sum(list_transform(generate_series(1, len(n.v)),

@@ -563,15 +563,16 @@ trait PipelineOracles extends PipelineOracleFragments {
          |    CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_next
          |  FROM a2 GROUP BY 1),
-         |grid AS (SELECT unnest(generate_series(0, ${KmeansK - 1})) AS cell),
+         |grid AS (SELECT unnest(generate_series(0,
+         |    (SELECT k FROM kk) - 1)) AS cell),
          |f AS (SELECT g.cell,
          |    coalesce(cc.n_prev, 0) AS n_prev,
          |    coalesce(cc.n_next, 0) AS n_next
          |  FROM grid g LEFT JOIN cc USING (cell)),
          |tot AS (SELECT SUM(n_prev) AS tp, SUM(n_next) AS tn FROM f),
          |r AS (SELECT cell, n_prev, n_next,
-         |    2 * n_next + 1 AS pn, 2 * tn + $KmeansK AS pd,
-         |    2 * n_prev + 1 AS qn, 2 * tp + $KmeansK AS qd
+         |    2 * n_next + 1 AS pn, 2 * tn + (SELECT k FROM kk) AS pd,
+         |    2 * n_prev + 1 AS qn, 2 * tp + (SELECT k FROM kk) AS qd
          |  FROM f CROSS JOIN tot),
          |tm AS (SELECT cell, n_prev, n_next,
          |    (CAST(pn AS DOUBLE) / pd - CAST(qn AS DOUBLE) / qd)
@@ -719,13 +720,15 @@ trait PipelineOracles extends PipelineOracleFragments {
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
     "p20_ann_ivf" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |n AS (SELECT vec_id, v,
         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |ik AS (SELECT greatest($IvfKFloor, (count(*) + ${IvfCellTarget - 1})
+        |    // $IvfCellTarget) AS k FROM n),
         |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-        |  FROM n WHERE vec_id < 16),
+        |  FROM n WHERE vec_id < (SELECT k FROM ik)),
         |a0 AS (
         |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
         |    round(list_sum(list_transform(generate_series(1, len(n.v)),
@@ -1345,24 +1348,30 @@ trait PipelineOracles extends PipelineOracleFragments {
         |  FROM v WHERE vec_id NOT IN (SELECT doc_id FROM d))
         |SELECT * FROM a UNION ALL SELECT * FROM b""".stripMargin,
     "p93_dedup_recall" ->
-      // found = the full p02 oracle restricted to sample-internal pairs;
-      // truth = an INDEPENDENT exact all-pairs Jaccard over the sample's
-      // distinct shingle-id sets (own CTE names, no reuse of p02's
-      // internals beyond the shared tokenizer/shingle fragments)
+      // found = the full p02 oracle restricted to pairs touching the
+      // fixed-size sample; truth = an INDEPENDENT sample-anchored exact
+      // Jaccard (sample × all distinct shingle-id sets — own CTE names,
+      // no reuse of p02's internals beyond the shared tokenizer/shingle
+      // fragments). `dd` mirrors the Spark side's corpusCells divisor.
       s"""WITH p AS ($sqlP02),
+         |dd AS (SELECT greatest(2, (count(*) + ${DedupSampleTarget - 1})
+         |    // $DedupSampleTarget) AS dv FROM documents),
          |found AS (SELECT doc_a, doc_b FROM p
-         |  WHERE doc_a % 2 = 0 AND doc_b % 2 = 0),
+         |  WHERE doc_a % (SELECT dv FROM dd) = 0
+         |     OR doc_b % (SELECT dv FROM dd) = 0),
          |tsh AS (
          |  SELECT doc_id, unnest(${sqlShingles("t", ShingleW)}) AS shingle
-         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents
-         |        WHERE doc_id % 2 = 0)),
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents)),
          |tsig AS (SELECT doc_id,
          |    list(DISTINCT ${sqlH60("shingle")}) AS shset,
          |    len(shset) AS n
          |  FROM tsh GROUP BY doc_id),
+         |samp AS (SELECT * FROM tsig
+         |  WHERE doc_id % (SELECT dv FROM dd) = 0),
          |truth AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM tsig a JOIN tsig b ON a.doc_id < b.doc_id
+         |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b
+         |  FROM samp a JOIN tsig b ON a.doc_id <> b.doc_id
          |  WHERE CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
          |    / (a.n + b.n - len(list_intersect(a.shset, b.shset)))
          |    >= $JaccardThreshold),

@@ -188,7 +188,7 @@ trait PipelineVectors extends PipelineText {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-    val cents = e.filter(col("vec_id") < 16)
+    val cents = e.filter(col("vec_id") < ivfK(s, d))
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy("vec_id")
@@ -408,6 +408,46 @@ trait PipelineVectors extends PipelineText {
   private[graft] val KmeansK = 8
 
 
+  /** Corpus-scaled codebook sizing — the fix for the fixed-codebook
+    * stress regime ScaleProbe documented (p94 31.3× / p96 11.2× /
+    * p110 15.1× at a 10× corpus): with a FIXED cell count, cells grow
+    * linearly with the corpus and every within-cell pairwise stage
+    * (p94's SemDeDup prune, p33's kNN graph feeding p96) pays
+    * Σ|cell|² ∝ N²/K — quadratic. Deriving K from the corpus size with
+    * a constant per-cell target keeps |cell| ≈ target, so Σ|cell|² ≈
+    * N·target stays LINEAR — the scaling contract those ops' scaladocs
+    * already promise ("finer codebooks shrink cells as the corpus
+    * grows"). K must be identical in both engines for the bit-exact
+    * oracles, so it is a pure function of row count — ceil(N/target)
+    * floored at the historical constant — and the DuckDB twins compute
+    * it with the same ceil-division over the same relation. At the
+    * sf0.01 gate corpus (500 vectors) both floors hold, so gate
+    * outputs are unchanged. The count is one metadata-cheap job at
+    * plan-build time (at production scale, table row count is catalog
+    * metadata). Broadcast posture: the codebook is N/target rows of
+    * dims codes — ~1.5% of corpus bytes at target 64 — which
+    * broadcasts comfortably through ~10⁸ vectors; beyond that a
+    * production build shards the codebook and assigns through a
+    * two-level (coarse-then-fine) join, the standard IVF hierarchy,
+    * without changing any consumer: they read (vec_id, cell). */
+  private[graft] val KmeansCellTarget = 64L
+  private[graft] val IvfKFloor = 16L
+  private[graft] val IvfCellTarget = 32L
+
+  /** Embedding-corpus row count for dataset `d` (cached via
+    * [[cachedRowCount]]). */
+  private[graft] def embCount(s: SparkSession, d: String): Long =
+    cachedRowCount(s, d, "embeddings")(Tables.embeddings(s, d).count())
+
+  /** k-means codebook size for dataset `d`: max(8, ceil(N/64)). */
+  private[graft] def kmeansK(s: SparkSession, d: String): Long =
+    corpusCells(embCount(s, d), KmeansK.toLong, KmeansCellTarget)
+
+  /** IVF coarse-quantizer size for dataset `d`: max(16, ceil(N/32)). */
+  private[graft] def ivfK(s: SparkSession, d: String): Long =
+    corpusCells(embCount(s, d), IvfKFloor, IvfCellTarget)
+
+
   /** Two Lloyd iterations of k-means over the int8-quantized embedding
     * codes — the clustering step of cluster-based curation (SemDeDup
     * family: cluster first, then dedup/prune within cells). Everything
@@ -463,7 +503,7 @@ trait PipelineVectors extends PipelineText {
   private[graft] def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
     val qq = quantizedVectors(s, d).select(col("vec_id"), col("qv"))
     graft.Artifacts.cached(s, d, "kmeans_centroids") {
-      val c0 = qq.filter(col("vec_id") < KmeansK)
+      val c0 = qq.filter(col("vec_id") < kmeansK(s, d))
         .select(col("vec_id").as("cell"), col("qv").as("cv"))
       kmeansUpdate(qq, kmeansAssign(qq, c0))
     }
@@ -681,14 +721,15 @@ trait PipelineVectors extends PipelineText {
     val counts = cells.groupBy("cell").agg(
       count(when(pmod(col("vec_id"), lit(7L)) =!= 0, 1)).as("n_prev"),
       count(when(pmod(col("vec_id"), lit(5L)) =!= 0, 1)).as("n_next"))
-    val grid = broadcast(s.range(0, KmeansK).toDF("cell"))
+    val k = kmeansK(s, d)
+    val grid = broadcast(s.range(0, k).toDF("cell"))
     val f = grid.join(counts, Seq("cell"), "left_outer")
       .select(col("cell"),
         coalesce(col("n_prev"), lit(0L)).as("n_prev"),
         coalesce(col("n_next"), lit(0L)).as("n_next"))
       .staged // read twice: per-cell terms + the snapshot totals
     val tot = f.agg(sum("n_prev").as("tp"), sum("n_next").as("tn"))
-    val B = KmeansK.toLong
+    val B = k
     val pn = lit(2L) * col("n_next") + lit(1L)
     val pd = lit(2L) * col("tn") + lit(B)
     val qn = lit(2L) * col("n_prev") + lit(1L)

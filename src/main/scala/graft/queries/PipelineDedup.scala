@@ -221,12 +221,16 @@ trait PipelineDedup extends PipelineVectors {
     * Distances 4-5 would only be found when their bits happen to spare a
     * band; emitting them would be a recall lottery. Same
     * bucketed-not-all-pairs shape as the MinHash path, over a 4x smaller
-    * sketch. */
+    * sketch — including the [[MaxBucket]] cap: a band byte shared by a
+    * giant near-identical cluster (or plain byte-collision mass as the
+    * corpus grows past ~256·cap docs) would otherwise emit |bucket|²
+    * candidates; the cap bounds any bucket's fan-out exactly as p02's
+    * does, and the oracle applies the identical cap. */
   private[queries] def p12SimhashPairs: Q = (s, d) => {
     val fp = simhashFp(s, d).staged
-    val bands = fp.select(col("doc_id"), col("simhash"),
+    val bands = capBuckets(fp.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("bkey", expr("shiftright(simhash, band * 8) & 255"))
+      .withColumn("bkey", expr("shiftright(simhash, band * 8) & 255")))
     bands.select(col("band"), col("bkey"),
         col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
       .join(bands.select(col("band"), col("bkey"),

@@ -251,13 +251,18 @@ trait PipelineOracleFragments extends PipelineReports {
 
   // p13's full oracle text, shared with p49 (which text-verifies p13's
   // embedding-bucketed candidate pairs).
+  // The bucket is the full AnnPairMaxBits-wide sign pattern truncated
+  // to the corpus-scaled width (bit p's hyperplane is the same at any
+  // width, so substr ≡ computing exactly `bits` signs — the Spark side
+  // does the latter with the identical annPairBits threshold rule).
   private[queries] val sqlP13: String =
     s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
       |n AS (SELECT vec_id, v,
       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
-      |  ${sqlSignBucket("v", 4)} AS bucket
+      |  substr(${sqlSignBucket("v", AnnPairMaxBits)},
+      |    1, ${sqlAnnPairBits("e")}) AS bucket
       |  FROM e)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  round(list_sum(list_transform(generate_series(1, len(a.v)),
@@ -1280,10 +1285,14 @@ trait PipelineOracleFragments extends PipelineReports {
          |bands AS (
          |  SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
          |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bs),
+         |capped AS (
+         |  SELECT doc_id, simhash, band, bkey FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz
+         |    FROM bands) t WHERE bsz <= $MaxBucket),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM bands a JOIN bands b
+         |  FROM capped a JOIN capped b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin,

@@ -104,6 +104,39 @@ trait PipelineVectors extends PipelineText {
   private[graft] val AnnBits = 4
 
 
+  /** Corpus-scaled sign-bucket width for the PAIRWISE consumers (p13's
+    * cosine near-dup and p49 riding it): probe-search ops (p05/p104)
+    * keep the fixed [[AnnBits]] probe budget — their per-probe work is
+    * corpus/2^bits, linear for a fixed probe set — but a corpus-wide
+    * same-bucket self-join pays Σ|bucket|² ≈ N²/2^bits, quadratic at
+    * any FIXED width. The width therefore grows with the corpus:
+    * smallest b in [[[AnnBits]], [[AnnPairMaxBits]]] with
+    * N ≤ [[AnnPairTarget]]·2^b, keeping buckets ≈ target and pair work
+    * linear — the same sizing discipline as the k-means/IVF codebooks,
+    * and integer-exact in both engines ([[sqlAnnPairBits]] generates
+    * the identical threshold CASE, so no float log2 can diverge). The
+    * recall trade is the standard single-table LSH one — narrower
+    * buckets miss more distant near-dups — and the honest scale answer
+    * past the 16-bit cap (corpus > 4.2M vectors at target 64) is more
+    * tables/multi-probe, not wider buckets. At the sf0.01 gate corpus
+    * (500 vectors) the floor holds and outputs are unchanged. */
+  private[graft] val AnnPairTarget = 64L
+
+  private[graft] val AnnPairMaxBits = 16
+
+  private[graft] def annPairBits(n: Long): Int =
+    (AnnBits to AnnPairMaxBits)
+      .find(b => n <= (AnnPairTarget << b)).getOrElse(AnnPairMaxBits)
+
+  /** DuckDB twin of [[annPairBits]] over relation `rel`: a descending
+    * integer-threshold CASE generated from the same constants. */
+  private[queries] def sqlAnnPairBits(rel: String): String =
+    "(SELECT CASE " +
+      (AnnPairMaxBits to (AnnBits + 1) by -1).map(b =>
+        s"WHEN cnt > ${AnnPairTarget << (b - 1)} THEN $b ").mkString +
+      s"ELSE $AnnBits END FROM (SELECT count(*) AS cnt FROM $rel) t)"
+
+
   /** Charikar (2002) random-hyperplane sign bucket of embedding column
     * `v`: bit p = sign(v · r_p) over [[hyperplaneSigns]], as a `bits`-char
     * '0'/'1' string. P(bit differs) = angle/π per hyperplane, so Hamming
@@ -246,15 +279,17 @@ trait PipelineVectors extends PipelineText {
 
 
   /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors are bucketed
-    * by their 4-bit Charikar sign pattern ([[signBucket]], 16 buckets)
-    * and only same-bucket pairs are compared — |corpus|²/16 instead of
-    * all pairs, and narrower buckets (more sign bits) shrink the work
-    * further at larger scale. */
+    * by their CORPUS-SCALED Charikar sign pattern ([[annPairBits]] —
+    * buckets hold ≈[[AnnPairTarget]] vectors at any corpus size, 4 bits
+    * at the gate corpus) and only same-bucket pairs are compared —
+    * Σ|bucket|² ≈ N·target, LINEAR, where any fixed width would go
+    * N²/2^bits quadratic. */
   private[queries] def p13CosineNearDup: Q = (s, d) => {
+    val bits = annPairBits(embCount(s, d))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-      .withColumn("bucket", signBucket(col("v"), 4))
+      .withColumn("bucket", signBucket(col("v"), bits))
     e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na"))
       .join(e.select(col("bucket"), col("vec_id").as("vec_b"),

@@ -49,7 +49,10 @@ object ScaleProbe {
     "p112_dup_spectrum", "p113_dup_run_lengths", "p114_run_strip",
     "p115_skew_audit", "p117_dedup_agreement", "p118_source_scorecard",
     "p119_dedup_savings", "p120_budget_allocation", "p121_freq_spectrum",
-    "p122_cusum_drift", "p123_drift_changepoint", "p124_psi_baseline_drift")
+    "p122_cusum_drift", "p123_drift_changepoint", "p124_psi_baseline_drift",
+    // round-12 additions: the two remaining fixed-bucket pairwise
+    // families, now corpus-scaled (p13's sign bits) / capped (p12)
+    "p12_simhash_pairs", "p13_cosine_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

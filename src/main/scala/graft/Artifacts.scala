@@ -220,8 +220,34 @@ object Artifacts {
     if (s.conf.get("graft.artifacts.dir", "").nonEmpty) df
     else Stage.materialize(df)
 
-  /** Forget everything cached for this session (spec hygiene when a
-    * suite mutates the corpus under a fixed dir). */
-  def invalidate(s: SparkSession): Unit =
+  /** Session-scoped memo for small derived SCALARS — corpus row
+    * counts feeding corpus-scaled sizing (codebook K, sample
+    * divisors, sign-bucket width). Same (session, dataset) lifecycle
+    * and immutable-dir contract as the artifact registry, and cleared
+    * together by [[invalidate]] so a suite that rewrites a corpus
+    * under a fixed dir cannot keep sizing from the old corpus. */
+  private val scalars = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      ConcurrentHashMap[(String, String), Any]]())
+
+  def cachedScalar[T](s: SparkSession, dir: String, name: String)
+      (build: => T): T = {
+    val forSession = scalars.synchronized {
+      var m = scalars.get(s)
+      if (m == null) {
+        m = new ConcurrentHashMap[(String, String), Any]()
+        scalars.put(s, m)
+      }
+      m
+    }
+    forSession.computeIfAbsent((dir, name), _ => build).asInstanceOf[T]
+  }
+
+  /** Forget everything cached for this session — artifacts AND sizing
+    * scalars (spec hygiene when a suite mutates the corpus under a
+    * fixed dir). */
+  def invalidate(s: SparkSession): Unit = {
     cache.synchronized { cache.remove(s): Unit }
+    scalars.synchronized { scalars.remove(s): Unit }
+  }
 }

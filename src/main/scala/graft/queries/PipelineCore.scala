@@ -26,28 +26,13 @@ trait PipelineCore extends QueryModule {
     * several operators size their structures from the corpus
     * (corpus-scaled codebooks, fixed-size monitoring samples), and
     * that sizing must be ONE metadata-cheap job per gate run, not one
-    * per consumer. Sessions are held weakly — same keying discipline
-    * as [[graft.Artifacts]]. At production scale this is a catalog
+    * per consumer. Lives in [[graft.Artifacts]]' session-scoped
+    * scalar memo so `Artifacts.invalidate` clears sizing and
+    * artifacts together. At production scale this is a catalog
     * lookup, not a job at all. */
-  private val rowCounts = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String),
-        java.lang.Long]]())
-
   private[queries] def cachedRowCount(s: SparkSession, d: String,
-      table: String)(count: => Long): Long = {
-    val forSession = rowCounts.synchronized {
-      var m = rowCounts.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String),
-          java.lang.Long]()
-        rowCounts.put(s, m)
-      }
-      m
-    }
-    forSession.computeIfAbsent((d, table),
-      _ => java.lang.Long.valueOf(count)).longValue()
-  }
+      table: String)(count: => Long): Long =
+    graft.Artifacts.cachedScalar(s, d, s"rowcount:$table")(count)
 
   /** max(floor, ceil(n / target)) — the one sizing rule every
     * corpus-scaled structure uses, mirrored in SQL as

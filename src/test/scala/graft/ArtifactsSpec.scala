@@ -57,6 +57,22 @@ class ArtifactsSpec extends SparkSpec {
     assert(!(a eq b), "invalidate must force a rebuild")
   }
 
+  test("invalidate clears the sizing-scalar memo too — a rewritten " +
+      "corpus must not keep the old corpus's sizing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scalar-memo").toString
+    var builds = 0
+    def count(): Long =
+      Artifacts.cachedScalar(spark, dir, "rowcount:documents") {
+        builds += 1; 100L * builds
+      }
+    assert(count() == 100L && count() == 100L && builds == 1,
+      "the scalar is built once per session and dir")
+    Artifacts.invalidate(spark)
+    assert(count() == 200L,
+      "after invalidate the scalar must be recomputed")
+  }
+
   test("graft.artifacts.dir persists artifacts across sessions") {
     val store = java.nio.file.Files
       .createTempDirectory("graft-artifact-store").toString

@@ -94,8 +94,12 @@ trait PipelineVectors extends PipelineText {
     * (~1/16 of the corpus per probe) instead of handing IVF a 16×
     * coverage head start — the flaw in the retired 8-bit bucket, whose
     * 256 buckets searched 0.4% of the corpus and recalled accordingly.
-    * Like the IVF codebook, the width grows with the corpus (a p116-style
-    * planner would pick it from the target candidate fraction); the
+    * The budget match (and the sweep below) is calibrated at the gate
+    * corpus, where the corpus-scaled IVF codebook floors at 16 cells;
+    * the PAIRWISE sign-bucket path scales its width with the corpus
+    * instead ([[annPairBits]] — a fixed width is quadratic there), and
+    * a production probe-search build would pick this width from its
+    * target candidate fraction the same way. The
     * measured sweep on this corpus (PLANS.md round 11): 4-bit Charikar
     * single-bucket 0.167 recall@3 at 6.2% candidates, Hamming≤1
     * multi-probe 0.55 at 31%, vs IVF 0.833 at 6.2% — the data-dependent

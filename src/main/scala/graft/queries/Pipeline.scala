@@ -50,6 +50,7 @@ object Pipeline extends PipelineOracles {
     "p122_cusum_drift" -> p122CusumDrift,
     "p123_drift_changepoint" -> p123DriftChangepoint,
     "p124_psi_baseline_drift" -> p124PsiBaselineDrift,
+    "p125_ann_ivf2" -> p125AnnIvf2,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,

@@ -719,6 +719,76 @@ trait PipelineOracles extends PipelineOracleFragments {
          |  lang, COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
+    "p125_ann_ivf2" ->
+      // The two-level hierarchy twin: same e/n/ik/c/a0/a chain as p20
+      // (flat assignment), plus coarse anchors (first ceil(sqrt(K)) —
+      // IEEE sqrt is correctly rounded, so both engines derive the
+      // same C), centroid→anchor and vector→anchor argmins, the
+      // member-keyed fine argmin, and the K-grid agreement census.
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |ik AS (SELECT greatest($IvfKFloor, (count(*) + ${IvfCellTarget - 1})
+        |    // $IvfCellTarget) AS k FROM n),
+        |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id < (SELECT k FROM ik)),
+        |a0 AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+        |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
+        |  WHERE arnk = 1),
+        |cg AS (SELECT CAST(ceil(sqrt(CAST((SELECT k FROM ik) AS DOUBLE)))
+        |    AS BIGINT) AS cn),
+        |co AS (SELECT cent_id AS co_id, cv AS gv, cnrm AS gnrm FROM c
+        |  WHERE cent_id < (SELECT cn FROM cg)),
+        |cc0 AS (SELECT c.cent_id, co.co_id,
+        |    round(list_sum(list_transform(generate_series(1, len(c.cv)),
+        |      i -> c.cv[i] * co.gv[i])) / (c.cnrm * co.gnrm), 6) AS csim
+        |  FROM c, co),
+        |cca AS (SELECT cent_id, co_id AS coarse FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cent_id
+        |      ORDER BY csim DESC, co_id) AS arnk FROM cc0) t
+        |  WHERE arnk = 1),
+        |vc0 AS (SELECT n.vec_id, co.co_id,
+        |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |      i -> n.v[i] * co.gv[i])) / (n.nrm * co.gnrm), 6) AS csim
+        |  FROM n, co),
+        |vca AS (SELECT vec_id, co_id AS coarse FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, co_id) AS arnk FROM vc0) t
+        |  WHERE arnk = 1),
+        |m AS (SELECT c.cent_id, c.cv, c.cnrm, cca.coarse
+        |  FROM c JOIN cca USING (cent_id)),
+        |vf0 AS (SELECT n.vec_id, m.cent_id,
+        |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |      i -> n.v[i] * m.cv[i])) / (n.nrm * m.cnrm), 6) AS fsim
+        |  FROM n JOIN vca USING (vec_id) JOIN m ON vca.coarse = m.coarse),
+        |two AS (SELECT vec_id, cent_id AS cell2 FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY fsim DESC, cent_id) AS rnk FROM vf0) t
+        |  WHERE rnk = 1),
+        |grid AS (SELECT unnest(generate_series(0,
+        |    (SELECT k FROM ik) - 1)) AS cell),
+        |nf AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_flat
+        |  FROM a GROUP BY 1),
+        |nt AS (SELECT cell2 AS cell, CAST(COUNT(*) AS BIGINT) AS n_twolevel
+        |  FROM two GROUP BY 1),
+        |na AS (SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_agree
+        |  FROM a JOIN two USING (vec_id) WHERE a.cell = two.cell2
+        |  GROUP BY 1)
+        |SELECT CAST(g.cell AS BIGINT) AS cell,
+        |  coalesce(nf.n_flat, CAST(0 AS BIGINT)) AS n_flat,
+        |  coalesce(nt.n_twolevel, CAST(0 AS BIGINT)) AS n_twolevel,
+        |  coalesce(na.n_agree, CAST(0 AS BIGINT)) AS n_agree
+        |FROM grid g LEFT JOIN nf USING (cell) LEFT JOIN nt USING (cell)
+        |LEFT JOIN na USING (cell)""".stripMargin,
     "p20_ann_ivf" ->
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

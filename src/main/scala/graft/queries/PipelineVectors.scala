@@ -258,6 +258,89 @@ trait PipelineVectors extends PipelineText {
   }
 
 
+  /** Two-level (coarse→fine) IVF assignment + agreement audit — the
+    * documented beyond-broadcast path of the corpus-scaled codebook,
+    * as code instead of a caveat: with K = [[ivfK]] ∝ N centroids, a
+    * flat argmin eventually means broadcasting a codebook too large
+    * for executor memory (~10⁸ vectors at target 32) and paying N×K
+    * dots. The standard hierarchy (FAISS IMI shape) fixes both: the
+    * first C = ceil(√K) centroids serve as COARSE anchors (IEEE sqrt
+    * is correctly rounded — fully specified, so both engines derive
+    * the same C from the same K); every centroid is argmin-assigned
+    * to its nearest anchor (K×C dots, tiny), every vector to its
+    * nearest anchor (N×C dots, only the C-row anchor table
+    * broadcasts), and then to its nearest centroid AMONG ITS ANCHOR'S
+    * MEMBERS via a join keyed on the coarse cell — per-vector work
+    * C + K/C ≈ 2√K instead of K, and the K-row member table moves as
+    * an ordinary keyed join (AQE broadcasts it while it fits, shuffle
+    * otherwise), never a mandatory broadcast. The hierarchy is
+    * APPROXIMATE — a vector's true nearest centroid can live under a
+    * different anchor — so the op emits the audit a production build
+    * monitors before switching: the full K-cell grid (p100's rule)
+    * with flat-vs-two-level member counts and their agreement. A
+    * vector whose chosen anchor attracted no member centroids (anchor
+    * c is itself a centroid, but an identical-vector tie can pull it
+    * under a lower anchor) is dropped by the inner member join on
+    * both engines alike and surfaces as Σn_twolevel < Σn_flat —
+    * reported, not hidden. All similarity argmins use the house
+    * round(·,6)-then-id ordering, so the audit is bit-exact. */
+  private[queries] def p125AnnIvf2: Q = (s, d) => {
+    val k = ivfK(s, d)
+    val cNum = math.ceil(math.sqrt(k.toDouble)).toLong
+    val flat = ivfAssigned(s, d) // (vec_id, v, nrm, cell) — checkpointed
+    val cents = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        sqrt(vdot(col("v"), col("v"))).as("cnrm"))
+    val coarse = cents.filter(col("cent_id") < cNum)
+      .select(col("cent_id").as("co_id"), col("cv").as("gv"),
+        col("cnrm").as("gnrm"))
+    def toCoarse(df: DataFrame, idCol: String, vCol: String,
+        nrmCol: String): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("csim").desc, col("co_id").asc)
+      df.crossJoin(broadcast(coarse))
+        .select(col(idCol), col("co_id"),
+          round(vdot(col(vCol), col("gv")) / (col(nrmCol) * col("gnrm")), 6)
+            .as("csim"))
+        .withColumn("arnk", row_number().over(w))
+        .filter(col("arnk") === 1)
+        .select(col(idCol), col("co_id").as("coarse"))
+    }
+    val members = cents.join(toCoarse(cents, "cent_id", "cv", "cnrm"),
+      "cent_id")
+    val wFine = Window.partitionBy("vec_id")
+      .orderBy(col("fsim").desc, col("cent_id").asc)
+    val two = flat.select(col("vec_id"), col("v"), col("nrm"))
+      .join(toCoarse(flat.select(col("vec_id"), col("v"), col("nrm")),
+        "vec_id", "v", "nrm"), "vec_id")
+      .join(members, Seq("coarse")) // un-hinted: AQE decides at scale
+      .select(col("vec_id"), col("cent_id"),
+        round(vdot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+          .as("fsim"))
+      .withColumn("rnk", row_number().over(wFine))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell2"))
+      .staged // read twice: its own census + the agreement join
+    val grid = s.range(0, k).toDF("cell")
+    val nFlat = flat.groupBy("cell").agg(count(lit(1)).as("n_flat"))
+    val nTwo = two.groupBy(col("cell2").as("cell"))
+      .agg(count(lit(1)).as("n_twolevel"))
+    val nAgree = flat.select(col("vec_id"), col("cell"))
+      .join(two, "vec_id")
+      .filter(col("cell") === col("cell2"))
+      .groupBy("cell").agg(count(lit(1)).as("n_agree"))
+    grid.join(nFlat, Seq("cell"), "left_outer")
+      .join(nTwo, Seq("cell"), "left_outer")
+      .join(nAgree, Seq("cell"), "left_outer")
+      .select(col("cell"),
+        coalesce(col("n_flat"), lit(0L)).as("n_flat"),
+        coalesce(col("n_twolevel"), lit(0L)).as("n_twolevel"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+  }
+
+
   /** kNN graph over ALL vectors, IVF-bucketed: each vector's top-3
     * cosine neighbors searched only within its centroid cell — the
     * |corpus|²→Σ|cell|² candidate reduction that makes a full

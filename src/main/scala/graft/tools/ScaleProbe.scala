@@ -51,8 +51,9 @@ object ScaleProbe {
     "p119_dedup_savings", "p120_budget_allocation", "p121_freq_spectrum",
     "p122_cusum_drift", "p123_drift_changepoint", "p124_psi_baseline_drift",
     // round-12 additions: the two remaining fixed-bucket pairwise
-    // families, now corpus-scaled (p13's sign bits) / capped (p12)
-    "p12_simhash_pairs", "p13_cosine_neardup")
+    // families, now corpus-scaled (p13's sign bits) / capped (p12),
+    // and the two-level IVF hierarchy audit
+    "p12_simhash_pairs", "p13_cosine_neardup", "p125_ann_ivf2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

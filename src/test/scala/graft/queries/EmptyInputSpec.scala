@@ -81,6 +81,19 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("p125_ann_ivf2 reports the fixed cell grid with zero members") {
+    val rows = Pipeline.queries("p125_ann_ivf2")(
+      spark, EmptyInputSpec.dir).collect()
+    // same grid contract as p100: one row per codebook cell, always —
+    // an empty corpus floors the corpus-scaled K at IvfKFloor
+    assert(rows.length == Pipeline.IvfKFloor.toInt)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flat") == 0L)
+      assert(r.getAs[Long]("n_twolevel") == 0L)
+      assert(r.getAs[Long]("n_agree") == 0L)
+    }
+  }
+
   test("p107_padding_audit reports both strategies at zero, null fraction") {
     val rows = Pipeline.queries("p107_padding_audit")(
       spark, EmptyInputSpec.dir).collect()

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Round-12 operator reconciliations: driver-side replays that rebuild
+  * an operator's full result with plain Scala collections and the
+  * engine's exact arithmetic, then assert equality — the same
+  * independence discipline as Round10OpsSpec's p93/p94 replays. */
+class Round12OpsSpec extends SparkSpec {
+
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  test("p125: the two-level census reconciles against a full " +
+      "driver-side replay of both assignment paths") {
+    val out = Pipeline.queries("p125_ann_ivf2")(spark, Sf01).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // structural invariants first: full grid, agreement bounded
+    assert(out.keySet == (0L until Pipeline.IvfKFloor).toSet)
+    out.values.foreach { case (f, t, a) =>
+      assert(a <= math.min(f, t), "agreement cannot exceed either census")
+    }
+    // independent replay: the engine's exact arithmetic in plain Scala —
+    // double left-to-right accumulation of float-widened products
+    // (VectorDot's contract) and round-half-up at 6 decimals via
+    // BigDecimal.valueOf, which is what Spark's `round` does on doubles
+    val em = Tables.embeddings(spark, Sf01)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def rnd(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val k = math.max(Pipeline.IvfKFloor,
+      (em.length + Pipeline.IvfCellTarget - 1) / Pipeline.IvfCellTarget)
+    assert(k == 16, "the 500-vector fixture floors at 16 cells")
+    val cNum = math.ceil(math.sqrt(k.toDouble)).toLong
+    val nrm = em.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vecs = em.toMap
+    val cents = em.takeWhile(_._1 < k).map(_._1)
+    val coarse = cents.filter(_ < cNum)
+    // argmin by (rounded cosine DESC, id ASC) — iterate ids ascending,
+    // keep on strictly greater, so ties resolve to the smallest id
+    def best(v: Array[Float], vn: Double, cands: Seq[Long]): Long = {
+      var bestId = -1L
+      var bestSim = Double.NegativeInfinity
+      cands.foreach { c =>
+        val s = rnd(dot(v, vecs(c)) / (vn * nrm(c)))
+        if (s > bestSim) { bestSim = s; bestId = c }
+      }
+      bestId
+    }
+    val centCoarse = cents.map(c => c -> best(vecs(c), nrm(c), coarse)).toMap
+    val membersOf = cents.groupBy(centCoarse)
+    val flat = em.map { case (id, v) => id -> best(v, nrm(id), cents) }
+    val two = em.flatMap { case (id, v) =>
+      val anchor = best(v, nrm(id), coarse)
+      membersOf.get(anchor).map(ms => id -> best(v, nrm(id), ms.toSeq))
+    }
+    val expect = (0L until k).map { cell =>
+      val f = flat.count(_._2 == cell).toLong
+      val t = two.count(_._2 == cell).toLong
+      val twoMap = two.toMap
+      val a = flat.count { case (id, fc) =>
+        fc == cell && twoMap.get(id).contains(cell)
+      }.toLong
+      cell -> (f, t, a)
+    }.toMap
+    assert(out == expect, "census must equal the driver-side replay")
+    assert(flat.length == em.length && two.length == em.length,
+      "the fixture never orphans a vector under the hierarchy")
+    // the audit must be measuring something real: the fixture corpus is
+    // weakly clustered, so flat and two-level genuinely disagree somewhere
+    assert(out.values.exists { case (f, _, a) => a < f },
+      "fixture produced perfect agreement — the audit would be vacuous")
+  }
+}

@@ -583,7 +583,13 @@ trait PipelineVectors extends PipelineText {
     * agg, one cell-keyed native vec_sum agg (dims-length buffers, not
     * corpus×dims exploded rows) — linear in N×K×dims, the textbook
     * distributed-Lloyd shape; iterations are a driver-side loop over
-    * DataFrames, state never leaves the cluster. */
+    * DataFrames, state never leaves the cluster. With the
+    * corpus-scaled K, the broadcast side grows with the corpus like
+    * the IVF codebook's — and the same [[p125AnnIvf2]] coarse-anchor
+    * hierarchy is the beyond-broadcast escape here too (hierarchical
+    * k-means assigns through √K anchors); for the exact-Lloyd
+    * semantics the gate pins, that switch changes results, so it is a
+    * documented deployment path, not a silent substitution. */
   /** The p53 k-means state, shared with p94's SemDeDup prune step: the
     * quantized code table `qq` (vec_id, qv — a narrow projection of the
     * checkpointed quantized-index artifact, so repeated reads re-scan

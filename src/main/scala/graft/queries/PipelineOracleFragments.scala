@@ -255,21 +255,38 @@ trait PipelineOracleFragments extends PipelineReports {
   // to the corpus-scaled width (bit p's hyperplane is the same at any
   // width, so substr ≡ computing exactly `bits` signs — the Spark side
   // does the latter with the identical annPairBits threshold rule).
+  // `pk` is the Hamming≤1 probe fan-out: the bucket itself plus each
+  // one-bit flip, the flip positions bounded by the same scalar width —
+  // probe-side vec_a < vec_b means every unordered pair surfaces from
+  // exactly one orientation, so no DISTINCT is needed (matching the
+  // Spark side's argument).
   private[queries] val sqlP13: String =
     s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
+      |bb AS (SELECT ${sqlAnnPairBits("e")} AS b),
       |n AS (SELECT vec_id, v,
       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
       |  substr(${sqlSignBucket("v", AnnPairMaxBits)},
-      |    1, ${sqlAnnPairBits("e")}) AS bucket
-      |  FROM e)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_sum(list_transform(generate_series(1, len(a.v)),
-      |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS sim
-      |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      |WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
-      |    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.40""".stripMargin
+      |    1, (SELECT b FROM bb)) AS bucket
+      |  FROM e),
+      |pk AS (
+      |  SELECT vec_id AS vec_a, v AS va, nrm AS na, bucket FROM n
+      |  UNION ALL
+      |  SELECT vec_id, v, nrm,
+      |    substr(bucket, 1, CAST(i - 1 AS INT)) ||
+      |    (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
+      |      THEN '0' ELSE '1' END) ||
+      |    substr(bucket, CAST(i + 1 AS INT)) AS bucket
+      |  FROM n, (SELECT unnest(generate_series(1,
+      |    (SELECT b FROM bb))) AS i) ii)
+      |SELECT a.vec_a, b.vec_id AS vec_b,
+      |  round(list_sum(list_transform(generate_series(1, len(a.va)),
+      |    i -> a.va[i] * b.v[i])) / (a.na * b.nrm), 6) AS sim
+      |FROM pk a JOIN n b USING (bucket)
+      |WHERE a.vec_a < b.vec_id
+      |  AND round(list_sum(list_transform(generate_series(1, len(a.va)),
+      |    i -> a.va[i] * b.v[i])) / (a.na * b.nrm), 6) >= 0.40""".stripMargin
 
 
   // Connected-component labels over p02's pair graph (transitive closure

@@ -365,22 +365,36 @@ trait PipelineVectors extends PipelineText {
   }
 
 
-  /** Embedding-cosine near-dup pairs, LSH-bucketed: vectors are bucketed
-    * by their CORPUS-SCALED Charikar sign pattern ([[annPairBits]] —
-    * buckets hold ≈[[AnnPairTarget]] vectors at any corpus size, 4 bits
-    * at the gate corpus) and only same-bucket pairs are compared —
-    * Σ|bucket|² ≈ N·target, LINEAR, where any fixed width would go
-    * N²/2^bits quadratic. */
+  /** Embedding-cosine near-dup pairs, LSH-bucketed with Hamming≤1
+    * multi-probe: vectors carry their CORPUS-SCALED Charikar sign
+    * pattern ([[annPairBits]] — buckets hold ≈[[AnnPairTarget]]
+    * vectors at any corpus size, 4 bits at the gate corpus); one join
+    * side additionally fans out to the `bits` buckets one flip away
+    * (p104's Lv et al. 2007 idiom, applied PAIRWISE), so a near-dup
+    * pair survives one disagreeing sign. Work is (bits+1)·Σ|bucket|²
+    * ≈ N·target·log(N/target) — log-linear, where any fixed width
+    * would go N²/2^bits quadratic. The width trade is MEASURED
+    * (PLANS.md round 12): single-bucket recall of τ-passing pairs on
+    * this corpus decays as pᵇ with p ≈ 0.63 (0.157/0.098/0.020 at
+    * 4/5/9 bits — textbook Charikar, angle(τ=0.4) ≈ 66°), and the
+    * Hamming≤1 fan-out recovers pᵇ + b·pᵇ⁻¹(1−p). Each unordered
+    * pair surfaces exactly once — the probe side keeps only
+    * vec_a < vec_b, and a Hamming-1 pair matches from exactly one
+    * orientation — so no dedup stage is needed. */
   private[queries] def p13CosineNearDup: Q = (s, d) => {
     val bits = annPairBits(embCount(s, d))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .withColumn("bucket", signBucket(col("v"), bits))
-    e.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"),
-        col("nrm").as("na"))
-      .join(e.select(col("bucket"), col("vec_id").as("vec_b"),
-        col("v").as("vb"), col("nrm").as("nb")), Seq("bucket"))
+    val probes = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("nrm").as("na"),
+        explode(array(col("bucket") +:
+          (1 to bits).map(i => flipBit(col("bucket"), i, bits)): _*))
+          .as("bucket"))
+    e.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      .join(probes, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", round(vdot(col("va"), col("vb")) /
         (col("na") * col("nb")), 6))
@@ -820,13 +834,15 @@ trait PipelineVectors extends PipelineText {
   }
 
 
-  /** The [[AnnBits]]-char sign-bucket string with bit `i` (1-based)
-    * flipped — shared by p104's probe fan-out and p72's multi-probe
-    * monitor. */
-  private[queries] def flipBit(b: Column, i: Int): Column = concat(
+  /** The `width`-char sign-bucket string with bit `i` (1-based)
+    * flipped — shared by p104's probe fan-out, p72's multi-probe
+    * monitor, and p13's pairwise multi-probe (which passes its
+    * corpus-scaled width). */
+  private[queries] def flipBit(b: Column, i: Int,
+      width: Int = AnnBits): Column = concat(
     substring(b, 1, i - 1),
     when(substring(b, i, 1) === "1", lit("0")).otherwise(lit("1")),
-    substring(b, i + 1, AnnBits - i))
+    substring(b, i + 1, width - i))
 
 
   /** Embedding-space snapshot drift — the monitor that explains WHY ANN

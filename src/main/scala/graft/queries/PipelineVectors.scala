@@ -809,8 +809,8 @@ trait PipelineVectors extends PipelineText {
     * candidate dedup stage is needed. Recall is monotonically ≥ the
     * single-bucket path by construction (a candidate that displaces a
     * true top-k hit must itself be a true top-k hit under the same
-    * global sim order); AnnRecallSpec measures the actual lift and p72
-    * now monitors all three index variants. */
+    * global sim order); Round10cOpsSpec asserts that dominance per
+    * probe, and p72 now monitors all three index variants. */
   private[queries] def p104AnnMultiprobe: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))

@@ -81,4 +81,37 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.values.exists { case (f, _, a) => a < f },
       "fixture produced perfect agreement — the audit would be vacuous")
   }
+
+  test("p13: multi-probe emits each unordered pair exactly once, " +
+      "ordered, and strictly extends the single-bucket pair set") {
+    // the hash gate CANNOT see double-surfacing here: the DuckDB twin
+    // fans out identically, so a pair emitted from two probe
+    // orientations would duplicate on BOTH engine sides and still
+    // hash-match — the exactly-once claim needs its own assertion
+    val rows = Pipeline.queries("p13_cosine_neardup")(spark, Sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "fixture corpus must produce near-dup pairs")
+    assert(rows.distinct.length == rows.length,
+      "a pair surfaced from more than one probe orientation")
+    rows.foreach { case (a, b) =>
+      assert(a < b, s"pair ($a, $b) broke the vec_a < vec_b contract")
+    }
+    // multi-probe must be a strict superset of the same-bucket pairs:
+    // rebuild the single-bucket candidate set from the engine's own
+    // bucket column and check containment both ways
+    val bits = Pipeline.annPairBits(Pipeline.embCount(spark, Sf01))
+    val e = Tables.embeddings(spark, Sf01)
+      .select(col("vec_id"),
+        Pipeline.signBucket(col("embedding"), bits).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val bucketOf = e.toMap
+    def hamming(x: String, y: String): Int = x.zip(y).count(t => t._1 != t._2)
+    rows.foreach { case (a, b) =>
+      assert(hamming(bucketOf(a), bucketOf(b)) <= 1,
+        s"pair ($a, $b) matched outside the Hamming<=1 probe set")
+    }
+    val sameBucket = rows.filter { case (a, b) => bucketOf(a) == bucketOf(b) }
+    assert(sameBucket.length < rows.length,
+      "fixture never exercised the Hamming-1 recovery path")
+  }
 }

@@ -51,6 +51,7 @@ object Pipeline extends PipelineOracles {
     "p123_drift_changepoint" -> p123DriftChangepoint,
     "p124_psi_baseline_drift" -> p124PsiBaselineDrift,
     "p125_ann_ivf2" -> p125AnnIvf2,
+    "p126_semantic_decontam" -> p126SemanticDecontam,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,

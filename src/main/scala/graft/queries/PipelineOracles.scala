@@ -789,6 +789,29 @@ trait PipelineOracles extends PipelineOracleFragments {
         |  coalesce(na.n_agree, CAST(0 AS BIGINT)) AS n_agree
         |FROM grid g LEFT JOIN nf USING (cell) LEFT JOIN nt USING (cell)
         |LEFT JOIN na USING (cell)""".stripMargin,
+    "p126_semantic_decontam" ->
+      // exact train×eval cosine (the eval slice is benchmark-sized, so
+      // the cross product is N·|eval|, linear in the corpus), τ and the
+      // eval slice rule identical to the Spark side's declared constants
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS enrm FROM n
+        |  WHERE vec_id % 29 = 7),
+        |fl AS (
+        |  SELECT t.vec_id AS doc_id, ev.eval_id,
+        |    round(list_sum(list_transform(generate_series(1, len(t.v)),
+        |      i -> t.v[i] * ev.evv[i])) / (t.nrm * ev.enrm), 6) AS sim
+        |  FROM n t, ev WHERE t.vec_id % 29 <> 7),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY sim DESC, eval_id ASC) AS rnk
+        |  FROM fl WHERE sim >= 0.40)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_eval_hits,
+        |  MAX(CASE WHEN rnk = 1 THEN eval_id END) AS best_eval_id,
+        |  MAX(CASE WHEN rnk = 1 THEN sim END) AS best_sim
+        |FROM rk GROUP BY doc_id""".stripMargin,
     "p20_ann_ivf" ->
       s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -403,6 +403,51 @@ trait PipelineVectors extends PipelineText {
   }
 
 
+  /** Semantic (embedding-space) benchmark decontamination — the
+    * paraphrase-robust complement to the LEXICAL decontamination family
+    * (p38/p92/p109, all n-gram overlap): a reworded eval item shares no
+    * long n-gram with its training-set leak, which is exactly why the
+    * published release checks pair n-gram screens with an
+    * embedding-similarity screen. Same cross-set contract as p92, in
+    * p13's modality, over the SAME eval slice (doc_id ≡ 7 mod 29,
+    * vec_id ≡ doc_id) — so the two instruments audit one split: a doc
+    * flagged by BOTH leaked verbatim; flagged here alone is the
+    * paraphrase case n-grams cannot see. Every train vector scores
+    * exact cosine against every eval vector; pairs at sim ≥ 0.40 (p13's
+    * near-dup threshold) flag the train doc, reported with its hit
+    * count and best-matching eval doc (sim DESC, eval_id ASC ties).
+    *
+    * Scale shape: the eval side is benchmark-sized at ANY corpus size
+    * (thousands of rows against 100 TB), so it BROADCASTS and the
+    * corpus is read in ONE map-side scan — N·|eval| codegen'd
+    * `vector_dot` products with no LSH machinery needed because |eval|
+    * is a constant; the only shuffle is the doc-keyed window+agg over
+    * the SPARSE flagged pairs. Round12OpsSpec replays the op
+    * driver-side with the engine's exact arithmetic and reconciles the
+    * verbatim-vs-paraphrase claim against p92's own flag set. */
+  private[queries] def p126SemanticDecontam: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+    val ev = e.filter(pmod(col("vec_id"), lit(29L)) === 7)
+      .select(col("vec_id").as("eval_id"), col("v").as("evv"),
+        col("nrm").as("enrm"))
+    val hits = e.filter(pmod(col("vec_id"), lit(29L)) =!= 7)
+      .crossJoin(broadcast(ev))
+      .withColumn("sim", round(vdot(col("v"), col("evv")) /
+        (col("nrm") * col("enrm")), 6))
+      .filter(col("sim") >= 0.40)
+      .select(col("vec_id").as("doc_id"), col("eval_id"), col("sim"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("sim").desc, col("eval_id").asc)
+    hits.withColumn("rnk", row_number().over(w))
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast(IntegerType).as("n_eval_hits"),
+        max(when(col("rnk") === 1, col("eval_id"))).as("best_eval_id"),
+        max(when(col("rnk") === 1, col("sim"))).as("best_sim"))
+  }
+
+
   /** Quantized vector table shared by p42 (quantized ANN) and p47
     * (centroid build): per-dimension corpus min/max packed into two
     * broadcast arrays, then every vector mapped to int8 codes in one

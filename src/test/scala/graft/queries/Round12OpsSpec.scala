@@ -114,4 +114,49 @@ class Round12OpsSpec extends SparkSpec {
     assert(sameBucket.length < rows.length,
       "fixture never exercised the Hamming-1 recovery path")
   }
+
+  test("p126: semantic decontamination reconciles against a driver-side " +
+      "replay and finds leaks the lexical p92 cannot") {
+    val out = Pipeline.queries("p126_semantic_decontam")(spark, Sf01)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // independent replay: engine-exact arithmetic in plain Scala —
+    // VectorDot's ordered double accumulation of float-widened products
+    // and Spark round's BigDecimal HALF_UP at 6 decimals
+    val em = Tables.embeddings(spark, Sf01)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def rnd(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nrm = em.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val (ev, tr) = em.partition(_._1 % 29 == 7)
+    assert(ev.nonEmpty && tr.nonEmpty, "fixture must populate both sides")
+    val expect = tr.flatMap { case (t, tv) =>
+      val hits = ev.map { case (e2, evv) =>
+        e2 -> rnd(dot(tv, evv) / (nrm(t) * nrm(e2)))
+      }.filter(_._2 >= 0.40)
+      if (hits.isEmpty) None
+      else {
+        // best = (sim DESC, eval_id ASC)
+        val best = hits.minBy { case (id, s2) => (-s2, id) }
+        Some(t -> ((hits.length, best._1, best._2)))
+      }
+    }.toMap
+    assert(out == expect, "flagged set must equal the driver-side replay")
+    assert(out.nonEmpty, "fixture corpus must produce semantic flags")
+    // the reason the op exists: at least one semantic flag is invisible
+    // to the lexical 8-gram screen (a paraphrase-class leak) — checked
+    // against p92's own flagged-doc output, not a re-derivation
+    val lexical = Pipeline.queries("p92_decontaminate")(spark, Sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((out.keySet -- lexical).nonEmpty,
+      "every semantic flag was already lexically visible — vacuous op")
+  }
 }

@@ -44,6 +44,10 @@ trait PipelineOracles extends PipelineOracleFragments {
          |, v7 AS (SELECT CAST(SUM(CASE WHEN level >= 1 THEN 1 ELSE 0
          |    END) AS DOUBLE) AS v
          |  FROM (${oracleBase("p124_psi_baseline_drift")}) t)
+         |, v8 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM (${oracleBase("p92_decontaminate")}) t)
+         |, v9 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
+         |  FROM (${oracleBase("p126_semantic_decontam")}) t)
          |SELECT 'feed_anomaly_cells' AS "check", v AS value,
          |  0.0 AS threshold, v > 0.0 AS alarm FROM v1
          |UNION ALL SELECT 'source_drift_psi_max', v, 0.2, v > 0.2 FROM v2
@@ -51,7 +55,9 @@ trait PipelineOracles extends PipelineOracleFragments {
          |UNION ALL SELECT 'dedup_index_recall', v, 0.8, v < 0.8 FROM v4
          |UNION ALL SELECT 'index_orphans', v, 0.0, v > 0.0 FROM v5
          |UNION ALL SELECT 'cusum_drift_alarms', v, 0.0, v > 0.0 FROM v6
-         |UNION ALL SELECT 'psi_window_alarms', v, 0.0, v > 0.0 FROM v7"""
+         |UNION ALL SELECT 'psi_window_alarms', v, 0.0, v > 0.0 FROM v7
+         |UNION ALL SELECT 'lexical_contam_docs', v, 0.0, v > 0.0 FROM v8
+         |UNION ALL SELECT 'semantic_contam_docs', v, 0.0, v > 0.0 FROM v9"""
         .stripMargin) +
     ("p111_dedup_threshold_curve" ->
       s"""WITH p AS ($sqlP02),

@@ -364,6 +364,12 @@ trait PipelineReports extends PipelineAssembly {
         p124PsiBaselineDrift(s, d).agg(
           sum(when(col("level") >= 1, 1L).otherwise(0L)).as("v")),
         0.0, true))
+      // contamination is a release-blocking standing alarm: both screens
+      // count FLAGGED TRAIN DOCS (each output row is one), zero tolerance
+      .union(row("lexical_contam_docs",
+        p92Decontaminate(s, d).agg(count(lit(1)).as("v")), 0.0, true))
+      .union(row("semantic_contam_docs",
+        p126SemanticDecontam(s, d).agg(count(lit(1)).as("v")), 0.0, true))
   }
 
 

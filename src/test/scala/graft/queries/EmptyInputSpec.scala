@@ -113,12 +113,16 @@ class EmptyInputSpec extends SparkSpec {
     rows.values.foreach { case (d, t) => assert(d == 0L && t == 0L) }
   }
 
-  test("p110_health_report keeps its seven rows; absent checks stay NULL") {
+  test("p110_health_report keeps its nine rows; absent checks stay NULL") {
     val rows = Pipeline.queries("p110_health_report")(
       spark, EmptyInputSpec.dir).collect()
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
-    assert(rows.size == 7)
+    assert(rows.size == 9)
+    // contamination screens COUNT flagged docs: an empty corpus has
+    // zero flags, a defined healthy value — not an absent check
+    assert(rows("lexical_contam_docs").contains(0.0))
+    assert(rows("semantic_contam_docs").contains(0.0))
     // zero-count checks report 0.0 (healthy); undefined ones stay NULL
     assert(rows("feed_anomaly_cells").contains(0.0))
     assert(rows("cusum_drift_alarms").isEmpty,

@@ -261,6 +261,56 @@ object Streams {
         round(col("n_contaminated").cast(DoubleType) / col("n_grams"), 6))
   }
 
+  /** Streaming SEMANTIC decontamination — the continuous twin of batch
+    * p126_semantic_decontam, guarding the door [[contaminationMatches]]
+    * guards for verbatim leaks against the paraphrase class: each
+    * ARRIVING embedding is scored by exact cosine against the STATIC
+    * eval-set embeddings (benchmark-sized, aggregated into ONE broadcast
+    * array row), flagged with its hit count and best-matching eval doc
+    * before the doc enters the corpus. The per-row fold carries
+    * (n, best_id, best_sim) and replaces on strictly-greater sim or
+    * tie-smaller eval_id — a total order, so the fold is insensitive to
+    * the collect_list ordering and lands on the batch op's exact
+    * (sim DESC, eval_id ASC) pick; same vdot + round-6 arithmetic, same
+    * τ = 0.40. STATELESS — Append-legal, no watermark, no shuffle.
+    * StreamsSpec proves row-identity against batch p126 on the same
+    * vectors. */
+  def semanticContamMatches(vectors: DataFrame,
+      evalVecs: DataFrame): DataFrame = {
+    import graft.functions.VectorDot.vdot
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val evalArr = evalVecs
+      .select(struct(col("eval_id"), col("evv"),
+        sqrt(vdot(col("evv"), col("evv"))).as("enrm")).as("e"))
+      .agg(collect_list(col("e")).as("es"))
+    val zero = struct(lit(0).cast(IntegerType).as("n"),
+      lit(null).cast(LongType).as("best_id"),
+      lit(null).cast(DoubleType).as("best_sim"))
+    vectors
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .crossJoin(broadcast(evalArr))
+      .withColumn("res", aggregate(col("es"), zero, (acc, e) => {
+        val sim = round(vdot(col("v"), e.getField("evv")) /
+          (col("nrm") * e.getField("enrm")), 6)
+        val better = acc.getField("best_sim").isNull ||
+          sim > acc.getField("best_sim") ||
+          (sim === acc.getField("best_sim") &&
+            e.getField("eval_id") < acc.getField("best_id"))
+        when(sim >= 0.40, struct(
+          (acc.getField("n") + 1).as("n"),
+          when(better, e.getField("eval_id"))
+            .otherwise(acc.getField("best_id")).as("best_id"),
+          when(better, sim)
+            .otherwise(acc.getField("best_sim")).as("best_sim")))
+          .otherwise(acc)
+      }))
+      .filter(col("res").getField("n") > 0)
+      .select(col("vec_id").as("doc_id"),
+        col("res").getField("n").as("n_eval_hits"),
+        col("res").getField("best_id").as("best_eval_id"),
+        col("res").getField("best_sim").as("best_sim"))
+  }
+
   /** Streaming table profiler — the continuous twin of batch
     * p89_table_profile: per-column row/null counts and an HLL
     * distinct-count estimate over an ARRIVING document feed, the

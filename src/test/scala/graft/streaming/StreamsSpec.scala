@@ -318,6 +318,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticContamMatches is row-identical to batch p126 on the " +
+      "same vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.queries.Pipeline
+    val sf = "/root/testdata/sf0.01"
+    // ground truth: the batch op's own output (hash-gated vs DuckDB)
+    val batch = Pipeline.queries("p126_semantic_decontam")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(batch.nonEmpty, "fixture must produce semantic flags")
+    val em = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val evalVecs = em.filter(_._1 % 29 == 7).toSeq.toDF("eval_id", "evv")
+    val train = em.filter(_._1 % 29 != 7).toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = semanticContamMatches(in.toDF().toDF("vec_id", "v"), evalVecs)
+      .writeStream.format("memory").queryName("semcontam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two deliveries: flags must not depend on batch boundaries
+      val (first, rest) = train.splitAt(train.length / 2)
+      in.addData(first: _*)
+      q.processAllAvailable()
+      in.addData(rest: _*)
+      q.processAllAvailable()
+      val rows = spark.table("semcontam").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.length == rows.distinct.length, "a doc flagged twice")
+      assert(rows.toSet == batch,
+        "streamed flags must equal the batch op's rows exactly")
+    } finally q.stop()
+  }
+
   test("runningProfile refines per-column counts and HLL distincts per batch") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col

@@ -59,6 +59,47 @@ trait PipelineOracles extends PipelineOracleFragments {
          |UNION ALL SELECT 'lexical_contam_docs', v, 0.0, v > 0.0 FROM v8
          |UNION ALL SELECT 'semantic_contam_docs', v, 0.0, v > 0.0 FROM v9"""
         .stripMargin) +
+    // hybrid retrieval: p74's BM25 oracle embedded verbatim (one source,
+    // the p110 rule), the p04-recipe cosine ranking at probe < 10, and
+    // the exact-integer RRF fold — RrfScale/(60+rank) divides exactly
+    ("p127_rrf_fusion" ->
+      s"""WITH bm AS (SELECT probe_id, doc_id, rnk AS bm25_rnk
+         |  FROM (${oracleBase("p74_bm25_retrieval")}) t),
+         |e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm
+         |  FROM n WHERE vec_id < 10),
+         |s AS (
+         |  SELECT probe_id, vec_id AS doc_id,
+         |    round(list_sum(list_transform(generate_series(1, len(pv)),
+         |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+         |  FROM n, p WHERE vec_id <> probe_id),
+         |an AS (SELECT probe_id, doc_id, rnk AS ann_rnk FROM (
+         |  SELECT probe_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, doc_id) AS INT) AS rnk FROM s) t
+         |  WHERE rnk <= $Bm25TopK),
+         |fo AS (SELECT COALESCE(bm.probe_id, an.probe_id) AS probe_id,
+         |    COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+         |    COALESCE(bm.bm25_rnk, 0) AS bm25_rnk,
+         |    COALESCE(an.ann_rnk, 0) AS ann_rnk
+         |  FROM bm FULL OUTER JOIN an
+         |    ON bm.probe_id = an.probe_id AND bm.doc_id = an.doc_id),
+         |sc AS (SELECT probe_id, doc_id, bm25_rnk, ann_rnk,
+         |    (CASE WHEN bm25_rnk > 0
+         |      THEN $RrfScale // ($RrfK + CAST(bm25_rnk AS BIGINT))
+         |      ELSE CAST(0 AS BIGINT) END)
+         |    + (CASE WHEN ann_rnk > 0
+         |      THEN $RrfScale // ($RrfK + CAST(ann_rnk AS BIGINT))
+         |      ELSE CAST(0 AS BIGINT) END) AS rrf_q
+         |  FROM fo),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY rrf_q DESC, doc_id) AS INT) AS rnk FROM sc)
+         |SELECT probe_id, doc_id, rnk, rrf_q, bm25_rnk, ann_rnk
+         |FROM r WHERE rnk <= $Bm25TopK""".stripMargin) +
     ("p111_dedup_threshold_curve" ->
       s"""WITH p AS ($sqlP02),
          |taus AS (SELECT unnest(generate_series(5, 9)) AS tt),

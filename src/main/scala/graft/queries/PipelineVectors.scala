@@ -448,6 +448,78 @@ trait PipelineVectors extends PipelineText {
   }
 
 
+  /** Reciprocal-rank-fusion constant k = 60 (Cormack et al. 2009 — the
+    * value the paper fixed and every production hybrid stack inherited). */
+  private[queries] val RrfK = 60L
+
+  /** Exact-integer RRF scale: lcm(k+1 .. k+topK) — every 1/(k+rank)
+    * becomes the exact integer RrfScale/(k+rank) (the divisor always
+    * divides the scale), so fusion scores are int64-exact on both
+    * engines; max term ≈ 2.3e12, two-system sums nowhere near 2^63. */
+  private[queries] val RrfScale: Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (RrfK + 1 to RrfK + Bm25TopK).foldLeft(1L)((l, x) => l / gcd(l, x) * x)
+  }
+
+  /** Hybrid retrieval via reciprocal rank fusion — the production RAG
+    * stack's standard shape (Cormack et al. 2009: RRF "outperforms the
+    * best individual run" by fusing rank lists, no score calibration
+    * needed): p74's BM25 lexical top-10 and an exact-cosine embedding
+    * top-10 over the SAME ten probe docs (vec_id ≡ doc_id), fused per
+    * (probe, doc) as Σ 1/(60+rank) over the lists the doc appears in.
+    * Scores are EXACT int64 ([[RrfScale]]/(60+rank) — the divisor
+    * always divides the scale), so the fusion, its ordering, and the
+    * DuckDB twin agree bit for bit; rank 0 is the documented "not in
+    * that system's top-10" sentinel (never a NULL int — nullable-int
+    * dtypes diverge between engines' dataframe bridges).
+    *
+    * Scale shape: both input rankings are already bounded (BM25 pays
+    * the inverted-index Σdf(t) work, ANN one broadcast-probes × corpus
+    * scan); the fusion itself touches ≤ probes×2·topK rows — a
+    * full-outer join on (probe, doc) plus a window over ≤ 20 rows per
+    * probe. At 100 TB the expensive parts are the two retrievals the
+    * engine already runs; fusion cost is constant. */
+  private[queries] def p127RrfFusion: Q = (s, d) => {
+    val bm25 = bm25TopDocs(docsBalanced(s, d), probeMax = 10L)
+      .select(col("probe_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm")).filter(col("probe_id") < 10)
+    val sims = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("sim"))
+    // the p04 salted two-phase top-k (sim rounded to 6dp BEFORE ranking
+    // so summation-order noise can never flip an ordering)
+    val local = Window
+      .partitionBy(col("probe_id"), pmod(hash(col("doc_id")), lit(64)))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    val ann = sims.withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= Bm25TopK)
+      .withColumn("ann_rnk", row_number().over(global).cast(IntegerType))
+      .filter(col("ann_rnk") <= Bm25TopK)
+      .select("probe_id", "doc_id", "ann_rnk")
+    def term(rnk: Column): Column =
+      when(rnk > 0, ldiv(lit(RrfScale), lit(RrfK) + rnk.cast(LongType)))
+        .otherwise(lit(0L))
+    val fused = bm25.join(ann, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"),
+        coalesce(col("bm25_rnk"), lit(0)).as("bm25_rnk"),
+        coalesce(col("ann_rnk"), lit(0)).as("ann_rnk"))
+      .withColumn("rrf_q", term(col("bm25_rnk")) + term(col("ann_rnk")))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("probe_id", "doc_id", "rnk", "rrf_q", "bm25_rnk", "ann_rnk")
+  }
+
+
   /** Quantized vector table shared by p42 (quantized ANN) and p47
     * (centroid build): per-dimension corpus min/max packed into two
     * broadcast arrays, then every vector mapped to int8 codes in one

@@ -159,4 +159,58 @@ class Round12OpsSpec extends SparkSpec {
     assert((out.keySet -- lexical).nonEmpty,
       "every semantic flag was already lexically visible — vacuous op")
   }
+
+  test("p127: the RRF fusion reconciles against a driver-side fold of " +
+      "its two input rankings") {
+    val out = Pipeline.queries("p127_rrf_fusion")(spark, Sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    // input 1: the engine's own BM25 ranking (itself hash-gated)
+    val bm25 = Pipeline.queries("p74_bm25_retrieval")(spark, Sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // input 2: the ANN ranking replayed in plain Scala with the
+    // engine's exact arithmetic
+    val em = Tables.embeddings(spark, Sf01)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def rnd(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nrm = em.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val probes = em.filter(_._1 < 10)
+    val ann = probes.flatMap { case (p, pv) =>
+      em.filter(_._1 != p)
+        .map { case (id, v) => id -> rnd(dot(pv, v) / (nrm(p) * nrm(id))) }
+        .sortBy { case (id, s2) => (-s2, id) }
+        .take(Pipeline.Bm25TopK)
+        .zipWithIndex
+        .map { case ((id, _), i) => (p, id) -> (i + 1) }
+    }.toMap
+    // the RRF fold: exact integer terms, fused rank by (score DESC, id ASC)
+    val keys = bm25.keySet ++ ann.keySet
+    val expect = keys.groupBy(_._1).flatMap { case (p, ks) =>
+      ks.toSeq.map { k =>
+        val (b, a) = (bm25.getOrElse(k, 0), ann.getOrElse(k, 0))
+        def term(r2: Int) =
+          if (r2 > 0) Pipeline.RrfScale / (Pipeline.RrfK + r2) else 0L
+        (k._2, term(b) + term(a), b, a)
+      }.sortBy { case (id, q, _, _) => (-q, id) }
+        .take(Pipeline.Bm25TopK)
+        .zipWithIndex
+        .map { case ((id, q, b, a), i) => (p, id) -> (i + 1, q, b, a) }
+    }
+    assert(out == expect, "fusion must equal the driver-side RRF fold")
+    // fusion is doing real work on this corpus: some fused top-10 row
+    // exists that only ONE system retrieved (the hybrid's whole point)
+    assert(out.values.exists { case (_, _, b, a) => b == 0 || a == 0 },
+      "every fused row was retrieved by both systems — vacuous fusion")
+    assert(out.values.exists { case (_, _, b, a) => b > 0 && a > 0 },
+      "no fused row was retrieved by both systems — fusion never fused")
+  }
 }

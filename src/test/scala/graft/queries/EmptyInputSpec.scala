@@ -105,6 +105,13 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("p126/p127 flag and retrieve nothing from an empty corpus") {
+    Seq("p126_semantic_decontam", "p127_rrf_fusion").foreach { q =>
+      assert(Pipeline.queries(q)(spark, EmptyInputSpec.dir).count() == 0L,
+        s"$q invented rows from an empty corpus")
+    }
+  }
+
   test("p109_decontam_release reports all three stages at zero") {
     val rows = Pipeline.queries("p109_decontam_release")(
       spark, EmptyInputSpec.dir).collect()

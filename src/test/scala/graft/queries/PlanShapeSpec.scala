@@ -427,6 +427,38 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-12 retrieval/decontam ops keep their claimed shapes") {
+    spark.conf.set("graft.stage.materialize", "none")
+    spark.conf.set("graft.artifacts.reuse", "false")
+    try {
+      // p126: the eval side is DECLARED broadcast (benchmark-sized at
+      // any corpus) — the scoring cross must be a broadcast nested
+      // loop, never a cartesian, and the flagged-pair window+agg must
+      // stay doc-keyed (no single-partition funnel anywhere: the only
+      // corpus-wide stage is the map-side scan)
+      val p126 = plan("p126_semantic_decontam")
+      assert(p126.contains("BroadcastNestedLoopJoin"),
+        s"p126 lost its declared broadcast cross:\n$p126")
+      assert(!p126.contains("CartesianProduct"),
+        s"p126 plans a cartesian:\n$p126")
+      assert(!p126.contains("Exchange SinglePartition"),
+        s"p126 funnels through one partition:\n$p126")
+      // p127: the fusion's full-outer join and the per-probe windows
+      // are keyed; the only nested loops are the declared broadcast
+      // crosses (ANN probes, BM25's 1-row stats) — never a cartesian
+      val p127 = plan("p127_rrf_fusion")
+      assert(!p127.contains("CartesianProduct"),
+        s"p127 plans a cartesian:\n$p127")
+      assert(p127.contains("SortMergeJoin") ||
+        p127.contains("BroadcastHashJoin") ||
+        p127.contains("ShuffledHashJoin"),
+        s"p127 lost its keyed fusion join:\n$p127")
+    } finally {
+      spark.conf.unset("graft.stage.materialize")
+      spark.conf.unset("graft.artifacts.reuse")
+    }
+  }
+
   test("catalog registration leaves row-count and column stats behind") {
     graft.sql.SparkSqlRunner.ensureRegistered(spark, sf)
     val stats = spark.table("customer").queryExecution.optimizedPlan.stats

@@ -342,7 +342,7 @@ trait PipelineText extends PipelineCore {
     * shared by the p73 LM trainer/scorer and p74's phrase-term index.
     * Docs under 2 tokens yield no rows. DuckDB twin: unnest a
     * generate_series over the token list and index `t[i]`/`t[i+1]`. */
-  private[queries] def bigramPairs(df: DataFrame,
+  private[graft] def bigramPairs(df: DataFrame,
       extra: Seq[String] = Nil): DataFrame = {
     val ex = extra.map(col)
     df.select(col("doc_id") +: ex :+ tokens(col("text")).as("t"): _*)
@@ -432,7 +432,7 @@ trait PipelineText extends PipelineCore {
 
   private[queries] val Bm25S = 65536L
 
-  private[queries] val Bm25TopK = 10
+  private[graft] val Bm25TopK = 10
 
 
   /** BM25 keyword retrieval — the lexical-search twin of the ANN family
@@ -508,6 +508,43 @@ trait PipelineText extends PipelineCore {
       .withColumn("rnk", row_number().over(global).cast(IntegerType))
       .filter(col("rnk") <= Bm25TopK)
       .select("probe_id", "doc_id", "rnk", "score_q")
+  }
+
+
+  /** The STATIC BM25 index the streaming retrieval twin joins — the
+    * term-at-a-time materialization of [[bm25TopDocs]]'s arithmetic:
+    * one (token, doc_id, term_q) row per impact-surviving posting,
+    * where term_q is the COMPLETE per-term BM25 contribution (idf is
+    * token-level, tf/length-norm doc-level — nothing in the Okapi term
+    * depends on the query, so the whole score term precomputes at
+    * index build). A query's doc score is then just the SUM of its
+    * matching postings' term_q — which is what production impact-
+    * ordered indexes store. Same tf chain, same scaled-integer
+    * arithmetic, same df·20 ≤ D pruning as the batch op, so a stream
+    * probe's scores are bit-identical to batch p74's. */
+  private[graft] def bm25Postings(docsIn: DataFrame): DataFrame = {
+    val tf = bigramPairs(docsIn)
+      .select(col("doc_id"),
+        concat_ws(" ", col("prev"), col("cur")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .staged // read 3x: dl, df, and the posting rows
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("d_docs"), sum(col("dl")).as("t_toks"))
+    val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * 20 <= col("d_docs"))
+      .select(col("token"),
+        (qlog2(col("d_docs") + 1) - qlog2(col("df"))).as("idf_q"))
+    tf.join(idf, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("r",
+        ldiv(col("dl") * lit(Bm25S) * col("d_docs"), col("t_toks")))
+      .withColumn("den", col("tf") * lit(Bm25S)
+        + ldiv(lit(3L * Bm25S) + lit(9L) * col("r"), lit(10L)))
+      .select(col("token"), col("doc_id"),
+        ldiv(col("idf_q") * col("tf") * lit(22L * Bm25S / 10L), col("den"))
+          .as("term_q"))
   }
 
 

@@ -450,13 +450,13 @@ trait PipelineVectors extends PipelineText {
 
   /** Reciprocal-rank-fusion constant k = 60 (Cormack et al. 2009 — the
     * value the paper fixed and every production hybrid stack inherited). */
-  private[queries] val RrfK = 60L
+  private[graft] val RrfK = 60L
 
   /** Exact-integer RRF scale: lcm(k+1 .. k+topK) — every 1/(k+rank)
     * becomes the exact integer RrfScale/(k+rank) (the divisor always
     * divides the scale), so fusion scores are int64-exact on both
     * engines; max term ≈ 2.3e12, two-system sums nowhere near 2^63. */
-  private[queries] val RrfScale: Long = {
+  private[graft] val RrfScale: Long = {
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     (RrfK + 1 to RrfK + Bm25TopK).foldLeft(1L)((l, x) => l / gcd(l, x) * x)
   }

@@ -546,6 +546,109 @@ object Streams {
       }
   }
 
+  final case class FusedHit(probe_id: Long, rnk: Int, doc_id: Long,
+      rrf_q: Long, bm25_rnk: Int, ann_rnk: Int)
+
+  /** Streaming hybrid retrieval — the QUERY side of batch p127's RRF
+    * fusion, which is how a retrieval stack actually runs: the corpus
+    * indexes are built offline (the [[graft.queries.Pipeline
+    * .bm25Postings]] term-at-a-time BM25 index and the embedding table)
+    * and a stream of probes — each carrying its text and its embedding,
+    * the RAG query shape — retrieves from both and fuses per arrival.
+    *
+    *  - BM25 branch: the probe's DISTINCT term bigrams (batch p74's own
+    *    [[graft.queries.Pipeline.bigramPairs]] expressions) join the
+    *    static postings; each posting carries its COMPLETE precomputed
+    *    integer score term, so the stream side only sums — bit-identical
+    *    to the batch arithmetic by construction.
+    *  - ANN branch: exact cosine (vdot + round 6, p04's recipe) against
+    *    the broadcast corpus embeddings — right while the corpus fits a
+    *    broadcast; the IVF cell assignment (p20/p125) is the composition
+    *    point beyond, exactly as [[annProbeMatches]] documents.
+    *  - Fusion: both branches' rows meet in per-probe keyed state; the
+    *    fold ranks each list ((score DESC, doc ASC) — batch tie rule),
+    *    fuses at [[graft.queries.Pipeline.RrfScale]]/(60+rank) exact
+    *    int64 terms, and re-emits a probe's top-k ONLY on change, so
+    *    at-least-once redelivery is absorbed (identical recompute →
+    *    no emission). State is ≤ k rows per probe — nothing scales
+    *    with corpus size or stream length.
+    *
+    * Round12OpsSpec streams the batch op's own ten probes through this
+    * and asserts the fused rows are identical to p127's output. */
+  def hybridRetrieve(probes: DataFrame, postings: DataFrame,
+      corpusVecs: DataFrame,
+      k: Int = graft.queries.Pipeline.Bm25TopK): Dataset[FusedHit] = {
+    import probes.sparkSession.implicits._
+    import graft.functions.VectorDot.vdot
+    import graft.queries.Pipeline.{RrfK, RrfScale}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val bmRows = graft.queries.Pipeline
+      .bigramPairs(probes.select(col("probe_id").as("doc_id"), col("text")))
+      .select(col("doc_id").as("probe_id"),
+        concat_ws(" ", col("prev"), col("cur")).as("token"))
+      .distinct()
+      .join(postings.withColumnRenamed("doc_id", "cand_id"), "token")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id").as("doc_id"),
+        lit(0).as("sys"), col("term_q").as("q"),
+        lit(0.0).cast(DoubleType).as("sim"))
+    val cv = corpusVecs
+      .select(col("vec_id"), col("v"),
+        sqrt(vdot(col("v"), col("v"))).as("nrm"))
+    val annRows = probes
+      .select(col("probe_id"), col("v").as("pv"),
+        sqrt(vdot(col("v"), col("v"))).as("pnrm"))
+      .crossJoin(broadcast(cv))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        lit(1).as("sys"), lit(0L).cast(LongType).as("q"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("sim"))
+    def rankOf[A](scored: Seq[(Long, A)])(implicit ord: Ordering[A])
+        : Map[Long, Int] =
+      scored.sortBy { case (id, s2) => (s2, id) }(
+          Ordering.Tuple2(ord, implicitly[Ordering[Long]]))
+        .take(k).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    bmRows.unionByName(annRows)
+      .as[(Long, Long, Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Int, Long, Long, Int, Int)], FusedHit](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (probe: Long, batch: Iterator[(Long, Long, Int, Long, Double)],
+            state: GroupState[List[(Int, Long, Long, Int, Int)]]) =>
+          val rows = batch.toSeq
+          // (score DESC, doc ASC) on both lists — the batch tie rule,
+          // expressed as ascending (negated score, doc)
+          val bmRank = rankOf(
+            rows.filter(_._3 == 0).groupBy(_._2).toSeq
+              .map { case (doc2, rs) => doc2 -> -rs.map(_._4).sum })
+          val annRank = rankOf(
+            rows.filter(_._3 == 1).map(r => r._2 -> -r._5))
+          def term(r2: Int): Long =
+            if (r2 > 0) RrfScale / (RrfK + r2) else 0L
+          val next = (bmRank.keySet ++ annRank.keySet).toSeq
+            .map { doc2 =>
+              val (b, a) = (bmRank.getOrElse(doc2, 0),
+                annRank.getOrElse(doc2, 0))
+              (doc2, term(b) + term(a), b, a)
+            }
+            .sortBy { case (doc2, q2, _, _) => (-q2, doc2) }
+            .take(k).zipWithIndex
+            .map { case ((doc2, q2, b, a), i) => (i + 1, doc2, q2, b, a) }
+            .toList
+          val prev = state.getOption.getOrElse(Nil)
+          if (next == prev || next.isEmpty) Iterator.empty
+          else {
+            state.update(next)
+            next.iterator.map { case (r2, doc2, q2, b, a) =>
+              FusedHit(probe, r2, doc2, q2, b, a)
+            }
+          }
+      }
+  }
+
   final case class MirrorCount(source_a: String, source_b: String,
       n_matches: Long)
 

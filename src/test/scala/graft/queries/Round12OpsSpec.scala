@@ -213,4 +213,51 @@ class Round12OpsSpec extends SparkSpec {
     assert(out.values.exists { case (_, _, b, a) => b > 0 && a > 0 },
       "no fused row was retrieved by both systems — fusion never fused")
   }
+
+  test("hybridRetrieve streams the batch probes to rows identical to " +
+      "batch p127") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = Pipeline.queries("p127_rrf_fusion")(spark, Sf01).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+      .toSet
+    // offline artifacts: the term-at-a-time BM25 index over the SAME
+    // docs frame the batch op reads, and the raw embedding table
+    val postings = Pipeline.bm25Postings(
+      Tables.documents(spark, Sf01)
+        .repartition(spark.sparkContext.defaultParallelism))
+    val vecs = Tables.embeddings(spark, Sf01)
+      .select(col("vec_id"), col("embedding").as("v"))
+    // the query stream: the batch op's own ten probes, text + embedding
+    val texts = Tables.documents(spark, Sf01).filter(col("doc_id") < 10)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = Tables.embeddings(spark, Sf01).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val probes = texts.keys.toSeq.sorted
+      .map(id => (id, texts(id), embs(id)))
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = graft.streaming.Streams.hybridRetrieve(
+        in.toDF().toDF("probe_id", "text", "v"), postings, vecs)
+      .writeStream.format("memory").queryName("hybrid")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // two deliveries: fusion must not depend on batch boundaries
+      val (first, rest) = probes.splitAt(probes.length / 2)
+      in.addData(first: _*)
+      q.processAllAvailable()
+      in.addData(rest: _*)
+      q.processAllAvailable()
+      val rows = spark.table("hybrid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getInt(5)))
+      assert(rows.length == rows.distinct.length, "a probe emitted twice")
+      assert(rows.toSet == batch,
+        "streamed fusion must equal batch p127's rows exactly")
+    } finally q.stop()
+  }
 }

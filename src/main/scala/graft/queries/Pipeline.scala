@@ -53,6 +53,7 @@ object Pipeline extends PipelineOracles {
     "p125_ann_ivf2" -> p125AnnIvf2,
     "p126_semantic_decontam" -> p126SemanticDecontam,
     "p127_rrf_fusion" -> p127RrfFusion,
+    "p128_index_staleness" -> p128IndexStaleness,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,

@@ -25,6 +25,36 @@ trait PipelineOracleFragments extends PipelineReports {
   // DuckDB twins. Shared SQL fragments:
   private[queries] val sqlToks = "string_split(text, ' ')"
 
+  /** The bm25Postings twin over `documents` restricted by `where`
+    * ("" = whole corpus): one (token, doc_id, term_q) row per
+    * impact-surviving posting, the complete scaled-integer Okapi term
+    * precomputed — the same chain the p74 oracle inlines, stopped at
+    * the posting instead of the probe ranking. Shared by p128's
+    * staleness diff, which builds it twice over two corpus states. */
+  private[queries] def sqlBm25Postings(where: String): String =
+    s"""(WITH tkl AS (SELECT doc_id, $sqlToks AS t FROM documents $where),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS token
+       |    FROM (SELECT doc_id, t,
+       |      unnest(generate_series(1, len(t) - 1)) AS i
+       |      FROM tkl WHERE len(t) >= 2))
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM tf GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS d_docs, CAST(SUM(dl) AS BIGINT) AS t_toks
+       |  FROM dl),
+       |idf AS (SELECT dfx.token,
+       |    ${sqlQlog2("st.d_docs + 1")} - ${sqlQlog2("dfx.df")} AS idf_q
+       |  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) dfx, st
+       |  WHERE dfx.df * 20 <= st.d_docs)
+       |SELECT tf.token, tf.doc_id,
+       |  (idf.idf_q * tf.tf * 144179)
+       |    // (tf.tf * 65536 + (3 * 65536
+       |      + 9 * ((dl.dl * 65536 * st.d_docs) // st.t_toks)) // 10)
+       |    AS term_q
+       |FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), st)"""
+      .stripMargin
+
 
   // twin of `qlog2`: piecewise-linear log2, 16 fractional bits, pure
   // integer arithmetic (DuckDB's // is BIGINT floor-division; the

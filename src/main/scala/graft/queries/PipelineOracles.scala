@@ -100,6 +100,31 @@ trait PipelineOracles extends PipelineOracleFragments {
          |    ORDER BY rrf_q DESC, doc_id) AS INT) AS rnk FROM sc)
          |SELECT probe_id, doc_id, rnk, rrf_q, bm25_rnk, ann_rnk
          |FROM r WHERE rnk <= $Bm25TopK""".stripMargin) +
+    // index-staleness diff: the postings twin built twice (standing
+    // corpus vs corpus+batch, the p36/p65 arrival slice), full-outer
+    // classified, 4-row grid census (`bo` not `both` — DuckDB keyword)
+    ("p128_index_staleness" ->
+      s"""WITH po AS (SELECT token, doc_id, term_q AS tq_old
+         |  FROM ${sqlBm25Postings("WHERE doc_id % 10 <> 0")} t),
+         |pn AS (SELECT token, doc_id, term_q AS tq_new
+         |  FROM ${sqlBm25Postings("")} t),
+         |j AS (SELECT CASE WHEN pn.tq_new IS NULL THEN 'retired'
+         |      WHEN po.tq_old IS NULL THEN 'new'
+         |      WHEN po.tq_old = pn.tq_new THEN 'unchanged'
+         |      ELSE 'changed' END AS status,
+         |    abs(COALESCE(pn.tq_new, 0) - COALESCE(po.tq_old, 0)) AS adq,
+         |    (po.tq_old IS NOT NULL AND pn.tq_new IS NOT NULL) AS bo
+         |  FROM po FULL OUTER JOIN pn
+         |    ON po.token = pn.token AND po.doc_id = pn.doc_id),
+         |c AS (SELECT status, CAST(COUNT(*) AS BIGINT) AS n_postings,
+         |    CAST(MAX(CASE WHEN bo THEN adq END) AS DOUBLE) AS max_abs_dq
+         |  FROM j GROUP BY 1)
+         |SELECT g.status,
+         |  COALESCE(c.n_postings, CAST(0 AS BIGINT)) AS n_postings,
+         |  c.max_abs_dq
+         |FROM (VALUES ('retired'), ('new'), ('changed'), ('unchanged'))
+         |  g(status)
+         |LEFT JOIN c USING (status)""".stripMargin) +
     ("p111_dedup_threshold_curve" ->
       s"""WITH p AS ($sqlP02),
          |taus AS (SELECT unnest(generate_series(5, 9)) AS tt),

@@ -520,6 +520,54 @@ trait PipelineVectors extends PipelineText {
   }
 
 
+  /** BM25 index-staleness audit — the honest cost of the
+    * term-at-a-time precomputation [[graft.queries.PipelineText
+    * .bm25Postings]] banks on: every posting's integer score term bakes
+    * in GLOBAL statistics (df in idf, avgdl in the length norm, D in
+    * both), so an incremental crawl does not just ADD postings — it
+    * silently stales every existing posting whose token's df moved or
+    * whose denominator's avgdl drifted, which is exactly why production
+    * impact-ordered indexes rebuild on a cadence instead of patching.
+    * This op puts a number on that: the index built from the standing
+    * corpus (the p36/p65 arrival convention — the doc_id ≡ 0 mod 10
+    * slice is the arriving batch) is full-outer-diffed against the
+    * index built from the corpus WITH the batch, per (token, posting):
+    * `new` (batch docs' postings + tokens the new df admits), `retired`
+    * (tokens the grown df prunes — impact pruning is df·20 ≤ D, so
+    * growth can EVICT), `changed` (score drifted; max |Δterm_q| says
+    * how far), `unchanged`. All four rows always emit (the p100 grid
+    * rule); max_abs_dq is NULL where Δ is undefined (one-sided rows)
+    * and 0.0 for unchanged — a DOUBLE, never a nullable int.
+    *
+    * Scale shape: two index builds (each the p74-bounded tf chain) and
+    * ONE (token, doc)-keyed full-outer join — postings-sized, never
+    * corpus²; the census is a 4-row aggregate. */
+  private[queries] def p128IndexStaleness: Q = (s, d) => {
+    import s.implicits._
+    val all = docsBalanced(s, d)
+    val standing = all.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+    val po = bm25Postings(standing).withColumnRenamed("term_q", "tq_old")
+    val pn = bm25Postings(all).withColumnRenamed("term_q", "tq_new")
+    val classified = po.join(pn, Seq("token", "doc_id"), "full_outer")
+      .select(
+        when(col("tq_new").isNull, lit("retired"))
+          .when(col("tq_old").isNull, lit("new"))
+          .when(col("tq_old") === col("tq_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        abs(coalesce(col("tq_new"), lit(0L))
+          - coalesce(col("tq_old"), lit(0L))).as("adq"),
+        (col("tq_old").isNotNull && col("tq_new").isNotNull).as("both"))
+    val census = classified.groupBy("status").agg(
+      count(lit(1)).as("n_postings"),
+      max(when(col("both"), col("adq"))).cast(DoubleType).as("max_abs_dq"))
+    Seq("retired", "new", "changed", "unchanged").toDF("status")
+      .join(census, Seq("status"), "left_outer")
+      .select(col("status"),
+        coalesce(col("n_postings"), lit(0L)).as("n_postings"),
+        col("max_abs_dq"))
+  }
+
+
   /** Quantized vector table shared by p42 (quantized ANN) and p47
     * (centroid build): per-dimension corpus min/max packed into two
     * broadcast arrays, then every vector mapped to int8 codes in one

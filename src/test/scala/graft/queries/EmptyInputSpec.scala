@@ -105,6 +105,17 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("p128_index_staleness keeps its four-status grid at zero") {
+    val rows = Pipeline.queries("p128_index_staleness")(
+      spark, EmptyInputSpec.dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("retired", "new", "changed", "unchanged"))
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == 0L && r.isNullAt(2),
+        "an empty diff must census zero with NULL drift")
+    }
+  }
+
   test("p126/p127 flag and retrieve nothing from an empty corpus") {
     Seq("p126_semantic_decontam", "p127_rrf_fusion").foreach { q =>
       assert(Pipeline.queries(q)(spark, EmptyInputSpec.dir).count() == 0L,

@@ -214,6 +214,42 @@ class Round12OpsSpec extends SparkSpec {
       "no fused row was retrieved by both systems — fusion never fused")
   }
 
+  test("p128: the staleness census reconciles against a driver-side " +
+      "diff of the engine's own posting builds") {
+    val out = Pipeline.queries("p128_index_staleness")(spark, Sf01)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out.keySet == Set("retired", "new", "changed", "unchanged"))
+    def postings(filterBatch: Boolean): Map[(String, Long), Long] = {
+      val docs = Tables.documents(spark, Sf01)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val in2 = if (filterBatch) docs.filter(col("doc_id") % 10 =!= 0)
+        else docs
+      Pipeline.bm25Postings(in2).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val (po, pn) = (postings(true), postings(false))
+    val keys = po.keySet ++ pn.keySet
+    def census(p: ((String, Long)) => Boolean) = keys.count(p).toLong
+    assert(out("retired")._1 == census(k => !pn.contains(k)))
+    assert(out("new")._1 == census(k => !po.contains(k)))
+    assert(out("changed")._1 ==
+      census(k => po.contains(k) && pn.contains(k) && po(k) != pn(k)))
+    assert(out("unchanged")._1 ==
+      census(k => po.contains(k) && pn.contains(k) && po(k) == pn(k)))
+    val maxDq = keys.collect {
+      case k if po.contains(k) && pn.contains(k) && po(k) != pn(k) =>
+        math.abs(pn(k) - po(k))
+    }.maxOption.map(_.toDouble)
+    assert(out("changed")._2 == maxDq)
+    // the audit's reason to exist: global-stat drift must actually
+    // bite — the batch's arrival changes or retires standing postings
+    assert(out("changed")._1 > 0 || out("retired")._1 > 0,
+      "the batch arrival left the standing index untouched — vacuous")
+  }
+
   test("hybridRetrieve streams the batch probes to rows identical to " +
       "batch p127") {
     implicit val sqlCtx = spark.sqlContext

@@ -479,14 +479,27 @@ trait PipelineVectors extends PipelineText {
     * full-outer join on (probe, doc) plus a window over ≤ 20 rows per
     * probe. At 100 TB the expensive parts are the two retrievals the
     * engine already runs; fusion cost is constant. */
-  private[queries] def p127RrfFusion: Q = (s, d) => {
-    val bm25 = bm25TopDocs(docsBalanced(s, d), probeMax = 10L)
+  private[queries] def p127RrfFusion: Q = (s, d) =>
+    rrfFusedTopDocs(docsBalanced(s, d),
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("v")),
+      probeMax = 10L)
+
+
+  /** The p127 core over any `(doc_id, text)` + `(vec_id, v)` frame
+    * pair, probes = id < probeMax — the planted-fixture spec feeds it a
+    * lexical twin (near-copy text, orthogonal embedding) and an
+    * embedding twin (same direction, unrelated text) of one probe and
+    * asserts each surfaces through its OWN system into the fused
+    * top-k: retrieval semantics, beyond the arithmetic replay. */
+  private[graft] def rrfFusedTopDocs(docsIn: DataFrame, vecsIn: DataFrame,
+      probeMax: Long): DataFrame = {
+    val bm25 = bm25TopDocs(docsIn, probeMax)
       .select(col("probe_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").as("v"))
+    val e = vecsIn
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
-      col("nrm").as("pnrm")).filter(col("probe_id") < 10)
+      col("nrm").as("pnrm")).filter(col("probe_id") < probeMax)
     val sims = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("doc_id"),

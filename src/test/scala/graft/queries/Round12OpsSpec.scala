@@ -250,6 +250,45 @@ class Round12OpsSpec extends SparkSpec {
       "the batch arrival left the standing index untouched — vacuous")
   }
 
+  test("p127 semantics: a lexical twin and an embedding twin each " +
+      "surface through their own system into the fused top-k") {
+    import spark.implicits._
+    // probe 0; doc 100 = lexical twin (shares the probe's bigrams,
+    // embedding pointing AWAY so the ANN top-10 excludes it); doc 200 =
+    // embedding twin (same direction, disjoint vocabulary); 64 fillers
+    // with unique vocabularies and orthogonal embeddings make D large
+    // enough that the probe's df=2 bigrams survive impact pruning
+    // (df*20 <= D needs D >= 40) and fill the ANN list at sim 0
+    val probeText = "alpha beta gamma delta epsilon"
+    val docs = (Seq(
+      0L -> probeText,
+      100L -> (probeText + " extra"),
+      200L -> "omega psi chi phi upsilon") ++
+      (0 until 64).map(i =>
+        (300L + i) -> s"f${i}a f${i}b f${i}c")).toDF("doc_id", "text")
+    val vecs = (Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      100L -> Seq(-0.5f, 0.86f, 0f, 0f),
+      200L -> Seq(0.9f, 0f, 0f, 0f)) ++
+      (0 until 64).map(i =>
+        (300L + i) -> Seq(0f, 0.2f + i * 0.01f, 1f, 0f)))
+      .toDF("vec_id", "v")
+    val rows = Pipeline.rrfFusedTopDocs(docs, vecs, probeMax = 1L)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getInt(2), r.getInt(4), r.getInt(5)))
+      .toMap
+    val (lexRnk, lexB, lexA) = rows(100L)
+    assert(lexB == 1 && lexA == 0,
+      s"lexical twin must top BM25 and miss the ANN list: $rows")
+    val (embRnk, embB, embA) = rows(200L)
+    assert(embA == 1 && embB == 0,
+      s"embedding twin must top ANN and miss the BM25 list: $rows")
+    // both carry the same single term RrfScale/61 — the tie resolves
+    // by doc_id, so the two twins are fused ranks 1 and 2
+    assert(lexRnk == 1 && embRnk == 2,
+      s"fused order must be the two twins first: $rows")
+  }
+
   test("hybridRetrieve streams the batch probes to rows identical to " +
       "batch p127") {
     implicit val sqlCtx = spark.sqlContext

@@ -522,12 +522,21 @@ trait PipelineText extends PipelineCore {
     * ordered indexes store. Same tf chain, same scaled-integer
     * arithmetic, same df·20 ≤ D pruning as the batch op, so a stream
     * probe's scores are bit-identical to batch p74's. */
-  private[graft] def bm25Postings(docsIn: DataFrame): DataFrame = {
-    val tf = bigramPairs(docsIn)
+  private[graft] def bm25Postings(docsIn: DataFrame): DataFrame =
+    bm25PostingsFromTf(bigramPairs(docsIn)
       .select(col("doc_id"),
         concat_ws(" ", col("prev"), col("cur")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .staged // read 3x: dl, df, and the posting rows
+      .staged) // read 3x: dl, df, and the posting rows
+
+
+  /** [[bm25Postings]] from an already-built (doc_id, token, tf) table —
+    * per-doc term counts are independent of the rest of the corpus, so
+    * a corpus SLICE's tf is exactly the full tf filtered; p128 builds
+    * tf once and derives both index states from it (the global stats
+    * that differ — df, avgdl, D — recompute per state from the sliced
+    * tf, which is the point of the audit). */
+  private[graft] def bm25PostingsFromTf(tf: DataFrame): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("d_docs"), sum(col("dl")).as("t_toks"))
     val idf = tf.groupBy("token").agg(count(lit(1)).as("df"))

@@ -557,10 +557,19 @@ trait PipelineVectors extends PipelineText {
     * corpus²; the census is a 4-row aggregate. */
   private[queries] def p128IndexStaleness: Q = (s, d) => {
     import s.implicits._
-    val all = docsBalanced(s, d)
-    val standing = all.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
-    val po = bm25Postings(standing).withColumnRenamed("term_q", "tq_old")
-    val pn = bm25Postings(all).withColumnRenamed("term_q", "tq_new")
+    // ONE corpus scan: per-doc term counts are corpus-independent, so
+    // the standing index's tf is exactly the full tf filtered — only
+    // the global stats (df, avgdl, D) recompute per state, which is
+    // the drift the audit measures
+    val tf = bigramPairs(docsBalanced(s, d))
+      .select(col("doc_id"),
+        concat_ws(" ", col("prev"), col("cur")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .staged
+    val po = bm25PostingsFromTf(
+        tf.filter(pmod(col("doc_id"), lit(10L)) =!= 0))
+      .withColumnRenamed("term_q", "tq_old")
+    val pn = bm25PostingsFromTf(tf).withColumnRenamed("term_q", "tq_new")
     val classified = po.join(pn, Seq("token", "doc_id"), "full_outer")
       .select(
         when(col("tq_new").isNull, lit("retired"))

@@ -1,6 +1,8 @@
 package graft.queries
 
-import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, concat_ws}
+
+import graft.{SparkSpec, Tables}
 
 /** The unsupervised LM filter core (p73) and the BM25 retrieval core
   * (p74): on engineered corpora they must actually RANK — fluent text
@@ -76,5 +78,39 @@ class PerplexityBm25Spec extends SparkSpec {
     assert(top.map(_._2).toSeq == Seq(500L, 501L),
       s"expected the full copy then the half copy: ${top.mkString(", ")}")
     assert(top.head._4 > top(1)._4, "full copy must outscore the half copy")
+  }
+
+  test("bm25Postings sums reproduce bm25TopDocs scores exactly") {
+    // the two functions carry PARALLEL copies of the Okapi arithmetic
+    // (the query path computes terms inline; the index path
+    // precomputes them per posting); a drift between them would be
+    // rank-masked downstream (RRF consumes ranks only) — so pin the
+    // SCORES equal on the driver corpus: for every (probe, doc) row
+    // bm25TopDocs emits, the sum of the probe's matching postings'
+    // term_q must equal score_q
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val post = Pipeline.bm25Postings(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probeTerms = Pipeline
+      .bigramPairs(docs.filter(col("doc_id") < 10))
+      .select(col("doc_id"),
+        concat_ws(" ", col("prev"), col("cur")).as("token"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (p, ts) => p -> ts.map(_._2).toSet }
+    val top = Pipeline.bm25TopDocs(
+        docs.repartition(spark.sparkContext.defaultParallelism),
+        probeMax = 10L)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(top.nonEmpty, "fixture corpus must retrieve something")
+    top.foreach { case (probe, doc, _, scoreQ) =>
+      // toSeq first: two tokens can contribute IDENTICAL term_q values
+      // for one doc, and a Set.flatMap would collapse them before the sum
+      val replay = probeTerms.getOrElse(probe, Set.empty).toSeq
+        .flatMap(t => post.get((t, doc))).sum
+      assert(replay == scoreQ,
+        s"postings sum $replay != query-path score $scoreQ " +
+          s"for probe $probe doc $doc — the parallel arithmetic drifted")
+    }
   }
 }

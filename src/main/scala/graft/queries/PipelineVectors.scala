@@ -517,6 +517,15 @@ trait PipelineVectors extends PipelineText {
       .withColumn("ann_rnk", row_number().over(global).cast(IntegerType))
       .filter(col("ann_rnk") <= Bm25TopK)
       .select("probe_id", "doc_id", "ann_rnk")
+    rrfFuse(bm25, ann)
+  }
+
+
+  /** The RRF fusion tail over any two (probe_id, doc_id, *_rnk) rank
+    * lists — shared by the exact hybrid (p127) and the IVF-served
+    * hybrid inside p129's audit. */
+  private[queries] def rrfFuse(bm25: DataFrame, ann: DataFrame)
+      : DataFrame = {
     def term(rnk: Column): Column =
       when(rnk > 0, ldiv(lit(RrfScale), lit(RrfK) + rnk.cast(LongType)))
         .otherwise(lit(0L))
@@ -530,6 +539,72 @@ trait PipelineVectors extends PipelineText {
     fused.withColumn("rnk", row_number().over(w).cast(IntegerType))
       .filter(col("rnk") <= Bm25TopK)
       .select("probe_id", "doc_id", "rnk", "rrf_q", "bm25_rnk", "ann_rnk")
+  }
+
+
+  /** Hybrid-retrieval approximation audit — what serving p127's fusion
+    * from the SCALE-PATH index costs: at 100 TB the ANN branch cannot
+    * be the exact brute scan, it is the IVF index ([[ivfAssigned]] —
+    * probes search only their own cell, work |corpus|/|cells| per
+    * probe), and an approximate branch changes the FUSED list, not
+    * just the ANN list. Per probe, the audit fuses BM25 with both ANN
+    * branches and reports the exact-fused and IVF-fused top-10 sizes
+    * plus their overlap — recall@10 of the servable hybrid against the
+    * exact one, the number that decides whether the cheap index is
+    * good enough to serve (the p72/p93 recall-monitoring discipline
+    * applied to the fused product). The BM25 branch is shared (built
+    * once, staged); each fusion is the same exact-int64 RRF. */
+  private[queries] def p129RrfIvfAudit: Q = (s, d) => {
+    val bm25 = bm25TopDocs(docsBalanced(s, d), probeMax = 10L)
+      .select(col("probe_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
+      .staged // read by both fusions
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+    val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
+      col("nrm").as("pnrm")).filter(col("probe_id") < 10)
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    def topRanks(sims: DataFrame, rankCol: String): DataFrame = {
+      val local = Window
+        .partitionBy(col("probe_id"), pmod(hash(col("doc_id")), lit(64)))
+        .orderBy(col("sim").desc, col("doc_id").asc)
+      sims.withColumn("lrnk", row_number().over(local))
+        .filter(col("lrnk") <= Bm25TopK)
+        .withColumn(rankCol, row_number().over(global).cast(IntegerType))
+        .filter(col(rankCol) <= Bm25TopK)
+        .select("probe_id", "doc_id", rankCol)
+    }
+    val annExact = topRanks(e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("sim")), "ann_rnk")
+    val assigned = ivfAssigned(s, d)
+    val cellProbes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("cell"))
+    val annIvf = topRanks(assigned.join(cellProbes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("sim")), "ann_rnk")
+    val exactTop = rrfFuse(bm25, annExact)
+      .select(col("probe_id"), col("doc_id")).staged
+    val ivfTop = rrfFuse(bm25, annIvf)
+      .select(col("probe_id"), col("doc_id"))
+    val nExact = exactTop.groupBy("probe_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_exact"))
+    val nIvf = ivfTop.groupBy("probe_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_ivf"))
+    val nBoth = exactTop.join(ivfTop, Seq("probe_id", "doc_id"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_overlap"))
+    nExact.join(nIvf, Seq("probe_id"), "left_outer")
+      .join(nBoth, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_ivf"), lit(0)).as("n_ivf"),
+        coalesce(col("n_overlap"), lit(0)).as("n_overlap"))
   }
 
 

@@ -54,7 +54,8 @@ object ScaleProbe {
     // families, now corpus-scaled (p13's sign bits) / capped (p12),
     // and the two-level IVF hierarchy audit
     "p12_simhash_pairs", "p13_cosine_neardup", "p125_ann_ivf2",
-    "p126_semantic_decontam", "p127_rrf_fusion", "p128_index_staleness")
+    "p126_semantic_decontam", "p127_rrf_fusion", "p128_index_staleness",
+    "p129_rrf_ivf_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -250,6 +250,27 @@ class Round12OpsSpec extends SparkSpec {
       "the batch arrival left the standing index untouched — vacuous")
   }
 
+  test("p129: the approximation audit reconciles with p127 and shows " +
+      "the IVF branch costing something real") {
+    val out = Pipeline.queries("p129_rrf_ivf_audit")(spark, Sf01)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(out.keySet == (0L until 10L).toSet, "one row per probe")
+    // n_exact must equal the p127 output's own per-probe row counts —
+    // the audit's exact side IS p127
+    val p127Counts = Pipeline.queries("p127_rrf_fusion")(spark, Sf01)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    out.foreach { case (p, (ne, ni, nb)) =>
+      assert(ne == p127Counts(p), s"probe $p exact side != p127")
+      assert(nb <= math.min(ne, ni), s"probe $p overlap exceeds a side")
+    }
+    // non-vacuity: the cheap index must visibly cost SOMETHING on this
+    // corpus (otherwise the audit proves nothing here)
+    assert(out.values.map(_._3).sum < out.values.map(_._1).sum,
+      "IVF-fused lists identical to exact everywhere — vacuous audit")
+  }
+
   test("p127 semantics: a lexical twin and an embedding twin each " +
       "surface through their own system into the fused top-k") {
     import spark.implicits._

@@ -171,4 +171,54 @@ object PipelinePropertySpec extends Properties("Pipeline") {
       }
       got == want
     }
+
+  /** Per-probe proper rank lists for two retrieval systems: distinct
+    * docs, contiguous ranks 1..n, n ≤ Bm25TopK — the contract both
+    * rrfFuse inputs satisfy by construction. */
+  private val rankListsGen
+      : Gen[(List[(Long, Long, Int)], List[(Long, Long, Int)])] = for {
+    nProbes <- Gen.chooseNum(1, 3)
+    perProbe <- Gen.listOfN(nProbes, for {
+      pool <- Gen.listOfN(30, Gen.chooseNum(10L, 45L)).map(_.distinct)
+      nb <- Gen.chooseNum(0, math.min(Pipeline.Bm25TopK, pool.length))
+      na <- Gen.chooseNum(0, math.min(Pipeline.Bm25TopK, pool.length))
+    } yield (pool.take(nb), pool.reverse.take(na)))
+  } yield {
+    def rows(side: List[(Long, List[Long])]): List[(Long, Long, Int)] =
+      side.flatMap { case (p, ds) =>
+        ds.zipWithIndex.map { case (d, i) => (p, d, i + 1) }
+      }
+    val indexed = perProbe.zipWithIndex.map { case ((b, a), p) =>
+      (p.toLong, b, a)
+    }
+    (rows(indexed.map { case (p, b, _) => p -> b }),
+      rows(indexed.map { case (p, _, a) => p -> a }))
+  }
+
+  property("rrfFuse = the model RRF fold on arbitrary proper rank lists") =
+    forAll(rankListsGen) { case (bmRows, annRows) =>
+      val spark = SparkSpec.spark
+      import spark.implicits._
+      val got = Pipeline.rrfFuse(
+          bmRows.toDF("probe_id", "doc_id", "bm25_rnk"),
+          annRows.toDF("probe_id", "doc_id", "ann_rnk"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getInt(4), r.getInt(5)))
+        .toSet
+      val bm = bmRows.map(t => (t._1, t._2) -> t._3).toMap
+      val ann = annRows.map(t => (t._1, t._2) -> t._3).toMap
+      def term(r: Int): Long =
+        if (r > 0) Pipeline.RrfScale / (Pipeline.RrfK + r) else 0L
+      val want = (bm.keySet ++ ann.keySet).groupBy(_._1)
+        .flatMap { case (p, ks) =>
+          ks.toSeq.map { k =>
+            val (b, a) = (bm.getOrElse(k, 0), ann.getOrElse(k, 0))
+            (k._2, term(b) + term(a), b, a)
+          }.sortBy { case (d, q, _, _) => (-q, d) }
+            .take(Pipeline.Bm25TopK).zipWithIndex
+            .map { case ((d, q, b, a), i) => (p, d, i + 1, q, b, a) }
+        }.toSet
+      got == want
+    }
 }

@@ -453,6 +453,18 @@ class PlanShapeSpec extends SparkSpec {
         p127.contains("BroadcastHashJoin") ||
         p127.contains("ShuffledHashJoin"),
         s"p127 lost its keyed fusion join:\n$p127")
+      // p128: the staleness diff is a keyed full-outer over the two
+      // posting states — never a cartesian, and nothing nested-loops
+      // (the only crosses are the 1-row stats broadcasts)
+      val p128 = plan("p128_index_staleness")
+      assert(!p128.contains("CartesianProduct"),
+        s"p128 plans a cartesian:\n$p128")
+      // p129: both fusions and the overlap join stay keyed; the only
+      // nested loops are the declared broadcast crosses (exact-ANN
+      // probes, 1-row stats)
+      val p129 = plan("p129_rrf_ivf_audit")
+      assert(!p129.contains("CartesianProduct"),
+        s"p129 plans a cartesian:\n$p129")
     } finally {
       spark.conf.unset("graft.stage.materialize")
       spark.conf.unset("graft.artifacts.reuse")

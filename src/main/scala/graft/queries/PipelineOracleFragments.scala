@@ -562,35 +562,23 @@ trait PipelineOracleFragments extends PipelineReports {
          |  COUNT(*) AS n_docs, MIN(bpt_q) AS min_bpt_q,
          |  MAX(bpt_q) AS max_bpt_q, CAST(SUM(bpt_q) AS BIGINT) AS sum_bpt_q
          |FROM sp, cuts GROUP BY 1""".stripMargin,
-    // the BM25 replay: identical scaled-integer Okapi arithmetic
-    // (// is DuckDB's BIGINT floor division, the ldiv twin)
+    // the BM25 replay, expressed over the ONE posting chain
+    // (sqlBm25Postings): a probe's score is the sum of its distinct
+    // bigrams' matching postings' precomputed term_q — pruned tokens
+    // simply have no postings, so the df·20 ≤ D gate rides along
     "p74_bm25_retrieval" ->
-      s"""WITH tkl AS (SELECT doc_id, $sqlToks AS t FROM documents),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf
-         |  FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] AS token
-         |    FROM (SELECT doc_id, t,
+      s"""WITH pt AS (SELECT * FROM ${sqlBm25Postings("")} t),
+         |q AS (SELECT DISTINCT doc_id AS probe_id,
+         |    t[i] || ' ' || t[i + 1] AS token
+         |  FROM (SELECT doc_id, t,
          |      unnest(generate_series(1, len(t) - 1)) AS i
-         |      FROM tkl WHERE len(t) >= 2))
+         |    FROM (SELECT doc_id, $sqlToks AS t FROM documents
+         |      WHERE doc_id < 10)
+         |    WHERE len(t) >= 2)),
+         |sc AS (SELECT q.probe_id, pt.doc_id,
+         |    CAST(SUM(pt.term_q) AS BIGINT) AS score_q
+         |  FROM q JOIN pt USING (token) WHERE pt.doc_id <> q.probe_id
          |  GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
-         |  FROM tf GROUP BY 1),
-         |st AS (SELECT COUNT(*) AS d_docs, CAST(SUM(dl) AS BIGINT) AS t_toks
-         |  FROM dl),
-         |dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
-         |qt AS (SELECT tf.doc_id AS probe_id, tf.token,
-         |    ${sqlQlog2("st.d_docs + 1")} - ${sqlQlog2("dfx.df")} AS idf_q,
-         |    st.d_docs, st.t_toks
-         |  FROM tf JOIN dfx USING (token), st
-         |  WHERE tf.doc_id < 10 AND dfx.df * 20 <= st.d_docs),
-         |cd AS (SELECT qt.probe_id, tf.doc_id,
-         |    (qt.idf_q * tf.tf * 144179)
-         |      // (tf.tf * 65536 + (3 * 65536
-         |        + 9 * ((dl.dl * 65536 * qt.d_docs) // qt.t_toks)) // 10)
-         |      AS term_q
-         |  FROM qt JOIN tf USING (token) JOIN dl ON dl.doc_id = tf.doc_id
-         |  WHERE tf.doc_id <> qt.probe_id),
-         |sc AS (SELECT probe_id, doc_id, CAST(SUM(term_q) AS BIGINT) AS score_q
-         |  FROM cd GROUP BY 1, 2),
          |r AS (SELECT probe_id, doc_id, score_q,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
          |    ORDER BY score_q DESC, doc_id) AS INT) AS rnk FROM sc)

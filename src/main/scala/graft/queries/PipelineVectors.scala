@@ -500,24 +500,31 @@ trait PipelineVectors extends PipelineText {
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
       col("nrm").as("pnrm")).filter(col("probe_id") < probeMax)
-    val sims = e.crossJoin(broadcast(probes))
+    val ann = annTopRanks(e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("doc_id"),
         round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
-          .as("sim"))
-    // the p04 salted two-phase top-k (sim rounded to 6dp BEFORE ranking
-    // so summation-order noise can never flip an ordering)
+          .as("sim")), "ann_rnk")
+    rrfFuse(bm25, ann)
+  }
+
+
+  /** The p04 salted two-phase top-k over (probe_id, doc_id, sim) rows
+    * (sim rounded to 6dp BEFORE ranking so summation-order noise can
+    * never flip an ordering) — the ONE copy of the ranking idiom shared
+    * by the exact hybrid (p127) and both of p129's branches. */
+  private[queries] def annTopRanks(sims: DataFrame,
+      rankCol: String): DataFrame = {
     val local = Window
       .partitionBy(col("probe_id"), pmod(hash(col("doc_id")), lit(64)))
       .orderBy(col("sim").desc, col("doc_id").asc)
     val global = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("doc_id").asc)
-    val ann = sims.withColumn("lrnk", row_number().over(local))
+    sims.withColumn("lrnk", row_number().over(local))
       .filter(col("lrnk") <= Bm25TopK)
-      .withColumn("ann_rnk", row_number().over(global).cast(IntegerType))
-      .filter(col("ann_rnk") <= Bm25TopK)
-      .select("probe_id", "doc_id", "ann_rnk")
-    rrfFuse(bm25, ann)
+      .withColumn(rankCol, row_number().over(global).cast(IntegerType))
+      .filter(col(rankCol) <= Bm25TopK)
+      .select("probe_id", "doc_id", rankCol)
   }
 
 
@@ -563,19 +570,7 @@ trait PipelineVectors extends PipelineText {
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
       col("nrm").as("pnrm")).filter(col("probe_id") < 10)
-    val global = Window.partitionBy("probe_id")
-      .orderBy(col("sim").desc, col("doc_id").asc)
-    def topRanks(sims: DataFrame, rankCol: String): DataFrame = {
-      val local = Window
-        .partitionBy(col("probe_id"), pmod(hash(col("doc_id")), lit(64)))
-        .orderBy(col("sim").desc, col("doc_id").asc)
-      sims.withColumn("lrnk", row_number().over(local))
-        .filter(col("lrnk") <= Bm25TopK)
-        .withColumn(rankCol, row_number().over(global).cast(IntegerType))
-        .filter(col(rankCol) <= Bm25TopK)
-        .select("probe_id", "doc_id", rankCol)
-    }
-    val annExact = topRanks(e.crossJoin(broadcast(probes))
+    val annExact = annTopRanks(e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("doc_id"),
         round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
@@ -584,7 +579,7 @@ trait PipelineVectors extends PipelineText {
     val cellProbes = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pnrm"), col("cell"))
-    val annIvf = topRanks(assigned.join(cellProbes, Seq("cell"))
+    val annIvf = annTopRanks(assigned.join(cellProbes, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("doc_id"),
         round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)

@@ -556,42 +556,56 @@ object Streams {
     * and a stream of probes — each carrying its text and its embedding,
     * the RAG query shape — retrieves from both and fuses per arrival.
     *
-    *  - BM25 branch: the probe's DISTINCT term bigrams (batch p74's own
-    *    [[graft.queries.Pipeline.bigramPairs]] expressions) join the
-    *    static postings; each posting carries its COMPLETE precomputed
-    *    integer score term, so the stream side only sums — bit-identical
-    *    to the batch arithmetic by construction.
+    *  - BM25 branch: the probe's distinct term bigrams are extracted
+    *    ROW-LOCALLY (array_distinct over an in-row bigram array — a
+    *    streaming .distinct() would be a cross-batch stateful
+    *    Deduplicate that grows forever and starves a redelivered
+    *    probe's lexical branch) and join the static postings; each
+    *    posting carries its COMPLETE precomputed integer score term,
+    *    so the stream side only sums — bit-identical to the batch
+    *    arithmetic by construction.
     *  - ANN branch: exact cosine (vdot + round 6, p04's recipe) against
     *    the broadcast corpus embeddings — right while the corpus fits a
     *    broadcast; the IVF cell assignment (p20/p125) is the composition
     *    point beyond, exactly as [[annProbeMatches]] documents.
     *  - Fusion: both branches' rows meet in per-probe keyed state; the
-    *    fold ranks each list ((score DESC, doc ASC) — batch tie rule),
-    *    fuses at [[graft.queries.Pipeline.RrfScale]]/(60+rank) exact
-    *    int64 terms, and re-emits a probe's top-k ONLY on change, so
-    *    at-least-once redelivery is absorbed (identical recompute →
-    *    no emission). State is ≤ k rows per probe — nothing scales
-    *    with corpus size or stream length.
+    *    fold first DISTINCTS its rows (bm rows carry their token, so a
+    *    probe delivered twice inside one micro-batch collapses to one
+    *    copy instead of doubling sums and interleaving ranks), ranks
+    *    each list ((score DESC, doc ASC) with Spark's double ordering —
+    *    −0.0 ties 0.0, NaN greatest — so driver-side ranking cannot
+    *    diverge from the batch window), fuses at
+    *    [[graft.queries.Pipeline.RrfScale]]/(60+rank) exact int64
+    *    terms, and re-emits a probe's top-k ONLY on change, so
+    *    at-least-once redelivery across batches is absorbed (identical
+    *    recompute → no emission). State is ≤ k rows per probe —
+    *    nothing scales with corpus size or stream length.
     *
     * Round12OpsSpec streams the batch op's own ten probes through this
-    * and asserts the fused rows are identical to p127's output. */
+    * (including a redelivery) and asserts the fused rows are identical
+    * to p127's output. */
   def hybridRetrieve(probes: DataFrame, postings: DataFrame,
       corpusVecs: DataFrame,
       k: Int = graft.queries.Pipeline.Bm25TopK): Dataset[FusedHit] = {
     import probes.sparkSession.implicits._
+    import graft.functions.Portable.tokens
     import graft.functions.VectorDot.vdot
     import graft.queries.Pipeline.{RrfK, RrfScale}
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
-    val bmRows = graft.queries.Pipeline
-      .bigramPairs(probes.select(col("probe_id").as("doc_id"), col("text")))
-      .select(col("doc_id").as("probe_id"),
-        concat_ws(" ", col("prev"), col("cur")).as("token"))
-      .distinct()
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // row-local distinct bigrams: tokens t → ["t1 t2", "t2 t3", ...];
+    // the size guard keeps sequence() ascending (sequence(1, 0) would
+    // COUNT DOWN and fabricate indices)
+    val t = tokens(col("text"))
+    val bigrams = array_distinct(transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    val bmRows = probes
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("probe_id"), explode(bigrams).as("token"))
       .join(postings.withColumnRenamed("doc_id", "cand_id"), "token")
       .filter(col("cand_id") =!= col("probe_id"))
       .select(col("probe_id"), col("cand_id").as("doc_id"),
         lit(0).as("sys"), col("term_q").as("q"),
-        lit(0.0).cast(DoubleType).as("sim"))
+        lit(0.0).cast(DoubleType).as("sim"), col("token"))
     val cv = corpusVecs
       .select(col("vec_id"), col("v"),
         sqrt(vdot(col("v"), col("v"))).as("nrm"))
@@ -603,7 +617,14 @@ object Streams {
       .select(col("probe_id"), col("vec_id").as("doc_id"),
         lit(1).as("sys"), lit(0L).cast(LongType).as("q"),
         round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
-          .as("sim"))
+          .as("sim"), lit("").as("token"))
+    // Spark's double ordering for the rank sorts: −0.0 == 0.0 and NaN
+    // is GREATEST — a plain Scala sort on the negated double would
+    // split the zero tie and bury NaN, diverging from the batch window
+    def sortKey(s: Double): Double =
+      if (s.isNaN) 2.0 // sims are cosines ≤ 1, so 2.0 ranks NaN first
+      else if (s == 0.0) 0.0
+      else s
     def rankOf[A](scored: Seq[(Long, A)])(implicit ord: Ordering[A])
         : Map[Long, Int] =
       scored.sortBy { case (id, s2) => (s2, id) }(
@@ -611,21 +632,24 @@ object Streams {
         .take(k).zipWithIndex
         .map { case ((id, _), i) => id -> (i + 1) }.toMap
     bmRows.unionByName(annRows)
-      .as[(Long, Long, Int, Long, Double)]
+      .as[(Long, Long, Int, Long, Double, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(Int, Long, Long, Int, Int)], FusedHit](
         org.apache.spark.sql.streaming.OutputMode.Update(),
         GroupStateTimeout.NoTimeout) {
-        (probe: Long, batch: Iterator[(Long, Long, Int, Long, Double)],
+        (probe: Long, batch: Iterator[(Long, Long, Int, Long, Double, String)],
             state: GroupState[List[(Int, Long, Long, Int, Int)]]) =>
-          val rows = batch.toSeq
+          // full-tuple distinct (bm rows keep their token precisely so
+          // two same-score tokens for one doc do NOT collapse, while a
+          // same-batch probe redelivery does)
+          val rows = batch.toSeq.distinct
           // (score DESC, doc ASC) on both lists — the batch tie rule,
           // expressed as ascending (negated score, doc)
           val bmRank = rankOf(
             rows.filter(_._3 == 0).groupBy(_._2).toSeq
               .map { case (doc2, rs) => doc2 -> -rs.map(_._4).sum })
           val annRank = rankOf(
-            rows.filter(_._3 == 1).map(r => r._2 -> -r._5))
+            rows.filter(_._3 == 1).map(r => r._2 -> -sortKey(r._5)))
           def term(r2: Int): Long =
             if (r2 > 0) RrfScale / (RrfK + r2) else 0L
           val next = (bmRank.keySet ++ annRank.keySet).toSeq

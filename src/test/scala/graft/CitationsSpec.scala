@@ -29,10 +29,13 @@ class CitationsSpec extends AnyFunSuite {
     cwd
   }
 
-  private def scalaFiles(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
+  private def scalaFiles(dir: Path): Seq[Path] = {
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
       .toSeq
+    finally stream.close() // Files.walk holds directory handles open
+  }
 
   private lazy val mainTexts: Seq[(Path, String)] =
     scalaFiles(repoRoot.resolve("src/main/scala"))

@@ -348,10 +348,15 @@ class Round12OpsSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(rest: _*)
       q.processAllAvailable()
+      // at-least-once: redeliver the first batch (plus one same-batch
+      // duplicate) — the recompute is identical, so NOTHING new emits
+      in.addData(first ++ first.take(1): _*)
+      q.processAllAvailable()
       val rows = spark.table("hybrid").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
           r.getInt(4), r.getInt(5)))
-      assert(rows.length == rows.distinct.length, "a probe emitted twice")
+      assert(rows.length == rows.distinct.length,
+        "redelivery re-emitted a probe's fused list")
       assert(rows.toSet == batch,
         "streamed fusion must equal batch p127's rows exactly")
     } finally q.stop()

@@ -133,6 +133,31 @@ trait PipelineOracles extends PipelineOracleFragments {
          |  COALESCE(nb.n_overlap, CAST(0 AS INT)) AS n_overlap
          |FROM ne LEFT JOIN ni USING (probe_id)
          |LEFT JOIN nb USING (probe_id)""".stripMargin) +
+    // per-source contamination: both screens' oracles embedded verbatim,
+    // joined to the train split's source column, sources-sized census
+    ("p130_contam_by_source" ->
+      s"""WITH tr AS (SELECT doc_id, source FROM documents
+         |  WHERE doc_id % 29 <> 7),
+         |lex AS (SELECT l.doc_id, tr.source
+         |  FROM (${oracleBase("p92_decontaminate")}) l JOIN tr USING (doc_id)),
+         |sem AS (SELECT s2.doc_id, tr.source
+         |  FROM (${oracleBase("p126_semantic_decontam")}) s2
+         |  JOIN tr USING (doc_id)),
+         |cen AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+         |  FROM tr GROUP BY 1),
+         |nl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_lexical
+         |  FROM lex GROUP BY 1),
+         |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_semantic
+         |  FROM sem GROUP BY 1),
+         |nb AS (SELECT lex.source, CAST(COUNT(*) AS BIGINT) AS n_both
+         |  FROM lex JOIN sem ON lex.doc_id = sem.doc_id GROUP BY 1)
+         |SELECT cen.source, cen.n_train_docs,
+         |  COALESCE(nl.n_lexical, CAST(0 AS BIGINT)) AS n_lexical,
+         |  COALESCE(ns.n_semantic, CAST(0 AS BIGINT)) AS n_semantic,
+         |  COALESCE(nb.n_both, CAST(0 AS BIGINT)) AS n_both
+         |FROM cen LEFT JOIN nl USING (source)
+         |LEFT JOIN ns USING (source)
+         |LEFT JOIN nb USING (source)""".stripMargin) +
     // index-staleness diff: the postings twin built twice (standing
     // corpus vs corpus+batch, the p36/p65 arrival slice), full-outer
     // classified, 4-row grid census (`bo` not `both` — DuckDB keyword)

@@ -373,6 +373,45 @@ trait PipelineReports extends PipelineAssembly {
   }
 
 
+  /** Per-source contamination breakdown — the ACTIONABLE form of the
+    * two release screens: p92 (lexical 8-gram) and p126 (semantic
+    * cosine) flag documents, but the decision a release makes is about
+    * SOURCES — a crawl source carrying the eval set gets dropped or
+    * re-filtered wholesale, which is how published release notes break
+    * their contamination sections down. Per source: train-doc census,
+    * docs flagged by each screen, and docs flagged by BOTH (the
+    * verbatim class; flagged-semantic-only is the paraphrase class).
+    * Every source present in the train split keeps its row at zero
+    * flags (the p100 grid rule — a release table never silently drops
+    * a clean source). Both flag sets are already bounded op outputs;
+    * this adds one narrow doc→source join each and a sources-sized
+    * aggregate — nothing corpus-scaled beyond what p92/p126 pay. */
+  private[queries] def p130ContamBySource: Q = (s, d) => {
+    val src = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(29L)) =!= 7)
+      .select(col("doc_id"), col("source"))
+      .staged // read by the census and both flag joins
+    val lex = p92Decontaminate(s, d).select(col("doc_id"))
+      .join(src, "doc_id").staged
+    val sem = p126SemanticDecontam(s, d).select(col("doc_id"))
+      .join(src, "doc_id").staged
+    val census = src.groupBy("source")
+      .agg(count(lit(1)).as("n_train_docs"))
+    def flagged(df: DataFrame, name: String): DataFrame =
+      df.groupBy("source").agg(count(lit(1)).cast(LongType).as(name))
+    val both = lex.join(sem, Seq("doc_id", "source"))
+    census
+      .join(flagged(lex, "n_lexical"), Seq("source"), "left_outer")
+      .join(flagged(sem, "n_semantic"), Seq("source"), "left_outer")
+      .join(flagged(both, "n_both"), Seq("source"), "left_outer")
+      .select(col("source"), col("n_train_docs"),
+        coalesce(col("n_lexical"), lit(0L)).as("n_lexical"),
+        coalesce(col("n_semantic"), lit(0L)).as("n_semantic"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
+  }
+
+
+
   /** Source-trust policy table for provenance-aware dedup: tier 1 =
     * curated sources, tier 2 = vetted web, everything else tier 3
     * (raw crawl). In production this is a config input per corpus

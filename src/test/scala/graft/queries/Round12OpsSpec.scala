@@ -250,6 +250,37 @@ class Round12OpsSpec extends SparkSpec {
       "the batch arrival left the standing index untouched — vacuous")
   }
 
+  test("p130: the per-source breakdown reconciles with the two screens' " +
+      "own outputs and keeps clean sources in the grid") {
+    val out = Pipeline.queries("p130_contam_by_source")(spark, Sf01)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val docs = Tables.documents(spark, Sf01)
+      .filter(col("doc_id") % 29 =!= 7)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.values.toSet,
+      "every train source keeps its row, clean or not")
+    val lex = Pipeline.queries("p92_decontaminate")(spark, Sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sem = Pipeline.queries("p126_semantic_decontam")(spark, Sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    out.foreach { case (src, (nt, nl, ns, nb)) =>
+      val members = docs.collect { case (id, s2) if s2 == src => id }.toSet
+      assert(nt == members.size.toLong, s"$src train census")
+      assert(nl == (members & lex).size.toLong, s"$src lexical count")
+      assert(ns == (members & sem).size.toLong, s"$src semantic count")
+      assert(nb == (members & lex & sem).size.toLong, s"$src both count")
+    }
+    assert(out.values.exists(_._1 > 0) &&
+      out.values.exists(v => v._2 > 0 || v._3 > 0),
+      "fixture must flag something somewhere")
+    assert(out.values.exists(v => v._2 == 0 && v._3 == 0),
+      "fixture must also keep a clean source's zero row")
+  }
+
   test("p129: the approximation audit reconciles with p127 and shows " +
       "the IVF branch costing something real") {
     val out = Pipeline.queries("p129_rrf_ivf_audit")(spark, Sf01)

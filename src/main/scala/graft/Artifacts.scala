@@ -141,15 +141,44 @@ object Artifacts {
     val success = new org.apache.hadoop.fs.Path(hPath, "_SUCCESS")
     val claim = new org.apache.hadoop.fs.Path(
       hPath.getParent, hPath.getName + ".claim")
+    // Ownership is VERIFIABLE, not just positional: the claim file
+    // carries its owner's UUID, re-read immediately before the
+    // destructive step and before the release. This closes the
+    // residual three-party race (T2 observes a stale claim; T1
+    // completes a full takeover in the gap; T2's tombstone rename
+    // steals T1's FRESH claim; a third session claims the vacant path
+    // before T2's hand-back) — positionally both T1 and T3 "hold" a
+    // claim, but only T3's UUID is in the file, so T1's read-back
+    // fails and it stands down instead of publishing concurrently.
+    // A transiently unreadable/vacant claim (mid-steal-and-handback)
+    // reads as NOT owned — the conservative direction: the session
+    // serves its own built frame and the claim, if leaked, goes
+    // stale and is broken like any crashed publisher's.
+    val owner = java.util.UUID.randomUUID().toString
     def tryClaim(): Boolean =
-      try { fs.mkdirs(hPath.getParent); fs.createNewFile(claim) }
-      catch { case _: java.io.IOException => false }
+      try {
+        fs.mkdirs(hPath.getParent)
+        fs.createNewFile(claim) && {
+          val out = fs.create(claim, true)
+          try out.write(owner.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      } catch { case _: java.io.IOException => false }
+    def stillOwned(): Boolean = try {
+      val in = fs.open(claim)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        n > 0 && new String(buf, 0, n, "UTF-8") == owner
+      } finally in.close()
+    } catch { case _: java.io.IOException => false }
     val owned = tryClaim() ||
       takeoverStaleClaim(fs, claim, tryClaim)
     val won = owned && {
       try {
         onClaimHeld()
-        if (fs.exists(success)) false // a racer published first: done
+        if (!stillOwned()) false // claim stolen: lost ownership
+        else if (fs.exists(success)) false // a racer published: done
         else {
           // marker-less final dir = torn write; safe to clear under
           // the claim (no one else can be mid-publish)
@@ -160,7 +189,11 @@ object Artifacts {
             .foreach(st => fs.delete(st.getPath, true): Unit)
           renamed
         }
-      } finally fs.delete(claim, false): Unit
+      } finally {
+        // release only OUR claim — deleting blindly would destroy a
+        // successor's claim after a theft
+        if (stillOwned()) fs.delete(claim, false): Unit
+      }
     }
     if (!won) fs.delete(tmp, true): Unit
     won

@@ -130,13 +130,22 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val passes = (1 to 3).map(_ => names.map(n => n -> timed(n)).toMap)
+    val passes = (1 to 4).map(_ => names.map(n => n -> timed(n)).toMap)
     val results = names.map { name =>
       val t = passes.map(_(name)).min
       name -> (if (t.isFinite) t else -1.0) // -1 marks a query that always failed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every pass's raw time per query (3-decimal), so a reader can see
+    // the SPREAD behind each min — the host-weather evidence that took
+    // an interleaved r7-tree experiment to reconstruct in round 12 is
+    // now in every bench artifact. A failed rep prints as -1.
+    val samples = names.map { name =>
+      val vs = passes.map(_(name)).map(t =>
+        if (t.isFinite) math.rint(t * 1000) / 1000 else -1.0)
+      "\"" + name + "\":[" + vs.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // a twice-failed query must not quietly IMPROVE the headline total:
     // any failure poisons it to -1 so round-over-round comparisons scream
     val total =
@@ -146,6 +155,7 @@ object Bench {
     val canary = math.rint(hostCanary() * 1000) / 1000
     val canaryPar = math.rint(hostCanaryParallel() * 1000) / 1000
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""samples":$samples,"passes":${passes.size},""" +
       s""""canary_sec":$canary,"canary":"lcg64-500m-minof3",""" +
       s""""canary_par_sec":$canaryPar,"canary_par":"lcg64-100mx32-minof3",""" +
       s""""sf":"$sfDir"}"""

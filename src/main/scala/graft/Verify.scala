@@ -9,6 +9,15 @@ object Verify {
     // the driver passes two args and gets the full dump
     val only = args.lift(2).map(_.split(",").toSet)
     val spark = Session.local()
+    // Opt-in cross-session artifact store for renewal runs: with
+    // SPARK_GRAFT_ARTIFACTS_DIR set, the dedup pair graph / cluster
+    // labels / codebooks build ONCE per (store, dataset) and every
+    // later full-gate run reads them back instead of rebuilding —
+    // the production corpus-build shape. Results are bit-identical
+    // (ArtifactStoreDualSessionSpec pins row identity); the driver
+    // never sets the env, so gate runs stay standalone by default.
+    sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set("graft.artifacts.dir", d))
     new java.io.File(outDir).mkdirs()
     // A query that throws (at construction OR execution) must be a loud red
     // row in the gate, never an omission: round 8 lost 49 green rows

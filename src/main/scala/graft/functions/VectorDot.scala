@@ -86,4 +86,19 @@ object VectorDot {
   def vdot(a: Column, b: Column): Column =
     ColumnBridge.column(VectorDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** NULL-safe round-6 cosine from a dot product and a norm product —
+    * the ONE house spelling of `round(num/den, 6)` for similarity
+    * ranking. A zero denominator (a zero-norm vector on either side)
+    * yields NULL instead of an ANSI DIVIDE_BY_ZERO crash; NULL is
+    * exactly what DuckDB's `/` returns for x/0.0, and both engines
+    * rank NULL LAST under the house (sim DESC, id ASC) order, so a
+    * zero-norm vector sorts behind every real similarity on both
+    * engines alike. RrfPropertySpec pins the behavior on generated
+    * zero-norm corpora; the `when` branch evaluates lazily, so the
+    * division itself never executes on the zero row. */
+  def cos6(num: Column, den: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, round, when}
+    round(when(den =!= lit(0.0), num / den), 6)
+  }
 }

@@ -56,6 +56,7 @@ object Pipeline extends PipelineOracles {
     "p128_index_staleness" -> p128IndexStaleness,
     "p129_rrf_ivf_audit" -> p129RrfIvfAudit,
     "p130_contam_by_source" -> p130ContamBySource,
+    "p131_substring_strip" -> p131SubstringStrip,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,

@@ -1240,6 +1240,97 @@ trait PipelineDedup extends PipelineVectors {
   }
 
 
+  /** Minimum token extent of a dropped substring for [[p131SubstringStrip]]
+    * — deliberately MinRunW·SpanW = p114's 30-token gate, so the two
+    * policies differ ONLY in alignment sensitivity and their audits
+    * compare threshold-for-threshold; Lee et al. 2022's production
+    * setting is 50. Shared verbatim with the oracle builder. */
+  private[graft] val MinSubTokens = MinRunW * SpanW
+
+
+  /** Variable-length maximal duplicated-substring removal — the
+    * exact-substring dedup of Lee et al. 2022 proper, closing the gap
+    * p114 leaves: p75/p114 see duplication only through the doc's own
+    * NON-overlapping [[SpanW]]-token window grid, so a copied block
+    * that lands off-grid in one document (start not ≡ 1 mod SpanW)
+    * hashes to different windows in each copy and is invisible to
+    * both. Here every token position starts a shingle (stride 1, the
+    * same SpanW width and h60 hash), a position is duplicated when its
+    * shingle occurs elsewhere in the corpus, and maximal runs of
+    * consecutive duplicated NON-KEEPER starts (the same min-(doc,pos)
+    * first-occurrence-survives rule as p75/p114) are excised when
+    * their covered token extent (run + SpanW − 1 tokens) reaches
+    * [[MinSubTokens]] — variable-length spans, any alignment, keeper
+    * copy kept. Output is p75's audit shape (plus the total token
+    * count), row-comparable across all three policies by
+    * (doc_id, clean_md5).
+    *
+    * Scale shape: the stride-1 explode is ~one row per corpus TOKEN —
+    * this is the honest cost class of suffix-based substring dedup
+    * (Lee et al. build a suffix array of the corpus; a keyed census
+    * over every position's shingle hash is the shuffle-native
+    * equivalent) — one hv-keyed census with map-side combine, one
+    * hv-keyed join back, and then only the SPARSE duplicated
+    * (doc_id, start) rows reach the doc-keyed island window;
+    * reconstruction re-derives the cleaned text from the doc's own
+    * token array, never materializing span bodies. The explode runs
+    * after the input rebalance; nothing is ever corpus-pairwise. */
+  private[queries] def p131SubstringStrip: Q = (s, d) =>
+    substringStripOf(docsBalanced(s, d))
+
+
+  /** The p131 core over any (doc_id, text) frame — SubstringStripSpec
+    * plants an OFF-GRID copied block (invisible to p114) plus a short
+    * duplicated phrase and asserts exactly the non-keeper block copy
+    * is stripped. */
+  private[graft] def substringStripOf(docsIn: DataFrame): DataFrame = {
+    val base = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val starts = base
+      .select(col("doc_id"), col("t"),
+        explode(when(col("n") >= SpanW,
+          sequence(lit(1), col("n") - (SpanW - 1)))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("doc_id"), col("j"),
+        h60(concat_ws(" ", slice(col("t"), col("j"), lit(SpanW))))
+          .as("hv"))
+      .withColumn("pos", col("doc_id") * lit(StripPosPack) + col("j"))
+    val census = starts.groupBy("hv")
+      .agg(count(lit(1)).as("cnt"), min(col("pos")).as("keeper"))
+    val cand = starts.join(census, "hv")
+      .filter(col("cnt") > 1 && col("pos") =!= col("keeper"))
+      .select(col("doc_id"), col("j"))
+    val runs = cand
+      .withColumn("isl", col("j") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("j")))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("j")).as("j0"),
+        count(lit(1)).cast(IntegerType).as("m"))
+      .filter(col("m") + (SpanW - 1) >= MinSubTokens)
+    // covered token positions, unioned across runs (tails of adjacent
+    // runs may overlap — distinct, membership-only use)
+    val drops = runs.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_runs"),
+        array_distinct(flatten(collect_list(
+          sequence(col("j0"), col("j0") + col("m") + (SpanW - 2)))))
+          .as("dp"))
+    base.join(drops, Seq("doc_id"), "left_outer")
+      .withColumn("dpp", coalesce(col("dp"), array().cast("array<int>")))
+      .withColumn("clean", when(col("n") >= 1,
+        transform(filter(sequence(lit(1), col("n")),
+          p => !array_contains(col("dpp"), p)),
+          p => element_at(col("t"), p)))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        col("n").cast(LongType).as("n_tokens"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs_dropped"),
+        (col("n") - size(col("clean"))).cast(LongType).as("n_dropped"),
+        size(col("clean")).cast(LongType).as("n_tokens_clean"),
+        md5(array_join(col("clean"), " ")).as("clean_md5"))
+  }
+
+
   /** Dedup savings report — what deduplication actually buys, by
     * cluster size: for each near-dup cluster size k (from the p32
     * label artifact; k = 1 is the unlinked remainder, so the rows sum

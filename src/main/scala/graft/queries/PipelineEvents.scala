@@ -228,6 +228,12 @@ trait PipelineEvents extends PipelineMultimodal {
   private[graft] val PsiBaselineDocs = 12L
   private[graft] val PsiWindowDocs = 6L
 
+  /** Range width for p124's two-level per-source rank — the p28
+    * `RangeDocs` rule (declared there, above this trait in the mixin
+    * chain, hence re-stated): ranges only bound the window fan-in,
+    * never the result. */
+  private[graft] val PsiRangeDocs = 100L
+
   /** Batch PSI baseline drift — p81's sibling in the OTHER standard
     * PSI contract: p81 contrasts each source against the rest of the
     * same snapshot; p124 contrasts each source's later windows against
@@ -241,17 +247,19 @@ trait PipelineEvents extends PipelineMultimodal {
     * finish phase I plus one full window emit nothing (the streaming
     * twin's silence); only COMPLETE windows score.
     *
-    * Scale shape: one narrow (source, bin) projection, one rank
-    * window per source (the per-source doc order a stream gets for
-    * free), two keyed count aggregations over bounded (source ×
-    * window × 6-bin) frames, and a bin-ordered fold per window — no
-    * corpus-sized state, no cross-source work. Honest caveat: source
-    * cardinality is LOW, so the rank window concentrates each
-    * source's rows in one task — exactly the skew shape p115 flags.
-    * At 100 TB the deployment path is the STREAMING twin (no rank,
-    * state per source is two histograms); batch p124 is the at-rest
-    * audit/backfill twin, and a backfill over a giant source would
-    * chunk the rank by doc_id ranges before windowing. */
+    * Scale shape: one narrow (source, bin) projection, a TWO-LEVEL
+    * per-source rank (the p105/p28 distributed prefix-sum shape:
+    * doc_ids bucket into [[PsiRangeDocs]]-wide ranges, per-(source,
+    * range) counts cumulate in a broadcast offsets table, and each
+    * doc ranks only within its own range — so no source ever
+    * concentrates in one task, the skew shape p115 flags and the
+    * pre-round-13 per-source global window had), two keyed count
+    * aggregations over bounded (source × window × 6-bin) frames, and
+    * a bin-ordered fold per window — no corpus-sized state, no
+    * cross-source work. At 100 TB the deployment path is still the
+    * STREAMING twin (no rank at all, state per source is two
+    * histograms); batch p124 is the at-rest audit/backfill twin,
+    * now safe to run over a giant source as-is. */
   private[queries] def p124PsiBaselineDrift: Q = (s, d) =>
     psiBaselineDriftOf(Tables.documents(s, d))
 
@@ -260,10 +268,26 @@ trait PipelineEvents extends PipelineMultimodal {
       windowDocs: Long = PsiWindowDocs): DataFrame = {
     val binsB = PsiMaxBin + 1
     val s = docs.sparkSession
-    val byId = Window.partitionBy("source").orderBy("doc_id")
-    val ranked = docs.select(col("source"), col("doc_id"),
+    // two-level per-source rank (p105/p28 shape): doc_ids bucket into
+    // PsiRangeDocs-wide ranges; the per-(source, range) counts cumulate
+    // through an ordered window over the RANGE table only (corpus/100
+    // rows, broadcast back); each doc then ranks within its own range.
+    // idx is identical to a per-source global row_number in doc_id
+    // order — the offsets are exact — without any single task ever
+    // holding a whole source.
+    val binned = docs.select(col("source"), col("doc_id"),
         least(lit(PsiMaxBin.toLong), expr("n_chars div 100")).as("bin"))
-      .withColumn("idx", row_number().over(byId))
+      .withColumn("rng", expr(s"doc_id div $PsiRangeDocs"))
+    val offsets = binned.groupBy("source", "rng")
+      .agg(count(lit(1)).as("rn"))
+      .withColumn("off", coalesce(
+        sum(col("rn")).over(Window.partitionBy("source").orderBy("rng")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "rng", "off")
+    val ranked = binned.join(broadcast(offsets), Seq("source", "rng"))
+      .withColumn("idx", col("off") +
+        row_number().over(Window.partitionBy("source", "rng")
+          .orderBy("doc_id")))
       .staged // read by the baseline and the window aggregations
     val baseCnt = ranked.filter(col("idx") <= baselineDocs)
       .groupBy("source", "bin").agg(count(lit(1)).as("bc"))

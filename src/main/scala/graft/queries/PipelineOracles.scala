@@ -287,6 +287,41 @@ trait PipelineOracles extends PipelineOracleFragments {
          |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
          |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
          |FROM fin""".stripMargin) +
+    ("p131_substring_strip" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
+         |sp AS (SELECT doc_id, j,
+         |    ${sqlH60(s"array_to_string(t[j:j+${SpanW - 1}], ' ')")} AS hv,
+         |    doc_id * $StripPosPack + j AS pos
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, n - ${SpanW - 1})) AS j
+         |    FROM base)),
+         |c AS (SELECT hv, COUNT(*) AS cnt, MIN(pos) AS keeper
+         |  FROM sp GROUP BY 1),
+         |cand AS (SELECT doc_id, j FROM sp JOIN c USING (hv)
+         |  WHERE cnt > 1 AND pos <> keeper),
+         |runs AS (SELECT doc_id, MIN(j) AS j0, COUNT(*) AS m
+         |  FROM (SELECT doc_id, j,
+         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+         |        AS isl FROM cand)
+         |  GROUP BY doc_id, isl),
+         |gr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |    list_distinct(flatten(list(
+         |      generate_series(j0, j0 + m + ${SpanW - 2})))) AS dp
+         |  FROM runs WHERE m + ${SpanW - 1} >= $MinSubTokens
+         |  GROUP BY doc_id),
+         |fin AS (SELECT b.doc_id, b.n, gr.n_runs,
+         |    list_transform(list_filter(generate_series(1, b.n),
+         |        p -> NOT list_contains(
+         |          coalesce(gr.dp, CAST([] AS BIGINT[])), p)),
+         |      p -> b.t[p]) AS clean
+         |  FROM base b LEFT JOIN gr ON b.doc_id = gr.doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs_dropped,
+         |  CAST(n - len(clean) AS BIGINT) AS n_dropped,
+         |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
+         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
+         |FROM fin""".stripMargin) +
     ("p115_skew_audit" -> {
       // one block per key domain, generated from the SAME SkewDomains
       // list the Spark side iterates — the two sides cannot desync

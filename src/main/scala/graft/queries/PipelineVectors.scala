@@ -9,7 +9,7 @@ import graft.Exact._
 import graft.Stage.StageOps
 import graft.Tables
 import graft.functions.Portable._
-import graft.functions.VectorDot.vdot
+import graft.functions.VectorDot.{cos6, vdot}
 import graft.functions.VectorDotLong.vdotl
 
 /** Similarity search over the embeddings table: brute-force cosine,
@@ -42,7 +42,7 @@ trait PipelineVectors extends PipelineText {
     val sims = e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm")).as("sim"))
     val local = Window.partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
       .orderBy(col("sim").desc, col("vec_id").asc)
     val global = Window.partitionBy("probe_id")
@@ -198,7 +198,7 @@ trait PipelineVectors extends PipelineText {
     val sims = e.join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm")).as("sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     sims.withColumn("rnk", row_number().over(w))
@@ -232,7 +232,7 @@ trait PipelineVectors extends PipelineText {
       .orderBy(col("csim").desc, col("cent_id").asc)
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
-        round(vdot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+        cos6(vdot(col("v"), col("cv")), col("nrm") * col("cnrm"))
           .as("csim"))
       .withColumn("arnk", row_number().over(wAssign))
       .filter(col("arnk") === 1)
@@ -249,7 +249,7 @@ trait PipelineVectors extends PipelineText {
     val sims = assigned.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6).as("sim"))
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm")).as("sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("vec_id").asc)
     sims.withColumn("rnk", row_number().over(w))
@@ -302,7 +302,7 @@ trait PipelineVectors extends PipelineText {
         .orderBy(col("csim").desc, col("co_id").asc)
       df.crossJoin(broadcast(coarse))
         .select(col(idCol), col("co_id"),
-          round(vdot(col(vCol), col("gv")) / (col(nrmCol) * col("gnrm")), 6)
+          cos6(vdot(col(vCol), col("gv")), col(nrmCol) * col("gnrm"))
             .as("csim"))
         .withColumn("arnk", row_number().over(w))
         .filter(col("arnk") === 1)
@@ -317,7 +317,7 @@ trait PipelineVectors extends PipelineText {
         "vec_id", "v", "nrm"), "vec_id")
       .join(members, Seq("coarse")) // un-hinted: AQE decides at scale
       .select(col("vec_id"), col("cent_id"),
-        round(vdot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6)
+        cos6(vdot(col("v"), col("cv")), col("nrm") * col("cnrm"))
           .as("fsim"))
       .withColumn("rnk", row_number().over(wFine))
       .filter(col("rnk") === 1)
@@ -355,7 +355,7 @@ trait PipelineVectors extends PipelineText {
           col("v").as("nv"), col("nrm").as("nnrm")), Seq("cell"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
-        round(vdot(col("v"), col("nv")) / (col("nrm") * col("nnrm")), 6)
+        cos6(vdot(col("v"), col("nv")), col("nrm") * col("nnrm"))
           .as("sim"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("sim").desc, col("nbr_id").asc)
@@ -396,8 +396,7 @@ trait PipelineVectors extends PipelineText {
         col("v").as("vb"), col("nrm").as("nb"))
       .join(probes, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", round(vdot(col("va"), col("vb")) /
-        (col("na") * col("nb")), 6))
+      .withColumn("sim", cos6(vdot(col("va"), col("vb")), col("na") * col("nb")))
       .filter(col("sim") >= 0.40)
       .select("vec_a", "vec_b", "sim")
   }
@@ -434,8 +433,7 @@ trait PipelineVectors extends PipelineText {
         col("nrm").as("enrm"))
     val hits = e.filter(pmod(col("vec_id"), lit(29L)) =!= 7)
       .crossJoin(broadcast(ev))
-      .withColumn("sim", round(vdot(col("v"), col("evv")) /
-        (col("nrm") * col("enrm")), 6))
+      .withColumn("sim", cos6(vdot(col("v"), col("evv")), col("nrm") * col("enrm")))
       .filter(col("sim") >= 0.40)
       .select(col("vec_id").as("doc_id"), col("eval_id"), col("sim"))
     val w = Window.partitionBy(col("doc_id"))
@@ -503,7 +501,7 @@ trait PipelineVectors extends PipelineText {
     val ann = annTopRanks(e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("doc_id"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm"))
           .as("sim")), "ann_rnk")
     rrfFuse(bm25, ann)
   }
@@ -573,7 +571,7 @@ trait PipelineVectors extends PipelineText {
     val annExact = annTopRanks(e.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("doc_id"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm"))
           .as("sim")), "ann_rnk")
     val assigned = ivfAssigned(s, d)
     val cellProbes = assigned.filter(col("vec_id") < 10)
@@ -582,7 +580,7 @@ trait PipelineVectors extends PipelineText {
     val annIvf = annTopRanks(assigned.join(cellProbes, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("doc_id"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm"))
           .as("sim")), "ann_rnk")
     val exactTop = rrfFuse(bm25, annExact)
       .select(col("probe_id"), col("doc_id")).staged
@@ -753,7 +751,7 @@ trait PipelineVectors extends PipelineText {
       .join(broadcast(probes.select(col("probe_id"), col("pv"),
         col("pnrm"))), "probe_id")
       .withColumn("sim",
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6))
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm")))
       .withColumn("rnk", row_number().over(rerank).cast(IntegerType))
       .filter(col("rnk") <= 5)
       .select("probe_id", "vec_id", "rnk", "sim", "qsim")
@@ -952,7 +950,7 @@ trait PipelineVectors extends PipelineText {
       .withColumn("bucket", signBucket(col("v"), AnnBits))
     val probes = e.select(col("vec_id").as("probe_id"), col("v").as("pv"),
       col("nrm").as("pnrm"), col("bucket")).filter(col("probe_id") < 20)
-    def sim = round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+    def sim = cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm"))
     def topk(cands: DataFrame): DataFrame = {
       val local = Window
         .partitionBy(col("probe_id"), pmod(hash(col("vec_id")), lit(64)))
@@ -1081,7 +1079,7 @@ trait PipelineVectors extends PipelineText {
     val sims = e.join(probeKeys, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm"))
           .as("sim"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("sim").desc, col("vec_id").asc)

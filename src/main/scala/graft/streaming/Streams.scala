@@ -277,7 +277,7 @@ object Streams {
     * vectors. */
   def semanticContamMatches(vectors: DataFrame,
       evalVecs: DataFrame): DataFrame = {
-    import graft.functions.VectorDot.vdot
+    import graft.functions.VectorDot.{cos6, vdot}
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
     val evalArr = evalVecs
       .select(struct(col("eval_id"), col("evv"),
@@ -290,8 +290,7 @@ object Streams {
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .crossJoin(broadcast(evalArr))
       .withColumn("res", aggregate(col("es"), zero, (acc, e) => {
-        val sim = round(vdot(col("v"), e.getField("evv")) /
-          (col("nrm") * e.getField("enrm")), 6)
+        val sim = cos6(vdot(col("v"), e.getField("evv")), col("nrm") * e.getField("enrm"))
         val better = acc.getField("best_sim").isNull ||
           sim > acc.getField("best_sim") ||
           (sim === acc.getField("best_sim") &&
@@ -546,6 +545,14 @@ object Streams {
       }
   }
 
+  /** Recommended redelivery horizon for [[hybridRetrieve]]'s per-probe
+    * memo on unbounded-probe deployments (pass as `probeTtlMs`; the
+    * parameter defaults to 0 = no expiry — see the scaladoc's trigger
+    * caveat): a probe idle this long has its state expired. 30 min
+    * sits far above any real at-least-once redelivery gap while
+    * keeping state proportional to the active-probe working set. */
+  val HybridProbeTtlMs: Long = 30L * 60 * 1000
+
   final case class FusedHit(probe_id: Long, rnk: Int, doc_id: Long,
       rrf_q: Long, bm25_rnk: Int, ann_rnk: Int)
 
@@ -566,8 +573,14 @@ object Streams {
     *    arithmetic by construction.
     *  - ANN branch: exact cosine (vdot + round 6, p04's recipe) against
     *    the broadcast corpus embeddings — right while the corpus fits a
-    *    broadcast; the IVF cell assignment (p20/p125) is the composition
-    *    point beyond, exactly as [[annProbeMatches]] documents.
+    *    broadcast. Beyond a broadcast, pass `ivfCentroids` (the
+    *    (cent_id, cv) codebook) with a cell-assigned `corpusVecs`
+    *    (vec_id, v, cell — the batch ivfAssigned index): the probe
+    *    argmax-assigns itself to a cell against the broadcast codebook
+    *    and joins only that cell's members, so per-probe work is
+    *    |corpus|/|cells| and the served fusion is exactly p129's
+    *    IVF-fused list (the audit that prices this trade), proven row
+    *    for row by Round12OpsSpec.
     *  - Fusion: both branches' rows meet in per-probe keyed state; the
     *    fold first DISTINCTS its rows (bm rows carry their token, so a
     *    probe delivered twice inside one micro-batch collapses to one
@@ -578,18 +591,35 @@ object Streams {
     *    [[graft.queries.Pipeline.RrfScale]]/(60+rank) exact int64
     *    terms, and re-emits a probe's top-k ONLY on change, so
     *    at-least-once redelivery across batches is absorbed (identical
-    *    recompute → no emission). State is ≤ k rows per probe —
-    *    nothing scales with corpus size or stream length.
+    *    recompute → no emission). State is ≤ k rows per probe; with
+    *    the DEFAULT probeTtlMs = 0 it is held forever, so total state
+    *    grows with the stream's lifetime DISTINCT-probe count — fine
+    *    for a bounded probe set, wrong for a production query stream
+    *    whose probe ids are unique per request. There, pass a
+    *    positive `probeTtlMs` ([[HybridProbeTtlMs]] is the house
+    *    value): a probe idle past it is EXPIRED (processing-time
+    *    timeout), bounding state by the active-probe working set; a
+    *    post-TTL redelivery re-emits its (identical) top-k instead of
+    *    being absorbed — standard at-least-once output. The TTL is
+    *    opt-in rather than the default because a processing-time
+    *    timeout makes every micro-batch "require another batch"
+    *    (timeouts only fire inside batches), so under the default
+    *    as-fast-as-possible trigger the query busy-loops empty
+    *    batches; TTL deployments set a real trigger interval
+    *    (HybridTtlSpec measured the busy loop before this was made
+    *    opt-in — the suite's own MemoryStream harness hung on it).
     *
     * Round12OpsSpec streams the batch op's own ten probes through this
     * (including a redelivery) and asserts the fused rows are identical
-    * to p127's output. */
+    * to p127's output; HybridTtlSpec pins expiry + re-emission. */
   def hybridRetrieve(probes: DataFrame, postings: DataFrame,
       corpusVecs: DataFrame,
-      k: Int = graft.queries.Pipeline.Bm25TopK): Dataset[FusedHit] = {
+      k: Int = graft.queries.Pipeline.Bm25TopK,
+      probeTtlMs: Long = 0L,
+      ivfCentroids: Option[DataFrame] = None): Dataset[FusedHit] = {
     import probes.sparkSession.implicits._
     import graft.functions.Portable.tokens
-    import graft.functions.VectorDot.vdot
+    import graft.functions.VectorDot.{cos6, vdot}
     import graft.queries.Pipeline.{RrfK, RrfScale}
     import org.apache.spark.sql.types.{DoubleType, LongType}
     // row-local distinct bigrams: tokens t → ["t1 t2", "t2 t3", ...];
@@ -606,23 +636,75 @@ object Streams {
       .select(col("probe_id"), col("cand_id").as("doc_id"),
         lit(0).as("sys"), col("term_q").as("q"),
         lit(0.0).cast(DoubleType).as("sim"), col("token"))
-    val cv = corpusVecs
-      .select(col("vec_id"), col("v"),
-        sqrt(vdot(col("v"), col("v"))).as("nrm"))
-    val annRows = probes
+    val pv = probes
       .select(col("probe_id"), col("v").as("pv"),
         sqrt(vdot(col("v"), col("v"))).as("pnrm"))
-      .crossJoin(broadcast(cv))
+    val candidates = ivfCentroids match {
+      case None =>
+        // exact branch: brute cosine against the broadcast corpus —
+        // right while the corpus fits a broadcast
+        val cv = corpusVecs
+          .select(col("vec_id"), col("v"),
+            sqrt(vdot(col("v"), col("v"))).as("nrm"))
+        pv.crossJoin(broadcast(cv))
+      case Some(cents) =>
+        // IVF-served branch (the scale path p129 priced): corpusVecs
+        // is the STATIC cell-assigned index (vec_id, v, cell); the
+        // arriving probe assigns itself to a cell against the
+        // broadcast (cent_id, cv) codebook — one window-free argmax
+        // fold, bit-identical ordering (csim desc, cent_id asc) to
+        // the batch ivfAssigned window — and joins ONLY its own
+        // cell's members through an ordinary stream-static keyed
+        // join. Per-probe work |corpus|/|cells|; nothing corpus-sized
+        // broadcasts to the stream.
+        val centArr = cents
+          .select(struct(col("cent_id"), col("cv"),
+            sqrt(vdot(col("cv"), col("cv"))).as("cnrm")).as("c"))
+          .agg(collect_list(col("c")).as("cs"))
+        val zero = struct(lit(null).cast(LongType).as("best_id"),
+          lit(null).cast(DoubleType).as("best_sim"))
+        val probeCell = pv.crossJoin(broadcast(centArr))
+          .withColumn("cellr", aggregate(col("cs"), zero, (acc, c) => {
+            val csim = cos6(vdot(col("pv"), c.getField("cv")),
+              col("pnrm") * c.getField("cnrm"))
+            val bid = acc.getField("best_id")
+            val bsim = acc.getField("best_sim")
+            // the batch window's exact order: csim DESC NULLS LAST,
+            // cent_id ASC — a NULL csim (zero-norm side) can win only
+            // against nothing or another NULL, by smaller cent_id
+            val better = bid.isNull ||
+              (csim.isNotNull && (bsim.isNull || csim > bsim ||
+                (csim === bsim && c.getField("cent_id") < bid))) ||
+              (csim.isNull && bsim.isNull && c.getField("cent_id") < bid)
+            when(better, struct(c.getField("cent_id").as("best_id"),
+              csim.as("best_sim"))).otherwise(acc)
+          }))
+          .select(col("probe_id"), col("pv"), col("pnrm"),
+            col("cellr").getField("best_id").as("cell"))
+        probeCell
+          .join(corpusVecs.select(col("vec_id"), col("v"),
+            sqrt(vdot(col("v"), col("v"))).as("nrm"), col("cell")),
+            Seq("cell"))
+          .drop("cell")
+    }
+    val annRows = candidates
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("doc_id"),
         lit(1).as("sys"), lit(0L).cast(LongType).as("q"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+        // cos6 yields NULL for a zero-norm side; the typed Dataset
+        // bridge would silently decode NULL as 0.0 (the nullable-
+        // bridge trap), ranking a zero-norm doc ABOVE negative sims —
+        // so NULL is carried as a NaN SENTINEL and ranked LAST below,
+        // matching the batch window's (sim DESC NULLS LAST) exactly
+        coalesce(cos6(vdot(col("pv"), col("v")),
+          col("pnrm") * col("nrm")), lit(Double.NaN))
           .as("sim"), lit("").as("token"))
-    // Spark's double ordering for the rank sorts: −0.0 == 0.0 and NaN
-    // is GREATEST — a plain Scala sort on the negated double would
-    // split the zero tie and bury NaN, diverging from the batch window
+    // Spark's double ordering for the rank sorts: −0.0 == 0.0; NaN is
+    // the NULL sentinel (a real NaN cannot reach here — cos6 never
+    // divides by zero and finite-float dots are finite) and NULL sims
+    // rank LAST under the batch window's DESC NULLS LAST
     def sortKey(s: Double): Double =
-      if (s.isNaN) 2.0 // sims are cosines ≤ 1, so 2.0 ranks NaN first
+      if (s.isNaN) -2.0 // sims are cosines ≥ −1, so −2.0 ranks NULL last
       else if (s == 0.0) 0.0
       else s
     def rankOf[A](scored: Seq[(Long, A)])(implicit ord: Ordering[A])
@@ -636,9 +718,23 @@ object Streams {
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(Int, Long, Long, Int, Int)], FusedHit](
         org.apache.spark.sql.streaming.OutputMode.Update(),
-        GroupStateTimeout.NoTimeout) {
+        if (probeTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout) {
         (probe: Long, batch: Iterator[(Long, Long, Int, Long, Double, String)],
             state: GroupState[List[(Int, Long, Long, Int, Int)]]) =>
+          if (state.hasTimedOut) {
+            // probe idle past the redelivery horizon: drop its ≤ k-row
+            // memo. Without this, state grows with the number of
+            // DISTINCT probes over the stream's lifetime — per-probe
+            // bounded but unbounded for a production query stream
+            // where probe ids are effectively unique per request. The
+            // trade: a redelivery arriving AFTER the horizon re-emits
+            // the (identical) top-k instead of being absorbed —
+            // at-least-once output, the same contract every
+            // Update-mode sink already handles.
+            state.remove()
+            Iterator.empty
+          } else {
           // full-tuple distinct (bm rows keep their token precisely so
           // two same-score tokens for one doc do NOT collapse, while a
           // same-batch probe redelivery does)
@@ -663,12 +759,19 @@ object Streams {
             .map { case ((doc2, q2, b, a), i) => (i + 1, doc2, q2, b, a) }
             .toList
           val prev = state.getOption.getOrElse(Nil)
-          if (next == prev || next.isEmpty) Iterator.empty
-          else {
+          if (next == prev || next.isEmpty) {
+            // redelivery absorbed — refresh the horizon so the memo
+            // keeps absorbing for another TTL
+            if (probeTtlMs > 0 && state.exists)
+              state.setTimeoutDuration(probeTtlMs)
+            Iterator.empty
+          } else {
             state.update(next)
+            if (probeTtlMs > 0) state.setTimeoutDuration(probeTtlMs)
             next.iterator.map { case (r2, doc2, q2, b, a) =>
               FusedHit(probe, r2, doc2, q2, b, a)
             }
+          }
           }
       }
   }
@@ -1134,7 +1237,15 @@ object Streams {
       (pn.toDouble / pd - qn.toDouble / qd) *
         (qlog2i(pn * qd) - qlog2i(qn * pd)).toDouble / 65536.0
     }.foldLeft(0.0)(_ + _)
-    math.rint(raw * 1e6) / 1e6
+    // HALF_UP over the shortest-decimal form, NOT math.rint over a
+    // ×1e6 FP product: Spark round(x, 6) and DuckDB round both go
+    // through BigDecimal.valueOf (HALF_UP on the decimal string), and
+    // for psi whose 7th decimal digit is 5 the two conventions differ
+    // — rint would break the documented BIT-EQUAL-to-batch-p124
+    // contract exactly at such values (and could flip `level` at the
+    // 0.1/0.25 band edges). Same convention as HllAgg.
+    java.math.BigDecimal.valueOf(raw)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 
   /** Streaming PSI distribution-drift monitor over a DOCUMENT stream —

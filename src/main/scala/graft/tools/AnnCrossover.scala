@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Session, SparkEntry, Tables}
-import graft.functions.VectorDot.vdot
+import graft.functions.VectorDot.{cos6, vdot}
 import graft.functions.VectorDotLong.vdotl
 
 /** Crossover probe for the quantized-ANN claim: p42's int8 scan pays a
@@ -173,7 +173,7 @@ object AnnCrossover {
       .join(broadcast(probes.select(col("probe_id"), col("pv"),
         col("pnrm"))), "probe_id")
       .withColumn("sim",
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6))
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm")))
       .withColumn("rnk", row_number().over(rerank))
       .filter(col("rnk") <= 5)
       .select("probe_id", "vec_id", "rnk", "sim", "qsim")

@@ -55,7 +55,10 @@ object ScaleProbe {
     // and the two-level IVF hierarchy audit
     "p12_simhash_pairs", "p13_cosine_neardup", "p125_ann_ivf2",
     "p126_semantic_decontam", "p127_rrf_fusion", "p128_index_staleness",
-    "p129_rrf_ivf_audit", "p130_contam_by_source")
+    "p129_rrf_ivf_audit", "p130_contam_by_source",
+    // round-13 addition: stride-1 exact-substring removal (corpus-token
+    // row volume by design — the Lee et al. cost class)
+    "p131_substring_strip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

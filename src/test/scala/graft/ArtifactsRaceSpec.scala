@@ -136,6 +136,36 @@ class ArtifactsRaceSpec extends SparkSpec {
       s"no tombstone may survive the takeover, got ${kids.toSeq}")
   }
 
+  test("a publisher whose claim was stolen stands down instead of " +
+      "publishing (ownership is content-verified, not positional)") {
+    // the residual three-party race: publisher A holds a fresh claim;
+    // in A's window a taker steals it (tombstone rename against a
+    // stale observation) and a THIRD session claims the vacant path.
+    // Positionally a claim file exists under A's feet — but it is not
+    // A's. A must re-read the claim, see a foreign owner, refuse to
+    // publish, and refuse to delete the foreign claim on release.
+    val root = tempRoot()
+    val fs = new Path(root).getFileSystem(hconf)
+    val hPath = new Path(s"$root/art")
+    val claim = new Path(s"$root/art.claim")
+    val tmpA = writeTmp(root, "A", 2)
+    val aWon = Artifacts.publish(fs, tmpA, hPath, { () =>
+      // simulate steal + third-party reclaim inside A's window
+      fs.delete(claim, false)
+      val out = fs.create(claim, true)
+      try out.write("thief-owner".getBytes("UTF-8")) finally out.close()
+    })
+    assert(!aWon, "a publisher with a stolen claim must not publish")
+    assert(!fs.exists(hPath), "nothing may be published without the claim")
+    assert(fs.exists(claim), "the foreign claim must survive A's release")
+    val in = fs.open(claim)
+    val buf = new Array[Byte](64)
+    val n = try in.read(buf) finally in.close()
+    assert(new String(buf, 0, n, "UTF-8") == "thief-owner",
+      "the foreign claim's content must be untouched")
+    assert(!fs.exists(tmpA), "the loser's tmp dir is discarded")
+  }
+
   test("two concurrent loadOrWrite sessions publish one clean copy " +
       "and both serve identical rows") {
     val store = tempRoot()

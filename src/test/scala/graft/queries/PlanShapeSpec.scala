@@ -70,6 +70,24 @@ class PlanShapeSpec extends SparkSpec {
       s"p28 lost its range-partitioned cumsum window:\n$p")
   }
 
+  test("p124's per-source rank is range-bucketed — no whole-source window") {
+    // the per-doc rank window must carry the rng bucket key beside
+    // source (two-level p105/p28 shape); a window partitioned by
+    // source alone and ordered by doc_id would concentrate each
+    // source's rows in one task — the skew shape p115 flags.
+    // staging=none so the rank subtree is visible in the plan
+    spark.conf.set("graft.stage.materialize", "none")
+    try {
+      val p = plan("p124_psi_baseline_drift")
+      assert("windowspecdefinition\\(source#\\d+, rng#\\d+L?, doc_id#".r
+        .findFirstIn(p).isDefined,
+        s"p124 lost its range-bucketed per-source rank window:\n$p")
+      assert("windowspecdefinition\\(source#\\d+, doc_id#".r
+        .findFirstIn(p).isEmpty,
+        s"p124 regressed to a whole-source rank window:\n$p")
+    } finally spark.conf.unset("graft.stage.materialize")
+  }
+
   test("filters reach the parquet scan as pushed filters") {
     Seq("q02_filter_eq_ne", "q03_filter_range", "q19_agg_group").foreach { q =>
       val p = plan(q)

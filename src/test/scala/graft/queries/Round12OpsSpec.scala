@@ -392,4 +392,72 @@ class Round12OpsSpec extends SparkSpec {
         "streamed fusion must equal batch p127's rows exactly")
     } finally q.stop()
   }
+
+  test("hybridRetrieve in IVF mode serves rows identical to p129's " +
+      "IVF-fused list") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.functions.VectorDot.vdot
+    // expected: the IVF-fused branch exactly as p129 builds it —
+    // shared BM25 branch + cell-bounded ANN, fused with the exact
+    // int64 RRF (full rank columns, not just the audit's overlap)
+    val bm25 = Pipeline.bm25TopDocs(Pipeline.docsBalanced(spark, Sf01),
+        probeMax = 10L)
+      .select(col("probe_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
+    val assigned = Pipeline.ivfAssigned(spark, Sf01)
+    val cellProbes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("cell"))
+    val annIvf = Pipeline.annTopRanks(assigned.join(cellProbes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
+          .as("sim")), "ann_rnk")
+    val expected = Pipeline.rrfFuse(bm25, annIvf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+      .toSet
+    // offline artifacts: postings, the cell-assigned corpus index, and
+    // the (cent_id, cv) codebook — exactly what a serving deploy ships
+    val postings = Pipeline.bm25Postings(
+      Tables.documents(spark, Sf01)
+        .repartition(spark.sparkContext.defaultParallelism))
+    val corpus = assigned.select("vec_id", "v", "cell")
+    val cents = Tables.embeddings(spark, Sf01)
+      .filter(col("vec_id") < Pipeline.ivfK(spark, Sf01))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val texts = Tables.documents(spark, Sf01).filter(col("doc_id") < 10)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = Tables.embeddings(spark, Sf01).filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val probes = texts.keys.toSeq.sorted
+      .map(id => (id, texts(id), embs(id)))
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = graft.streaming.Streams.hybridRetrieve(
+        in.toDF().toDF("probe_id", "text", "v"), postings, corpus,
+        ivfCentroids = Some(cents))
+      .writeStream.format("memory").queryName("hybrid_ivf")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (first, rest) = probes.splitAt(probes.length / 2)
+      in.addData(first: _*)
+      q.processAllAvailable()
+      in.addData(rest: _*)
+      q.processAllAvailable()
+      // redelivery across batches: identical recompute → no emission
+      in.addData(first: _*)
+      q.processAllAvailable()
+      val rows = spark.table("hybrid_ivf").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getInt(5)))
+      assert(rows.length == rows.distinct.length,
+        "redelivery re-emitted a probe's IVF-fused list")
+      assert(rows.toSet == expected,
+        "IVF-served stream must equal p129's IVF-fused list exactly")
+    } finally q.stop()
+  }
 }

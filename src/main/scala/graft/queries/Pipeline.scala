@@ -57,6 +57,8 @@ object Pipeline extends PipelineOracles {
     "p129_rrf_ivf_audit" -> p129RrfIvfAudit,
     "p130_contam_by_source" -> p130ContamBySource,
     "p131_substring_strip" -> p131SubstringStrip,
+    "p132_strip_policy_matrix" -> p132StripPolicyMatrix,
+    "p133_substring_contam" -> p133SubstringContam,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,

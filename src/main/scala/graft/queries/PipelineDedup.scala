@@ -941,6 +941,82 @@ trait PipelineDedup extends PipelineVectors {
   }
 
 
+  /** Substring-level decontamination — the VERBATIM-leak screen beside
+    * p92's any-shared-5-gram flag: p92 fires on a single shared
+    * phrase (high recall, noisy at release time), while the question
+    * a release actually adjudicates is "does this training doc carry
+    * a LONG verbatim copy of eval text" (the GPT-3/Lee et al.
+    * long-overlap convention). Same eval slice as p92/p130
+    * (doc_id ≡ 7 mod 29); every train token position starts a
+    * stride-1 [[SpanW]]-token shingle (p131's machinery, pointed
+    * across the split instead of at the corpus); a position matches
+    * when its shingle occurs ANYWHERE in the eval slice (no keeper
+    * rule — decontamination counts every overlap); maximal runs of
+    * consecutive matched starts measure each doc's longest verbatim
+    * overlap (run + SpanW − 1 tokens), and `verbatim_leak` fires at
+    * [[MinSubTokens]]. Every train doc emits a row (grid rule), so a
+    * clean corpus yields a full audit, and p133-flagged ⊂ p92-flagged
+    * by construction (a 30-token shared substring shares 5-grams) —
+    * SubstringContamSpec asserts the subset on the driver corpus and
+    * plants an off-grid eval block to pin the boundary.
+    *
+    * Scale shape: the eval slice is benchmark-sized at any corpus, so
+    * its distinct shingle-hash set stays bounded and the un-hinted
+    * semi join lets AQE broadcast it — the train side is scanned
+    * map-side, never shuffled on the gram key; only the SPARSE
+    * matched (doc_id, start) rows reach the doc-keyed island window;
+    * the stride-1 explode is the p131 cost class (one row per train
+    * token), linear end to end. */
+  private[queries] def p133SubstringContam: Q = (s, d) =>
+    substringContamOf(docsBalanced(s, d))
+
+
+  /** The p133 core over any (doc_id, text) frame — the fixture spec
+    * picks eval ids by the same ≡ 7 (mod 29) rule. */
+  private[graft] def substringContamOf(docsIn: DataFrame): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(29L)) === 7
+    val base = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val starts = base
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(when(col("n") >= SpanW,
+          sequence(lit(1), col("n") - (SpanW - 1)))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("doc_id"), col("j"),
+        h60(concat_ws(" ", slice(col("t"), col("j"), lit(SpanW))))
+          .as("hv"))
+      .staged // read by the eval set and the train side
+    val evalHv = starts.filter(isEval).select("hv").distinct()
+    val matched = starts.filter(!isEval)
+      .join(evalHv, Seq("hv"), "left_semi")
+      .select("doc_id", "j")
+      .staged // read by the run window and the per-doc census
+    val runs = matched
+      .withColumn("isl", col("j") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("j")))
+      .groupBy("doc_id", "isl")
+      .agg(count(lit(1)).cast(IntegerType).as("m"))
+    val perDoc = matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched_starts"))
+    val mx = runs.groupBy("doc_id")
+      .agg((max(col("m")) + (SpanW - 1)).as("max_overlap_tokens"))
+    base.filter(!isEval)
+      .select(col("doc_id"),
+        when(col("n") >= SpanW, col("n") - (SpanW - 1)).otherwise(0)
+          .cast(LongType).as("n_starts"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .join(mx, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_starts"),
+        coalesce(col("n_matched_starts"), lit(0L)).as("n_matched_starts"),
+        coalesce(col("max_overlap_tokens"), lit(0)).cast(LongType)
+          .as("max_overlap_tokens"),
+        when(coalesce(col("max_overlap_tokens"), lit(0))
+            >= MinSubTokens, 1).otherwise(0).cast(IntegerType)
+          .as("verbatim_leak"))
+  }
+
+
   /** The dedup-recall monitoring sample holds ~this many docs at any
     * corpus size: the sampling divisor is max(2, ceil(N/target)) — the
     * [[corpusCells]] rule — so the exact-truth stage below stays
@@ -1328,6 +1404,51 @@ trait PipelineDedup extends PipelineVectors {
         (col("n") - size(col("clean"))).cast(LongType).as("n_dropped"),
         size(col("clean")).cast(LongType).as("n_tokens_clean"),
         md5(array_join(col("clean"), " ")).as("clean_md5"))
+  }
+
+
+  /** Strip-policy comparison matrix — the decision table over the
+    * three exact-substring removal policies the engine carries: p75
+    * (C4: every duplicated window goes), p114 (run-gated: only ≥
+    * 30-token ALIGNED runs go), p131 (substring proper: ≥ 30-token
+    * spans at ANY alignment). One row per policy — docs scanned, docs
+    * touched, tokens dropped, corpus tokens, drop fraction — the
+    * numbers a curation review compares before choosing how
+    * aggressive to cut (C4 deletes chance collisions; run-gating
+    * spares them but misses off-grid copies; substring gets both at
+    * ~10× census cost). Each row aggregates the POLICY OP'S OWN
+    * output (and the oracle embeds the three ops' own oracle texts —
+    * the p110/p117 composite rule), so the matrix can never drift
+    * from the audits it summarizes.
+    *
+    * Scale shape: the three policy passes as costed in their own
+    * scaladocs, then three single-row aggregations — the matrix adds
+    * nothing corpus-sized. */
+  private[queries] def p132StripPolicyMatrix: Q = (s, d) => {
+    def rowOf(policy: String, df: DataFrame, dropped: Column)
+        : DataFrame = {
+      val total = sum(col("n_tokens_clean") + dropped)
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_dropped") > 0, 1L).otherwise(0L))
+            .as("n_docs_touched"),
+          coalesce(sum(dropped), lit(0L)).as("n_tokens_dropped"),
+          coalesce(total, lit(0L)).as("n_tokens_total"))
+        .select(lit(policy).as("policy"),
+          col("n_docs").cast(LongType).as("n_docs"),
+          col("n_docs_touched"), col("n_tokens_dropped"),
+          col("n_tokens_total"),
+          when(col("n_tokens_total") === 0, lit(null).cast(DoubleType))
+            .otherwise(ldiv(col("n_tokens_dropped") * lit(1000000L),
+              col("n_tokens_total")).cast(DoubleType) / lit(1000000.0))
+            .as("drop_frac"))
+    }
+    val docs = docsBalanced(s, d)
+    rowOf("c4_span", spanStrip(docs),
+        col("n_dropped") * lit(SpanW.toLong))
+      .unionByName(rowOf("run_gated", runStripOf(docs),
+        col("n_dropped") * lit(SpanW.toLong)))
+      .unionByName(rowOf("substring", substringStripOf(docs),
+        col("n_dropped")))
   }
 
 

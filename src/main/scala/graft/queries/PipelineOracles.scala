@@ -250,78 +250,69 @@ trait PipelineOracles extends PipelineOracleFragments {
          |  CAST(COUNT(*) AS BIGINT) AS n_runs,
          |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM runs GROUP BY 1""".stripMargin) +
-    ("p114_run_strip" ->
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
-         |base AS (SELECT doc_id, t, len(t) AS n,
-         |    len(t) // $SpanW AS n_spans FROM tk),
-         |sp AS (SELECT doc_id, j,
-         |    ${sqlH60(s"array_to_string(t[(j-1)*$SpanW+1:j*$SpanW], ' ')")}
-         |      AS hv,
-         |    doc_id * $StripPosPack + j AS pos
-         |  FROM (SELECT doc_id, t,
-         |      unnest(generate_series(1, n_spans)) AS j FROM base)),
-         |c AS (SELECT hv, COUNT(*) AS cnt, MIN(pos) AS keeper
-         |  FROM sp GROUP BY 1),
-         |cand AS (SELECT doc_id, j FROM sp JOIN c USING (hv)
-         |  WHERE cnt > 1 AND pos <> keeper),
-         |runs AS (SELECT doc_id, COUNT(*) AS run_len, list(j) AS js
-         |  FROM (SELECT doc_id, j,
-         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
-         |        AS isl FROM cand)
-         |  GROUP BY doc_id, isl),
-         |dr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
-         |    flatten(list(js)) AS drop_j
-         |  FROM runs WHERE run_len >= $MinRunW GROUP BY doc_id),
-         |fin AS (SELECT b.doc_id, b.n_spans, dr.n_runs,
-         |    coalesce(dr.drop_j, CAST([] AS BIGINT[])) AS dj,
-         |    flatten(list_transform(
-         |        list_filter(generate_series(1, b.n_spans),
-         |          j -> NOT list_contains(
-         |            coalesce(dr.drop_j, CAST([] AS BIGINT[])), j)),
-         |        j -> b.t[(j-1)*$SpanW+1:j*$SpanW]))
-         |      || b.t[b.n_spans*$SpanW+1:b.n] AS clean
-         |  FROM base b LEFT JOIN dr ON b.doc_id = dr.doc_id)
-         |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
-         |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs_dropped,
-         |  CAST(len(dj) AS BIGINT) AS n_dropped,
-         |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
-         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
-         |FROM fin""".stripMargin) +
-    ("p131_substring_strip" ->
+    ("p114_run_strip" -> sqlP114) +
+    ("p131_substring_strip" -> sqlP131) +
+    ("p133_substring_contam" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
          |sp AS (SELECT doc_id, j,
-         |    ${sqlH60(s"array_to_string(t[j:j+${SpanW - 1}], ' ')")} AS hv,
-         |    doc_id * $StripPosPack + j AS pos
+         |    ${sqlH60(s"array_to_string(t[j:j+${SpanW - 1}], ' ')")} AS hv
          |  FROM (SELECT doc_id, t,
          |      unnest(generate_series(1, n - ${SpanW - 1})) AS j
          |    FROM base)),
-         |c AS (SELECT hv, COUNT(*) AS cnt, MIN(pos) AS keeper
-         |  FROM sp GROUP BY 1),
-         |cand AS (SELECT doc_id, j FROM sp JOIN c USING (hv)
-         |  WHERE cnt > 1 AND pos <> keeper),
-         |runs AS (SELECT doc_id, MIN(j) AS j0, COUNT(*) AS m
+         |ev AS (SELECT DISTINCT hv FROM sp WHERE doc_id % 29 = 7),
+         |ma AS (SELECT doc_id, j FROM sp
+         |  WHERE doc_id % 29 <> 7 AND hv IN (SELECT hv FROM ev)),
+         |runs AS (SELECT doc_id, COUNT(*) AS m
          |  FROM (SELECT doc_id, j,
          |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
-         |        AS isl FROM cand)
+         |        AS isl FROM ma)
          |  GROUP BY doc_id, isl),
-         |gr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
-         |    list_distinct(flatten(list(
-         |      generate_series(j0, j0 + m + ${SpanW - 2})))) AS dp
-         |  FROM runs WHERE m + ${SpanW - 1} >= $MinSubTokens
-         |  GROUP BY doc_id),
-         |fin AS (SELECT b.doc_id, b.n, gr.n_runs,
-         |    list_transform(list_filter(generate_series(1, b.n),
-         |        p -> NOT list_contains(
-         |          coalesce(gr.dp, CAST([] AS BIGINT[])), p)),
-         |      p -> b.t[p]) AS clean
-         |  FROM base b LEFT JOIN gr ON b.doc_id = gr.doc_id)
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs_dropped,
-         |  CAST(n - len(clean) AS BIGINT) AS n_dropped,
-         |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
-         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
-         |FROM fin""".stripMargin) +
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+         |    AS n_matched_starts FROM ma GROUP BY 1),
+         |mx AS (SELECT doc_id, MAX(m) + ${SpanW - 1}
+         |    AS max_overlap_tokens FROM runs GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CAST(CASE WHEN b.n >= $SpanW THEN b.n - ${SpanW - 1}
+         |    ELSE 0 END AS BIGINT) AS n_starts,
+         |  CAST(COALESCE(pd.n_matched_starts, 0) AS BIGINT)
+         |    AS n_matched_starts,
+         |  CAST(COALESCE(mx.max_overlap_tokens, 0) AS BIGINT)
+         |    AS max_overlap_tokens,
+         |  CAST(CASE WHEN COALESCE(mx.max_overlap_tokens, 0)
+         |    >= $MinSubTokens THEN 1 ELSE 0 END AS INT) AS verbatim_leak
+         |FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+         |LEFT JOIN mx ON b.doc_id = mx.doc_id
+         |WHERE b.doc_id % 29 <> 7""".stripMargin) +
+    // strip-policy matrix: each policy row aggregates that policy's
+    // own oracle text embedded verbatim (p75 via oracleBase, p114/p131
+    // via the shared vals) — the composite cannot drift from the
+    // audits it summarizes
+    ("p132_strip_policy_matrix" -> {
+      // stripMargin runs BEFORE the policy SQL is spliced in: the
+      // embedded texts carry `||` list-concats at line starts, and a
+      // post-splice stripMargin would eat one pipe
+      def blk(policy: String, sql: String, drop: String) =
+        s"""(SELECT '$policy' AS policy,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COALESCE(SUM(CASE WHEN n_dropped > 0 THEN 1 ELSE 0
+           |    END), 0) AS BIGINT) AS n_docs_touched,
+           |  CAST(COALESCE(SUM($drop), 0) AS BIGINT) AS n_tokens_dropped,
+           |  CAST(COALESCE(SUM(n_tokens_clean + $drop), 0) AS BIGINT)
+           |    AS n_tokens_total,
+           |  CASE WHEN COALESCE(SUM(n_tokens_clean + $drop), 0) = 0
+           |    THEN CAST(NULL AS DOUBLE)
+           |    ELSE CAST((COALESCE(SUM($drop), 0) * 1000000)
+           |      // SUM(n_tokens_clean + $drop) AS DOUBLE) / 1000000.0
+           |    END AS drop_frac
+           |FROM (""".stripMargin + sql + ") t)"
+      Seq(
+        blk("c4_span", oracleBase("p75_span_strip"),
+          s"n_dropped * $SpanW"),
+        blk("run_gated", sqlP114, s"n_dropped * $SpanW"),
+        blk("substring", sqlP131, "n_dropped"))
+        .mkString("\nUNION ALL\n")
+    }) +
     ("p115_skew_audit" -> {
       // one block per key domain, generated from the SAME SkewDomains
       // list the Spark side iterates — the two sides cannot desync
@@ -1687,6 +1678,83 @@ trait PipelineOracles extends PipelineOracleFragments {
 
   /** The p127 oracle body — bound once so the p129 audit can embed
     * it verbatim as its exact side (the p110 one-source rule). */
+  /** p114's oracle text — a val so the p132 policy matrix embeds the
+    * SAME text verbatim (the p110 composite rule). */
+  private lazy val sqlP114: String =
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n,
+         |    len(t) // $SpanW AS n_spans FROM tk),
+         |sp AS (SELECT doc_id, j,
+         |    ${sqlH60(s"array_to_string(t[(j-1)*$SpanW+1:j*$SpanW], ' ')")}
+         |      AS hv,
+         |    doc_id * $StripPosPack + j AS pos
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, n_spans)) AS j FROM base)),
+         |c AS (SELECT hv, COUNT(*) AS cnt, MIN(pos) AS keeper
+         |  FROM sp GROUP BY 1),
+         |cand AS (SELECT doc_id, j FROM sp JOIN c USING (hv)
+         |  WHERE cnt > 1 AND pos <> keeper),
+         |runs AS (SELECT doc_id, COUNT(*) AS run_len, list(j) AS js
+         |  FROM (SELECT doc_id, j,
+         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+         |        AS isl FROM cand)
+         |  GROUP BY doc_id, isl),
+         |dr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |    flatten(list(js)) AS drop_j
+         |  FROM runs WHERE run_len >= $MinRunW GROUP BY doc_id),
+         |fin AS (SELECT b.doc_id, b.n_spans, dr.n_runs,
+         |    coalesce(dr.drop_j, CAST([] AS BIGINT[])) AS dj,
+         |    flatten(list_transform(
+         |        list_filter(generate_series(1, b.n_spans),
+         |          j -> NOT list_contains(
+         |            coalesce(dr.drop_j, CAST([] AS BIGINT[])), j)),
+         |        j -> b.t[(j-1)*$SpanW+1:j*$SpanW]))
+         |      || b.t[b.n_spans*$SpanW+1:b.n] AS clean
+         |  FROM base b LEFT JOIN dr ON b.doc_id = dr.doc_id)
+         |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs_dropped,
+         |  CAST(len(dj) AS BIGINT) AS n_dropped,
+         |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
+         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
+         |FROM fin""".stripMargin
+
+  /** p131's oracle text — same sharing rule as [[sqlP114]]. */
+  private lazy val sqlP131: String =
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
+         |sp AS (SELECT doc_id, j,
+         |    ${sqlH60(s"array_to_string(t[j:j+${SpanW - 1}], ' ')")} AS hv,
+         |    doc_id * $StripPosPack + j AS pos
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, n - ${SpanW - 1})) AS j
+         |    FROM base)),
+         |c AS (SELECT hv, COUNT(*) AS cnt, MIN(pos) AS keeper
+         |  FROM sp GROUP BY 1),
+         |cand AS (SELECT doc_id, j FROM sp JOIN c USING (hv)
+         |  WHERE cnt > 1 AND pos <> keeper),
+         |runs AS (SELECT doc_id, MIN(j) AS j0, COUNT(*) AS m
+         |  FROM (SELECT doc_id, j,
+         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+         |        AS isl FROM cand)
+         |  GROUP BY doc_id, isl),
+         |gr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |    list_distinct(flatten(list(
+         |      generate_series(j0, j0 + m + ${SpanW - 2})))) AS dp
+         |  FROM runs WHERE m + ${SpanW - 1} >= $MinSubTokens
+         |  GROUP BY doc_id),
+         |fin AS (SELECT b.doc_id, b.n, gr.n_runs,
+         |    list_transform(list_filter(generate_series(1, b.n),
+         |        p -> NOT list_contains(
+         |          coalesce(gr.dp, CAST([] AS BIGINT[])), p)),
+         |      p -> b.t[p]) AS clean
+         |  FROM base b LEFT JOIN gr ON b.doc_id = gr.doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs_dropped,
+         |  CAST(n - len(clean) AS BIGINT) AS n_dropped,
+         |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
+         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
+         |FROM fin""".stripMargin
+
   private lazy val sqlP127: String =
     s"""WITH bm AS (SELECT probe_id, doc_id, rnk AS bm25_rnk
            |  FROM (${oracleBase("p74_bm25_retrieval")}) t),

@@ -56,9 +56,11 @@ object ScaleProbe {
     "p12_simhash_pairs", "p13_cosine_neardup", "p125_ann_ivf2",
     "p126_semantic_decontam", "p127_rrf_fusion", "p128_index_staleness",
     "p129_rrf_ivf_audit", "p130_contam_by_source",
-    // round-13 addition: stride-1 exact-substring removal (corpus-token
-    // row volume by design — the Lee et al. cost class)
-    "p131_substring_strip")
+    // round-13 additions: stride-1 exact-substring removal + the
+    // cross-split verbatim-leak screen (corpus-token row volume by
+    // design — the Lee et al. cost class) and the three-policy matrix
+    "p131_substring_strip", "p132_strip_policy_matrix",
+    "p133_substring_contam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

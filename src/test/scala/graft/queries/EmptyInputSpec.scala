@@ -43,7 +43,7 @@ class EmptyInputSpec extends SparkSpec {
     "p99_provenance_reps", "p101_source_mirror", "p103_nb_calibration",
     "p104_ann_multiprobe", "p105_training_order", "p106_perplexity_by_lang",
     "p108_novelty_curve", "p113_dup_run_lengths", "p114_run_strip",
-    "p131_substring_strip",
+    "p131_substring_strip", "p133_substring_contam",
     "p118_source_scorecard", "p120_budget_allocation", "p121_freq_spectrum",
     "p122_cusum_drift", "p123_drift_changepoint",
     "p124_psi_baseline_drift",
@@ -58,6 +58,18 @@ class EmptyInputSpec extends SparkSpec {
       val n = df.count()
       // global aggregates produce a single summary row; nothing else may
       assert(n <= 1, s"$name returned $n rows on empty input")
+    }
+  }
+
+  test("p132 keeps its full three-policy grid on empty tables, all zeros") {
+    val rows = Pipeline.queries("p132_strip_policy_matrix")(
+        spark, EmptyInputSpec.dir).collect()
+    assert(rows.length == 3, s"one row per policy, got ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 0L &&
+        r.getAs[Long]("n_tokens_dropped") == 0L &&
+        r.isNullAt(r.fieldIndex("drop_frac")),
+        s"empty corpus row must be zeros with NULL frac: $r")
     }
   }
 

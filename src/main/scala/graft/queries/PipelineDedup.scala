@@ -402,7 +402,7 @@ trait PipelineDedup extends PipelineVectors {
   }
 
 
-  private[queries] val SpanW = 10
+  private[graft] val SpanW = 10
 
 
   /** Duplicate-span fraction (the Gopher-family repetition signal at
@@ -1384,8 +1384,17 @@ trait PipelineDedup extends PipelineVectors {
       .agg(min(col("j")).as("j0"),
         count(lit(1)).cast(IntegerType).as("m"))
       .filter(col("m") + (SpanW - 1) >= MinSubTokens)
-    // covered token positions, unioned across runs (tails of adjacent
-    // runs may overlap — distinct, membership-only use)
+    exciseRuns(base, runs)
+  }
+
+
+  /** Shared tail of the stride-1 excision family (p131 strip, p134
+    * contamination surgery): given `base` = (doc_id, t, n) and gated
+    * maximal runs (doc_id, j0, m), union the covered token positions
+    * (tails of adjacent runs may overlap — distinct, membership-only
+    * use), rebuild each doc's token stream in order, and emit the
+    * p75-comparable audit shape. */
+  private def exciseRuns(base: DataFrame, runs: DataFrame): DataFrame = {
     val drops = runs.groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_runs"),
         array_distinct(flatten(collect_list(
@@ -1404,6 +1413,56 @@ trait PipelineDedup extends PipelineVectors {
         (col("n") - size(col("clean"))).cast(LongType).as("n_dropped"),
         size(col("clean")).cast(LongType).as("n_tokens_clean"),
         md5(array_join(col("clean"), " ")).as("clean_md5"))
+  }
+
+
+  /** Contamination surgery — the remediation step after p133's
+    * verbatim-leak screen: instead of DROPPING a flagged train doc
+    * (the blunt release action, which loses its clean majority), the
+    * leaked eval spans themselves are excised and the doc is kept —
+    * the matched runs that fired p133's gate (same stride-1 shingles
+    * across the same ≡ 7 mod 29 split, same [[MinSubTokens]] gate)
+    * feed the p131 excision tail, so the three numbers a release
+    * review reads (docs repaired, tokens removed, text digests) come
+    * out in p75's audit shape over the full train grid. A sub-gate
+    * overlap survives surgery exactly as it survives the screen.
+    *
+    * Scale shape: p133's (eval set broadcast-bounded, train scanned
+    * map-side, sparse matched starts) + p131's reassembly (the doc's
+    * own token array, no span bodies) — linear end to end. */
+  private[queries] def p134ContamSurgery: Q = (s, d) =>
+    contamSurgeryOf(docsBalanced(s, d))
+
+
+  /** The p134 core over any (doc_id, text) frame — the fixture spec
+    * reuses SubstringContamSpec's split and asserts the repaired
+    * text. */
+  private[graft] def contamSurgeryOf(docsIn: DataFrame): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(29L)) === 7
+    val base = docsIn
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    val starts = base
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(when(col("n") >= SpanW,
+          sequence(lit(1), col("n") - (SpanW - 1)))
+          .otherwise(array().cast("array<int>"))).as("j"))
+      .select(col("doc_id"), col("j"),
+        h60(concat_ws(" ", slice(col("t"), col("j"), lit(SpanW))))
+          .as("hv"))
+      .staged // read by the eval set and the train side
+    val evalHv = starts.filter(isEval).select("hv").distinct()
+    val matched = starts.filter(!isEval)
+      .join(evalHv, Seq("hv"), "left_semi")
+      .select("doc_id", "j")
+    val runs = matched
+      .withColumn("isl", col("j") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("j")))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("j")).as("j0"),
+        count(lit(1)).cast(IntegerType).as("m"))
+      .filter(col("m") + (SpanW - 1) >= MinSubTokens)
+    exciseRuns(base.filter(!isEval), runs)
   }
 
 

@@ -284,6 +284,42 @@ trait PipelineOracles extends PipelineOracleFragments {
          |FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
          |LEFT JOIN mx ON b.doc_id = mx.doc_id
          |WHERE b.doc_id % 29 <> 7""".stripMargin) +
+    // contamination surgery: p133's matched-run CTEs + p131's excision
+    // tail, over the train grid
+    ("p134_contam_surgery" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
+         |sp AS (SELECT doc_id, j,
+         |    ${sqlH60(s"array_to_string(t[j:j+${SpanW - 1}], ' ')")} AS hv
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, n - ${SpanW - 1})) AS j
+         |    FROM base)),
+         |ev AS (SELECT DISTINCT hv FROM sp WHERE doc_id % 29 = 7),
+         |ma AS (SELECT doc_id, j FROM sp
+         |  WHERE doc_id % 29 <> 7 AND hv IN (SELECT hv FROM ev)),
+         |runs AS (SELECT doc_id, MIN(j) AS j0, COUNT(*) AS m
+         |  FROM (SELECT doc_id, j,
+         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+         |        AS isl FROM ma)
+         |  GROUP BY doc_id, isl),
+         |gr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |    list_distinct(flatten(list(
+         |      generate_series(j0, j0 + m + ${SpanW - 2})))) AS dp
+         |  FROM runs WHERE m + ${SpanW - 1} >= $MinSubTokens
+         |  GROUP BY doc_id),
+         |fin AS (SELECT b.doc_id, b.n, gr.n_runs,
+         |    list_transform(list_filter(generate_series(1, b.n),
+         |        p -> NOT list_contains(
+         |          coalesce(gr.dp, CAST([] AS BIGINT[])), p)),
+         |      p -> b.t[p]) AS clean
+         |  FROM base b LEFT JOIN gr ON b.doc_id = gr.doc_id
+         |  WHERE b.doc_id % 29 <> 7)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs_dropped,
+         |  CAST(n - len(clean) AS BIGINT) AS n_dropped,
+         |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
+         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
+         |FROM fin""".stripMargin) +
     // strip-policy matrix: each policy row aggregates that policy's
     // own oracle text embedded verbatim (p75 via oracleBase, p114/p131
     // via the shared vals) — the composite cannot drift from the

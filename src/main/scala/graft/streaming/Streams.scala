@@ -310,6 +310,60 @@ object Streams {
         col("res").getField("best_sim").as("best_sim"))
   }
 
+  /** Streaming SUBSTRING decontamination — the continuous twin of
+    * batch p133_substring_contam, the verbatim-leak screen run at the
+    * door: each ARRIVING train doc is measured against the STATIC
+    * eval-slice shingle-hash set (benchmark-sized, aggregated into
+    * ONE broadcast array row, the [[semanticContamMatches]] shape)
+    * for its longest verbatim eval overlap. Everything is ROW-LOCAL:
+    * the stride-1 [[graft.queries.Pipeline.SpanW]]-token shingles,
+    * their membership probes, and the maximal-run extension — the
+    * matched-start positions are ascending by construction, so one
+    * `aggregate` fold carrying (prev, cur_run, max_run) computes the
+    * longest run without any window or state. STATELESS —
+    * Append-legal, no watermark, no shuffle; same h60 arithmetic and
+    * the same [[graft.queries.Pipeline.MinSubTokens]] gate as batch,
+    * so rows are IDENTICAL (Round13OpsSpec). Honest cost note: the
+    * broadcast-array membership probe is a linear scan per position
+    * (O(n·|eval|) per doc) where batch pays a hash join — right for
+    * benchmark-sized eval sets; a deployment with a large eval suite
+    * sorts the array once or keeps the batch path. */
+  def substringContamMatches(docs: DataFrame, evalHv: DataFrame)
+      : DataFrame = {
+    import graft.functions.Portable.{h60, tokens}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val W = graft.queries.Pipeline.SpanW
+    val gate = graft.queries.Pipeline.MinSubTokens
+    val evalArr = evalHv.agg(collect_list(col("hv")).as("es"))
+    val zero = struct(lit(-2).as("prev"), lit(0).as("cur"),
+      lit(0).as("mx"))
+    docs
+      .withColumn("t", tokens(col("text")))
+      .withColumn("n", size(col("t")))
+      .crossJoin(broadcast(evalArr))
+      .withColumn("hits", when(col("n") >= W,
+        filter(sequence(lit(1), col("n") - (W - 1)),
+          j => array_contains(col("es"),
+            h60(concat_ws(" ", slice(col("t"), j, lit(W)))))))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("r", aggregate(col("hits"), zero, (acc, j) => {
+        val cur = when(j === acc.getField("prev") + 1,
+          acc.getField("cur") + 1).otherwise(lit(1))
+        struct(j.as("prev"), cur.as("cur"),
+          greatest(acc.getField("mx"), cur).as("mx"))
+      }))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        when(col("n") >= W, col("n") - (W - 1)).otherwise(0)
+          .cast(LongType).as("n_starts"),
+        size(col("hits")).cast(LongType).as("n_matched_starts"),
+        when(col("r").getField("mx") > 0,
+          col("r").getField("mx") + (W - 1)).otherwise(0)
+          .cast(LongType).as("max_overlap_tokens"),
+        when(col("r").getField("mx") + (W - 1) >= gate
+            && col("r").getField("mx") > 0, 1).otherwise(0)
+          .cast(IntegerType).as("verbatim_leak"))
+  }
+
   /** Streaming table profiler — the continuous twin of batch
     * p89_table_profile: per-column row/null counts and an HLL
     * distinct-count estimate over an ARRIVING document feed, the

@@ -43,7 +43,7 @@ class EmptyInputSpec extends SparkSpec {
     "p99_provenance_reps", "p101_source_mirror", "p103_nb_calibration",
     "p104_ann_multiprobe", "p105_training_order", "p106_perplexity_by_lang",
     "p108_novelty_curve", "p113_dup_run_lengths", "p114_run_strip",
-    "p131_substring_strip", "p133_substring_contam",
+    "p131_substring_strip", "p133_substring_contam", "p134_contam_surgery",
     "p118_source_scorecard", "p120_budget_allocation", "p121_freq_spectrum",
     "p122_cusum_drift", "p123_drift_changepoint",
     "p124_psi_baseline_drift",

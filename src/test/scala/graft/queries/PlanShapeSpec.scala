@@ -88,6 +88,26 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.materialize")
   }
 
+  test("round-13 substring ops keep their claimed shapes") {
+    spark.conf.set("graft.stage.materialize", "none")
+    try {
+      // p131/p133/p134: the stride-1 census/semi joins stay KEYED on
+      // the shingle hash — never a cartesian, never a nested loop —
+      // and the only windows are doc-keyed (island runs); no
+      // single-partition funnel anywhere
+      Seq("p131_substring_strip", "p133_substring_contam",
+          "p134_contam_surgery").foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"),
+          s"$q plans a cartesian:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q nested-loops a keyed join:\n$p")
+        assert(!p.contains("Exchange SinglePartition"),
+          s"$q funnels through one partition:\n$p")
+      }
+    } finally spark.conf.unset("graft.stage.materialize")
+  }
+
   test("filters reach the parquet scan as pushed filters") {
     Seq("q02_filter_eq_ne", "q03_filter_range", "q19_agg_group").foreach { q =>
       val p = plan(q)

@@ -72,6 +72,18 @@ class SubstringStripSpec extends SparkSpec {
       s"p75 must drop nothing here: ${p75.toSeq}")
   }
 
+  test("the strip is partition-independent: 13-way repartition " +
+      "changes nothing") {
+    // census counts are exact aggregates and every window is keyed by
+    // doc_id with a total order — a partitioning that changed any row
+    // would mean order-sensitive state leaked in somewhere
+    val base = Pipeline.substringStripOf(fixture)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    val rep = Pipeline.substringStripOf(fixture.repartition(13))
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(rep == base, s"partitioning leaked into the result")
+  }
+
   test("within-doc self-repetition past the gate is excised down to " +
       "the keeper prefix") {
     // one doc: a 10-token motif repeated 5 times (50 tokens). Stride-1

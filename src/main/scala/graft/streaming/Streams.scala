@@ -323,18 +323,21 @@ object Streams {
     * longest run without any window or state. STATELESS —
     * Append-legal, no watermark, no shuffle; same h60 arithmetic and
     * the same [[graft.queries.Pipeline.MinSubTokens]] gate as batch,
-    * so rows are IDENTICAL (Round13OpsSpec). Honest cost note: the
-    * broadcast-array membership probe is a linear scan per position
-    * (O(n·|eval|) per doc) where batch pays a hash join — right for
-    * benchmark-sized eval sets; a deployment with a large eval suite
-    * sorts the array once or keeps the batch path. */
+    * so rows are IDENTICAL (Round13OpsSpec). The membership probe is
+    * the native [[graft.functions.SortedContains]] binary search over
+    * the ONCE-SORTED broadcast array — O(log |eval|) per position
+    * where `array_contains` scans linearly, which is what lets this
+    * scanner face a real eval suite (10⁵–10⁶ grams) instead of only
+    * benchmark-sized sets; batch p133 keeps its hash join. */
   def substringContamMatches(docs: DataFrame, evalHv: DataFrame)
       : DataFrame = {
     import graft.functions.Portable.{h60, tokens}
+    import graft.functions.SortedContains.sortedContains
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val W = graft.queries.Pipeline.SpanW
     val gate = graft.queries.Pipeline.MinSubTokens
-    val evalArr = evalHv.agg(collect_list(col("hv")).as("es"))
+    val evalArr = evalHv
+      .agg(array_sort(collect_list(col("hv"))).as("es"))
     val zero = struct(lit(-2).as("prev"), lit(0).as("cur"),
       lit(0).as("mx"))
     docs
@@ -343,7 +346,7 @@ object Streams {
       .crossJoin(broadcast(evalArr))
       .withColumn("hits", when(col("n") >= W,
         filter(sequence(lit(1), col("n") - (W - 1)),
-          j => array_contains(col("es"),
+          j => sortedContains(col("es"),
             h60(concat_ws(" ", slice(col("t"), j, lit(W)))))))
         .otherwise(array().cast("array<int>")))
       .withColumn("r", aggregate(col("hits"), zero, (acc, j) => {

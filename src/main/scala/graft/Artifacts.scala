@@ -158,18 +158,42 @@ object Artifacts {
     def tryClaim(): Boolean =
       try {
         fs.mkdirs(hPath.getParent)
-        fs.createNewFile(claim) && {
-          val out = fs.create(claim, true)
-          try out.write(owner.getBytes("UTF-8")) finally out.close()
-          true
+        // ONE atomic step: create-if-absent (overwrite=false throws if
+        // the claim exists — the same atomicity createNewFile gave)
+        // WITH the owner UUID written through the same stream. The old
+        // two-step (createNewFile, then a second overwrite-create for
+        // the UUID) could crash between the steps and leak an EMPTY
+        // unowned claim that blocked every publisher until
+        // ClaimStaleMs. If stamping still fails (write/close throws),
+        // we KNOW the claim is ours — created exclusively just now —
+        // so delete it before standing down instead of leaking it.
+        val out = fs.create(claim, false)
+        try { out.write(owner.getBytes("UTF-8")); out.close() }
+        catch {
+          case e: java.io.IOException =>
+            try out.close() catch { case _: java.io.IOException => () }
+            try fs.delete(claim, false): Unit
+            catch { case _: java.io.IOException => () }
+            throw e
         }
+        true
       } catch { case _: java.io.IOException => false }
     def stillOwned(): Boolean = try {
+      val want = owner.getBytes("UTF-8")
       val in = fs.open(claim)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        n > 0 && new String(buf, 0, n, "UTF-8") == owner
+        // read-to-EOF loop, not a single read(): a lone read() may
+        // legally short-read on some Hadoop FileSystems, making a
+        // legitimate owner stand down on a partial UUID. One extra
+        // byte of capacity distinguishes "exactly our UUID" from "our
+        // UUID as a prefix of something longer".
+        val buf = new Array[Byte](want.length + 1)
+        var n = 0
+        var r = 0
+        while (n < buf.length &&
+            { r = in.read(buf, n, buf.length - n); r > 0 }) n += r
+        n == want.length &&
+          java.util.Arrays.equals(java.util.Arrays.copyOf(buf, n), want)
       } finally in.close()
     } catch { case _: java.io.IOException => false }
     val owned = tryClaim() ||

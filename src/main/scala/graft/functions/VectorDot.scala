@@ -96,9 +96,20 @@ object VectorDot {
     * zero-norm vector sorts behind every real similarity on both
     * engines alike. RrfPropertySpec pins the behavior on generated
     * zero-norm corpora; the `when` branch evaluates lazily, so the
-    * division itself never executes on the zero row. */
+    * division itself never executes on the zero row.
+    *
+    * A NaN INPUT (a poisoned embedding propagates NaN through the dot
+    * or the norm) also maps to NULL — never NaN out. Without this,
+    * the degenerate-similarity convention forked by path: batch
+    * windows rank NaN FIRST (Spark's NaN-greatest double ordering)
+    * while the streaming fold's NULL sentinel ranks LAST, breaking
+    * the documented batch/stream row identity on NaN-poisoned
+    * vectors. With it, every degenerate cosine — zero-norm OR
+    * NaN-poisoned — is NULL on both paths and ranks last everywhere
+    * (StreamsSpec pins the identity on a NaN-poisoned corpus). */
   def cos6(num: Column, den: Column): Column = {
-    import org.apache.spark.sql.functions.{lit, round, when}
-    round(when(den =!= lit(0.0), num / den), 6)
+    import org.apache.spark.sql.functions.{isnan, lit, round, when}
+    round(when(den =!= lit(0.0) && !isnan(num) && !isnan(den),
+      num / den), 6)
   }
 }

@@ -1488,8 +1488,10 @@ trait PipelineDedup extends PipelineVectors {
         : DataFrame = {
       val total = sum(col("n_tokens_clean") + dropped)
       df.agg(count(lit(1)).as("n_docs"),
-          sum(when(col("n_dropped") > 0, 1L).otherwise(0L))
-            .as("n_docs_touched"),
+          // coalesce like the sibling sums: SUM over an empty corpus
+          // is NULL, the embedded oracle COALESCEs it to 0
+          coalesce(sum(when(col("n_dropped") > 0, 1L).otherwise(0L)),
+            lit(0L)).as("n_docs_touched"),
           coalesce(sum(dropped), lit(0L)).as("n_tokens_dropped"),
           coalesce(total, lit(0L)).as("n_tokens_total"))
         .select(lit(policy).as("policy"),

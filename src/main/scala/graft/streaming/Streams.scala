@@ -757,9 +757,10 @@ object Streams {
           col("pnrm") * col("nrm")), lit(Double.NaN))
           .as("sim"), lit("").as("token"))
     // Spark's double ordering for the rank sorts: −0.0 == 0.0; NaN is
-    // the NULL sentinel (a real NaN cannot reach here — cos6 never
-    // divides by zero and finite-float dots are finite) and NULL sims
-    // rank LAST under the batch window's DESC NULLS LAST
+    // the NULL sentinel (a real NaN cannot reach here BY CONTRACT:
+    // cos6 maps zero-norm AND NaN-poisoned inputs to NULL, never NaN
+    // out — so the sentinel is unambiguous) and NULL sims rank LAST
+    // under the batch window's DESC NULLS LAST
     def sortKey(s: Double): Double =
       if (s.isNaN) -2.0 // sims are cosines ≥ −1, so −2.0 ranks NULL last
       else if (s == 0.0) 0.0
@@ -1392,8 +1393,14 @@ object Streams {
             (c + 1, s + e.value)
           }
           val next = UserTotal(userId, prev.n_events + n,
-            // keep cents exact like the batch dsum contract
-            math.rint((prev.sum_value + v) * 100) / 100)
+            // keep cents exact like the batch dsum contract — the
+            // house BigDecimal HALF_UP convention (psiOf's rule), not
+            // math.rint: rint rounds half-even over a ×100 FP product,
+            // so the two could differ at a true half-tie; cent-exact
+            // inputs arguably cannot produce one, but one spelling of
+            // "round to N decimals" beats a proven-safe exemption
+            java.math.BigDecimal.valueOf(prev.sum_value + v)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
           state.update(next)
           next
       }

@@ -67,6 +67,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(rows.length == 3, s"one row per policy, got ${rows.toSeq}")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_docs") == 0L &&
+        r.getAs[Long]("n_docs_touched") == 0L &&
         r.getAs[Long]("n_tokens_dropped") == 0L &&
         r.isNullAt(r.fieldIndex("drop_frac")),
         s"empty corpus row must be zeros with NULL frac: $r")

@@ -393,6 +393,55 @@ class Round12OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hybridRetrieve and batch p127 agree on a NaN-poisoned vector: " +
+      "the degenerate cosine is NULL and ranks LAST on both paths") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    // before cos6 mapped NaN INPUTS to NULL, the two paths forked on a
+    // poisoned embedding: batch windows rank NaN FIRST (Spark's
+    // NaN-greatest double ordering) while the streaming fold's NULL
+    // sentinel ranks LAST — this corpus plants exactly that vector
+    val docs = Seq(
+      0L -> "alpha beta gamma",
+      1L -> "alpha beta one", 2L -> "alpha beta two",
+      3L -> "alpha beta three", 4L -> "alpha beta four",
+      5L -> "alpha beta five", 6L -> "alpha beta poison")
+      .toDF("doc_id", "text")
+    val vecs = Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.8f, 0.2f),
+      3L -> Seq(0f, 1f), 4L -> Seq(-1f, 0f), 5L -> Seq(0.5f, 0.5f),
+      6L -> Seq(Float.NaN, 1f)).toDF("vec_id", "v")
+    val batch = Pipeline.rrfFusedTopDocs(docs, vecs, probeMax = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3),
+        r.getInt(4), r.getInt(5)))
+      .toSet
+    // the poisoned doc is still RETRIEVED (it fills the ANN list) but
+    // its NULL cosine ranks below every real one — even the −1 antipode
+    val annRnks = batch.map(t => t._3 -> t._6).toMap
+    assert(annRnks(6L) == (1L to 6L).map(annRnks(_)).max,
+      s"NaN-poisoned doc must hold the WORST ann rank: $batch")
+    assert(annRnks(6L) > annRnks(4L),
+      s"NaN-poisoned doc must rank below the sim=-1 doc: $batch")
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = graft.streaming.Streams.hybridRetrieve(
+        in.toDF().toDF("probe_id", "text", "v"),
+        Pipeline.bm25Postings(docs), vecs)
+      .writeStream.format("memory").queryName("hybrid_nan")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((0L, "alpha beta gamma", Seq(1f, 0f)))
+      q.processAllAvailable()
+      val rows = spark.table("hybrid_nan").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getInt(4), r.getInt(5))).toSet
+      assert(rows == batch,
+        "streamed fusion must equal batch p127 on a NaN-poisoned corpus")
+    } finally q.stop()
+  }
+
   test("hybridRetrieve in IVF mode serves rows identical to p129's " +
       "IVF-fused list") {
     implicit val sqlCtx = spark.sqlContext

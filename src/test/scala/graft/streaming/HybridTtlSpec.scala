@@ -54,18 +54,33 @@ class HybridTtlSpec extends SparkSpec {
     try {
       in.addData(probe)
       val n1 = pollUntil(_ > 0, "the probe must retrieve something")
-      // let the memo expire (the engine's continuous empty batches
-      // evaluate the timeout), then redeliver: the memo is gone, the
-      // identical fused list must emit a SECOND time
-      Thread.sleep(2000)
-      in.addData(probe)
-      pollUntil(_ == 2 * n1,
-        "a post-TTL redelivery must re-emit the fused list")
+      // POLL for state expiry instead of one fixed sleep + one
+      // redelivery: on a loaded host the engine's empty-batch loop can
+      // stall past any fixed window, and a redelivery landing BEFORE
+      // the 500ms timeout fires is absorbed AND refreshes the TTL —
+      // the old single-shot shape could then never reach its target
+      // and only died at the 120s deadline. Redeliver repeatedly with
+      // a super-TTL pause between sends: eventually one send finds the
+      // memo expired and re-emits. Extra absorbed sends are no-ops;
+      // extra POST-TTL sends just re-emit the identical list again, so
+      // the final identity check accepts any emission count ≥ 2 as
+      // long as every row carries the SAME count.
+      val deadline = System.currentTimeMillis() + 120000
+      var n = spark.table("hybrid_ttl").count()
+      while (n < 2 * n1 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(700) // > probeTtlMs: the memo can expire between sends
+        in.addData(probe)
+        Thread.sleep(300)
+        n = spark.table("hybrid_ttl").count()
+      }
+      assert(n >= 2 * n1,
+        s"a post-TTL redelivery must re-emit the fused list (rows=$n)")
       val rows = spark.table("hybrid_ttl")
         .groupBy("rnk", "doc_id", "rrf_q", "bm25_rnk", "ann_rnk")
         .agg(count(lit(1)).as("n")).collect()
-      assert(rows.forall(_.getAs[Long]("n") == 2L),
-        s"the re-emitted list must be IDENTICAL row for row: " +
+      val counts = rows.map(_.getAs[Long]("n")).toSet
+      assert(counts.size == 1 && counts.head >= 2L,
+        s"every emission must be IDENTICAL row for row: " +
           rows.mkString(", "))
     } finally q.stop()
   }

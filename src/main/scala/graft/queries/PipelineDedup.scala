@@ -1319,9 +1319,17 @@ trait PipelineDedup extends PipelineVectors {
   /** Minimum token extent of a dropped substring for [[p131SubstringStrip]]
     * — deliberately MinRunW·SpanW = p114's 30-token gate, so the two
     * policies differ ONLY in alignment sensitivity and their audits
-    * compare threshold-for-threshold; Lee et al. 2022's production
-    * setting is 50. Shared verbatim with the oracle builder. */
+    * compare threshold-for-threshold. Shared verbatim with the oracle
+    * builder. */
   private[graft] val MinSubTokens = MinRunW * SpanW
+
+  /** Lee et al. 2022's PRODUCTION gate (50 tokens). The substring ops
+    * default to [[MinSubTokens]] for cross-policy comparability, but
+    * the release decision should read both calibrations — p132's
+    * matrix carries a `substring_50` row at this setting, and the
+    * fixture spec pins the boundary (a 30–49-token duplicated block is
+    * dropped at 30, kept at 50). */
+  private[graft] val ProdSubTokens = 50
 
 
   /** Variable-length maximal duplicated-substring removal — the
@@ -1358,8 +1366,11 @@ trait PipelineDedup extends PipelineVectors {
   /** The p131 core over any (doc_id, text) frame — SubstringStripSpec
     * plants an OFF-GRID copied block (invisible to p114) plus a short
     * duplicated phrase and asserts exactly the non-keeper block copy
-    * is stripped. */
-  private[graft] def substringStripOf(docsIn: DataFrame): DataFrame = {
+    * is stripped. `gate` is the minimum dropped-span token extent
+    * (default [[MinSubTokens]] for policy comparability;
+    * [[ProdSubTokens]] is Lee et al.'s production calibration). */
+  private[graft] def substringStripOf(docsIn: DataFrame,
+      gate: Int = MinSubTokens): DataFrame = {
     val base = docsIn
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
@@ -1383,7 +1394,7 @@ trait PipelineDedup extends PipelineVectors {
       .groupBy("doc_id", "isl")
       .agg(min(col("j")).as("j0"),
         count(lit(1)).cast(IntegerType).as("m"))
-      .filter(col("m") + (SpanW - 1) >= MinSubTokens)
+      .filter(col("m") + (SpanW - 1) >= gate)
     exciseRuns(base, runs)
   }
 
@@ -1393,18 +1404,29 @@ trait PipelineDedup extends PipelineVectors {
     * maximal runs (doc_id, j0, m), union the covered token positions
     * (tails of adjacent runs may overlap — distinct, membership-only
     * use), rebuild each doc's token stream in order, and emit the
-    * p75-comparable audit shape. */
+    * p75-comparable audit shape.
+    *
+    * The membership probe is [[graft.functions.SortedContains]] over
+    * the SORTED dropped positions (built once per doc at the agg, as
+    * longs — the expression's contract type), not `array_contains`:
+    * the linear scan was O(n·|dp|) per doc, worst-case QUADRATIC for
+    * a pathologically self-repetitive long doc where |dp| ≈ n; the
+    * binary search makes reassembly O(n·log|dp|). Same rows out —
+    * membership-only use, order-independent. */
   private def exciseRuns(base: DataFrame, runs: DataFrame): DataFrame = {
+    import graft.functions.SortedContains.sortedContains
     val drops = runs.groupBy("doc_id")
       .agg(count(lit(1)).cast(LongType).as("n_runs"),
-        array_distinct(flatten(collect_list(
-          sequence(col("j0"), col("j0") + col("m") + (SpanW - 2)))))
+        array_sort(array_distinct(flatten(collect_list(
+          sequence(col("j0").cast(LongType),
+            (col("j0") + col("m") + (SpanW - 2)).cast(LongType))))))
           .as("dp"))
     base.join(drops, Seq("doc_id"), "left_outer")
-      .withColumn("dpp", coalesce(col("dp"), array().cast("array<int>")))
+      .withColumn("dpp",
+        coalesce(col("dp"), array().cast("array<bigint>")))
       .withColumn("clean", when(col("n") >= 1,
         transform(filter(sequence(lit(1), col("n")),
-          p => !array_contains(col("dpp"), p)),
+          p => !sortedContains(col("dpp"), p.cast(LongType))),
           p => element_at(col("t"), p)))
         .otherwise(array().cast("array<string>")))
       .select(col("doc_id"),
@@ -1436,8 +1458,9 @@ trait PipelineDedup extends PipelineVectors {
 
   /** The p134 core over any (doc_id, text) frame — the fixture spec
     * reuses SubstringContamSpec's split and asserts the repaired
-    * text. */
-  private[graft] def contamSurgeryOf(docsIn: DataFrame): DataFrame = {
+    * text. `gate` as in [[substringStripOf]]. */
+  private[graft] def contamSurgeryOf(docsIn: DataFrame,
+      gate: Int = MinSubTokens): DataFrame = {
     val isEval = pmod(col("doc_id"), lit(29L)) === 7
     val base = docsIn
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -1461,28 +1484,32 @@ trait PipelineDedup extends PipelineVectors {
       .groupBy("doc_id", "isl")
       .agg(min(col("j")).as("j0"),
         count(lit(1)).cast(IntegerType).as("m"))
-      .filter(col("m") + (SpanW - 1) >= MinSubTokens)
+      .filter(col("m") + (SpanW - 1) >= gate)
     exciseRuns(base.filter(!isEval), runs)
   }
 
 
   /** Strip-policy comparison matrix — the decision table over the
-    * three exact-substring removal policies the engine carries: p75
-    * (C4: every duplicated window goes), p114 (run-gated: only ≥
-    * 30-token ALIGNED runs go), p131 (substring proper: ≥ 30-token
-    * spans at ANY alignment). One row per policy — docs scanned, docs
-    * touched, tokens dropped, corpus tokens, drop fraction — the
-    * numbers a curation review compares before choosing how
-    * aggressive to cut (C4 deletes chance collisions; run-gating
-    * spares them but misses off-grid copies; substring gets both at
-    * ~10× census cost). Each row aggregates the POLICY OP'S OWN
-    * output (and the oracle embeds the three ops' own oracle texts —
-    * the p110/p117 composite rule), so the matrix can never drift
-    * from the audits it summarizes.
+    * exact-substring removal policies the engine carries: p75 (C4:
+    * every duplicated window goes), p114 (run-gated: only ≥ 30-token
+    * ALIGNED runs go), p131 (substring proper: ≥ 30-token spans at
+    * ANY alignment), plus the substring pass again at Lee et al.'s
+    * PRODUCTION 50-token gate ([[ProdSubTokens]]) so the release
+    * decision reads both calibrations side by side. One row per
+    * policy — docs scanned, docs touched, tokens dropped, corpus
+    * tokens, drop fraction — the numbers a curation review compares
+    * before choosing how aggressive to cut (C4 deletes chance
+    * collisions; run-gating spares them but misses off-grid copies;
+    * substring gets both at ~10× census cost; the 50 gate trades
+    * recall on 30–49-token blocks for fewer chance multi-window
+    * collisions). Each row aggregates the POLICY OP'S OWN output (and
+    * the oracle embeds each op's own oracle text — the p110/p117
+    * composite rule), so the matrix can never drift from the audits
+    * it summarizes.
     *
-    * Scale shape: the three policy passes as costed in their own
-    * scaladocs, then three single-row aggregations — the matrix adds
-    * nothing corpus-sized. */
+    * Scale shape: the policy passes as costed in their own scaladocs
+    * (the two substring rows share the explode cost class), then
+    * single-row aggregations — the matrix adds nothing corpus-sized. */
   private[queries] def p132StripPolicyMatrix: Q = (s, d) => {
     def rowOf(policy: String, df: DataFrame, dropped: Column)
         : DataFrame = {
@@ -1510,6 +1537,8 @@ trait PipelineDedup extends PipelineVectors {
         col("n_dropped") * lit(SpanW.toLong)))
       .unionByName(rowOf("substring", substringStripOf(docs),
         col("n_dropped")))
+      .unionByName(rowOf("substring_50",
+        substringStripOf(docs, ProdSubTokens), col("n_dropped")))
   }
 
 

@@ -346,7 +346,8 @@ trait PipelineOracles extends PipelineOracleFragments {
         blk("c4_span", oracleBase("p75_span_strip"),
           s"n_dropped * $SpanW"),
         blk("run_gated", sqlP114, s"n_dropped * $SpanW"),
-        blk("substring", sqlP131, "n_dropped"))
+        blk("substring", sqlP131, "n_dropped"),
+        blk("substring_50", sqlP131Gate(ProdSubTokens), "n_dropped"))
         .mkString("\nUNION ALL\n")
     }) +
     ("p115_skew_audit" -> {
@@ -1755,7 +1756,12 @@ trait PipelineOracles extends PipelineOracleFragments {
          |FROM fin""".stripMargin
 
   /** p131's oracle text — same sharing rule as [[sqlP114]]. */
-  private lazy val sqlP131: String =
+  private lazy val sqlP131: String = sqlP131Gate(MinSubTokens)
+
+  /** p131's oracle text at an explicit span gate — the p132 matrix
+    * embeds it twice (the comparability gate and [[ProdSubTokens]],
+    * Lee et al.'s production 50). */
+  private def sqlP131Gate(gate: Int): String =
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
          |sp AS (SELECT doc_id, j,
@@ -1776,7 +1782,7 @@ trait PipelineOracles extends PipelineOracleFragments {
          |gr AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
          |    list_distinct(flatten(list(
          |      generate_series(j0, j0 + m + ${SpanW - 2})))) AS dp
-         |  FROM runs WHERE m + ${SpanW - 1} >= $MinSubTokens
+         |  FROM runs WHERE m + ${SpanW - 1} >= $gate
          |  GROUP BY doc_id),
          |fin AS (SELECT b.doc_id, b.n, gr.n_runs,
          |    list_transform(list_filter(generate_series(1, b.n),

@@ -61,10 +61,10 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
-  test("p132 keeps its full three-policy grid on empty tables, all zeros") {
+  test("p132 keeps its full four-policy grid on empty tables, all zeros") {
     val rows = Pipeline.queries("p132_strip_policy_matrix")(
         spark, EmptyInputSpec.dir).collect()
-    assert(rows.length == 3, s"one row per policy, got ${rows.toSeq}")
+    assert(rows.length == 4, s"one row per policy, got ${rows.toSeq}")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_docs") == 0L &&
         r.getAs[Long]("n_docs_touched") == 0L &&

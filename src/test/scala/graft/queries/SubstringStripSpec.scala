@@ -84,6 +84,34 @@ class SubstringStripSpec extends SparkSpec {
     assert(rep == base, s"partitioning leaked into the result")
   }
 
+  test("the production 50-token gate keeps a 30-49-token block the " +
+      "default gate drops — the p132 substring_50 boundary") {
+    // a 35-token copied block: inside [MinSubTokens, ProdSubTokens)
+    val blk35 = toks("g", 35)
+    val keeper = s"${toks("k", 4)} $blk35 ${toks("zk", 4)}"
+    val copy = s"${toks("x", 6)} $blk35 ${toks("zx", 2)}"
+    val df = Seq((1L, keeper), (2L, copy)).toDF("doc_id", "text")
+    val at30 = Pipeline.substringStripOf(df)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(at30(2L) == 35L && at30(1L) == 0L,
+      s"the 35-token block must be dropped at the 30 gate: $at30")
+    val at50 = Pipeline.substringStripOf(df, Pipeline.ProdSubTokens)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(at50.forall(r => r._4 == 0L && r._6 ==
+        md5Hex(if (r._1 == 1L) keeper else copy)),
+      s"the 35-token block must SURVIVE the 50 gate whole: ${at50.toSeq}")
+    // and a 50-token block crosses both gates
+    val blk50 = toks("h", 50)
+    val df50 = Seq((1L, s"${toks("p", 3)} $blk50"),
+      (2L, s"${toks("q", 5)} $blk50")).toDF("doc_id", "text")
+    val at50b = Pipeline.substringStripOf(df50, Pipeline.ProdSubTokens)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(at50b(2L) == 50L && at50b(1L) == 0L,
+      s"a 50-token block must be dropped even at the 50 gate: $at50b")
+  }
+
   test("within-doc self-repetition past the gate is excised down to " +
       "the keeper prefix") {
     // one doc: a 10-token motif repeated 5 times (50 tokens). Stride-1

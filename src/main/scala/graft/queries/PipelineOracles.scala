@@ -48,6 +48,8 @@ trait PipelineOracles extends PipelineOracleFragments {
          |  FROM (${oracleBase("p92_decontaminate")}) t)
          |, v9 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
          |  FROM (${oracleBase("p126_semantic_decontam")}) t)
+         |, v10 AS (SELECT CAST(SUM(verbatim_leak) AS DOUBLE) AS v
+         |  FROM ($sqlP133) t)
          |SELECT 'feed_anomaly_cells' AS "check", v AS value,
          |  0.0 AS threshold, v > 0.0 AS alarm FROM v1
          |UNION ALL SELECT 'source_drift_psi_max', v, 0.2, v > 0.2 FROM v2
@@ -57,7 +59,9 @@ trait PipelineOracles extends PipelineOracleFragments {
          |UNION ALL SELECT 'cusum_drift_alarms', v, 0.0, v > 0.0 FROM v6
          |UNION ALL SELECT 'psi_window_alarms', v, 0.0, v > 0.0 FROM v7
          |UNION ALL SELECT 'lexical_contam_docs', v, 0.0, v > 0.0 FROM v8
-         |UNION ALL SELECT 'semantic_contam_docs', v, 0.0, v > 0.0 FROM v9"""
+         |UNION ALL SELECT 'semantic_contam_docs', v, 0.0, v > 0.0 FROM v9
+         |UNION ALL SELECT 'substring_contam_docs', v, 0.0, v > 0.0
+         |  FROM v10"""
         .stripMargin) +
     // hybrid retrieval: p74's BM25 oracle embedded verbatim (one source,
     // the p110 rule), the p04-recipe cosine ranking at probe < 10, and
@@ -252,38 +256,7 @@ trait PipelineOracles extends PipelineOracleFragments {
          |FROM runs GROUP BY 1""".stripMargin) +
     ("p114_run_strip" -> sqlP114) +
     ("p131_substring_strip" -> sqlP131) +
-    ("p133_substring_contam" ->
-      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
-         |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
-         |sp AS (SELECT doc_id, j,
-         |    ${sqlH60(s"array_to_string(t[j:j+${SpanW - 1}], ' ')")} AS hv
-         |  FROM (SELECT doc_id, t,
-         |      unnest(generate_series(1, n - ${SpanW - 1})) AS j
-         |    FROM base)),
-         |ev AS (SELECT DISTINCT hv FROM sp WHERE doc_id % 29 = 7),
-         |ma AS (SELECT doc_id, j FROM sp
-         |  WHERE doc_id % 29 <> 7 AND hv IN (SELECT hv FROM ev)),
-         |runs AS (SELECT doc_id, COUNT(*) AS m
-         |  FROM (SELECT doc_id, j,
-         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
-         |        AS isl FROM ma)
-         |  GROUP BY doc_id, isl),
-         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
-         |    AS n_matched_starts FROM ma GROUP BY 1),
-         |mx AS (SELECT doc_id, MAX(m) + ${SpanW - 1}
-         |    AS max_overlap_tokens FROM runs GROUP BY 1)
-         |SELECT b.doc_id,
-         |  CAST(CASE WHEN b.n >= $SpanW THEN b.n - ${SpanW - 1}
-         |    ELSE 0 END AS BIGINT) AS n_starts,
-         |  CAST(COALESCE(pd.n_matched_starts, 0) AS BIGINT)
-         |    AS n_matched_starts,
-         |  CAST(COALESCE(mx.max_overlap_tokens, 0) AS BIGINT)
-         |    AS max_overlap_tokens,
-         |  CAST(CASE WHEN COALESCE(mx.max_overlap_tokens, 0)
-         |    >= $MinSubTokens THEN 1 ELSE 0 END AS INT) AS verbatim_leak
-         |FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
-         |LEFT JOIN mx ON b.doc_id = mx.doc_id
-         |WHERE b.doc_id % 29 <> 7""".stripMargin) +
+    ("p133_substring_contam" -> sqlP133) +
     // contamination surgery: p133's matched-run CTEs + p131's excision
     // tail, over the train grid
     ("p134_contam_surgery" ->
@@ -1754,6 +1727,42 @@ trait PipelineOracles extends PipelineOracleFragments {
          |  CAST(len(clean) AS BIGINT) AS n_tokens_clean,
          |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
          |FROM fin""".stripMargin
+
+  /** p133's oracle text — a val so the p110 health report embeds the
+    * SAME text verbatim as its substring_contam check (the p110
+    * one-source rule). */
+  private lazy val sqlP133: String =
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
+         |sp AS (SELECT doc_id, j,
+         |    ${sqlH60(s"array_to_string(t[j:j+${SpanW - 1}], ' ')")} AS hv
+         |  FROM (SELECT doc_id, t,
+         |      unnest(generate_series(1, n - ${SpanW - 1})) AS j
+         |    FROM base)),
+         |ev AS (SELECT DISTINCT hv FROM sp WHERE doc_id % 29 = 7),
+         |ma AS (SELECT doc_id, j FROM sp
+         |  WHERE doc_id % 29 <> 7 AND hv IN (SELECT hv FROM ev)),
+         |runs AS (SELECT doc_id, COUNT(*) AS m
+         |  FROM (SELECT doc_id, j,
+         |      j - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j)
+         |        AS isl FROM ma)
+         |  GROUP BY doc_id, isl),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+         |    AS n_matched_starts FROM ma GROUP BY 1),
+         |mx AS (SELECT doc_id, MAX(m) + ${SpanW - 1}
+         |    AS max_overlap_tokens FROM runs GROUP BY 1)
+         |SELECT b.doc_id,
+         |  CAST(CASE WHEN b.n >= $SpanW THEN b.n - ${SpanW - 1}
+         |    ELSE 0 END AS BIGINT) AS n_starts,
+         |  CAST(COALESCE(pd.n_matched_starts, 0) AS BIGINT)
+         |    AS n_matched_starts,
+         |  CAST(COALESCE(mx.max_overlap_tokens, 0) AS BIGINT)
+         |    AS max_overlap_tokens,
+         |  CAST(CASE WHEN COALESCE(mx.max_overlap_tokens, 0)
+         |    >= $MinSubTokens THEN 1 ELSE 0 END AS INT) AS verbatim_leak
+         |FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+         |LEFT JOIN mx ON b.doc_id = mx.doc_id
+         |WHERE b.doc_id % 29 <> 7""".stripMargin
 
   /** p131's oracle text — same sharing rule as [[sqlP114]]. */
   private lazy val sqlP131: String = sqlP131Gate(MinSubTokens)

@@ -364,12 +364,20 @@ trait PipelineReports extends PipelineAssembly {
         p124PsiBaselineDrift(s, d).agg(
           sum(when(col("level") >= 1, 1L).otherwise(0L)).as("v")),
         0.0, true))
-      // contamination is a release-blocking standing alarm: both screens
-      // count FLAGGED TRAIN DOCS (each output row is one), zero tolerance
+      // contamination is a release-blocking standing alarm: all three
+      // screens count FLAGGED TRAIN DOCS, zero tolerance. p92/p126
+      // emit one row per flagged doc (COUNT); p133 emits the full
+      // train grid with a 0/1 flag (SUM) — the verbatim-leak count is
+      // the single most actionable release alarm the engine computes,
+      // and the grid rule means a clean corpus reads as an explicit 0
+      // (an EMPTY corpus reads NULL, the no-defined-value convention)
       .union(row("lexical_contam_docs",
         p92Decontaminate(s, d).agg(count(lit(1)).as("v")), 0.0, true))
       .union(row("semantic_contam_docs",
         p126SemanticDecontam(s, d).agg(count(lit(1)).as("v")), 0.0, true))
+      .union(row("substring_contam_docs",
+        p133SubstringContam(s, d).agg(
+          sum(col("verbatim_leak").cast(LongType)).as("v")), 0.0, true))
   }
 
 

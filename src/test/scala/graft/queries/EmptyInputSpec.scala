@@ -146,16 +146,21 @@ class EmptyInputSpec extends SparkSpec {
     rows.values.foreach { case (d, t) => assert(d == 0L && t == 0L) }
   }
 
-  test("p110_health_report keeps its nine rows; absent checks stay NULL") {
+  test("p110_health_report keeps its ten rows; absent checks stay NULL") {
     val rows = Pipeline.queries("p110_health_report")(
       spark, EmptyInputSpec.dir).collect()
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
-    assert(rows.size == 9)
+    assert(rows.size == 10)
     // contamination screens COUNT flagged docs: an empty corpus has
     // zero flags, a defined healthy value — not an absent check
     assert(rows("lexical_contam_docs").contains(0.0))
     assert(rows("semantic_contam_docs").contains(0.0))
+    // p133's screen SUMs the grid's 0/1 flag: an EMPTY corpus has no
+    // grid at all, so the check is NULL (no defined value) — unlike
+    // p92/p126 whose COUNT of an empty flag set is a healthy 0
+    assert(rows("substring_contam_docs").isEmpty,
+      "no train grid at all -> the verbatim-leak sum is NULL")
     // zero-count checks report 0.0 (healthy); undefined ones stay NULL
     assert(rows("feed_anomaly_cells").contains(0.0))
     assert(rows("cusum_drift_alarms").isEmpty,

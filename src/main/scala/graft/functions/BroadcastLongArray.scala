@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.LeafExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** A long-array constant shipped as a TRUE Spark broadcast variable
+  * and surfaced as an `array<bigint>` expression — the static-side
+  * lookup structure of the streaming verbatim-leak scanner.
+  *
+  * Why not `crossJoin(broadcast(oneRowArrayFrame))`: the joined OUTPUT
+  * row owns its bytes, so UnsafeWriter memcpies the entire array into
+  * every document row — ~8 MB × rows at a 10⁶-gram eval suite, which
+  * DoorScanBench measured as the scanner's actual bottleneck (the
+  * probe itself is O(log n)). And why not `lit(array)`: a Literal
+  * rides the serialized task binary, re-shipped with every task of
+  * every stage — a broadcast ships once per executor. Here the
+  * expression carries only the broadcast HANDLE (bytes move through
+  * Spark's torrent protocol once per executor), and every row reads
+  * the same per-JVM lazily-wrapped [[UnsafeArrayData]] — zero per-row
+  * copies, zero per-task payload.
+  *
+  * CodegenFallback is deliberate: the node evaluates to a cached
+  * object reference, so "generated code" could only ever be a call to
+  * [[eval]] anyway, and the hot consumer (the scanner's `filter` HOF
+  * lambda) is interpreted by Spark regardless. */
+case class BroadcastLongArray(bc: Broadcast[Array[Long]])
+    extends LeafExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "broadcast_long_array"
+
+  // per-JVM: first eval on an executor pulls the broadcast blocks and
+  // wraps them once; every later eval returns the same instance
+  @transient private lazy val arr: ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(bc.value)
+
+  override def eval(input: InternalRow): Any = arr
+}
+
+object BroadcastLongArray {
+  /** Column API: broadcast `values` through `s` and expose it as an
+    * `array<bigint>` column. */
+  def broadcastLongArray(s: SparkSession, values: Array[Long]): Column =
+    ColumnBridge.column(BroadcastLongArray(s.sparkContext.broadcast(values)))
+}

@@ -325,28 +325,42 @@ object Streams {
     * the same [[graft.queries.Pipeline.MinSubTokens]] gate as batch,
     * so rows are IDENTICAL (Round13OpsSpec). The membership probe is
     * the native [[graft.functions.SortedContains]] binary search over
-    * the ONCE-SORTED broadcast array — O(log |eval|) per position
-    * where `array_contains` scans linearly, which is what lets this
-    * scanner face a real eval suite (10⁵–10⁶ grams) instead of only
-    * benchmark-sized sets; batch p133 keeps its hash join. */
+    * the ONCE-SORTED eval array — O(log |eval|) per position where
+    * `array_contains` scans linearly, which is what lets this scanner
+    * face a real eval suite (10⁵–10⁶ grams) instead of only
+    * benchmark-sized sets; batch p133 keeps its hash join.
+    *
+    * The static gram set travels as a TRUE broadcast variable read by
+    * [[graft.functions.BroadcastLongArray]], NOT as a
+    * crossJoin(broadcast(oneRowArrayFrame)): the joined row owns its
+    * bytes, so that shape memcpies the whole array into EVERY document
+    * row — ~8 MB per row at a 10⁶-gram suite, which DoorScanBench
+    * measured as the real bottleneck at deployment scale (the probe
+    * itself was never the problem). The one-time `.head()` that
+    * materializes the static side at query BUILD is the same driver
+    * materialization every stream-static broadcast join performs — it
+    * is not a per-batch or per-row driver loop (and it replaces the
+    * old shape's re-aggregation of the eval frame on every
+    * micro-batch). */
   def substringContamMatches(docs: DataFrame, evalHv: DataFrame)
       : DataFrame = {
+    import graft.functions.BroadcastLongArray.broadcastLongArray
     import graft.functions.Portable.{h60, tokens}
     import graft.functions.SortedContains.sortedContains
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val W = graft.queries.Pipeline.SpanW
     val gate = graft.queries.Pipeline.MinSubTokens
-    val evalArr = evalHv
-      .agg(array_sort(collect_list(col("hv"))).as("es"))
+    val es = broadcastLongArray(docs.sparkSession,
+      evalHv.agg(array_sort(collect_list(col("hv"))))
+        .head().getSeq[Long](0).toArray)
     val zero = struct(lit(-2).as("prev"), lit(0).as("cur"),
       lit(0).as("mx"))
     docs
       .withColumn("t", tokens(col("text")))
       .withColumn("n", size(col("t")))
-      .crossJoin(broadcast(evalArr))
       .withColumn("hits", when(col("n") >= W,
         filter(sequence(lit(1), col("n") - (W - 1)),
-          j => sortedContains(col("es"),
+          j => sortedContains(es,
             h60(concat_ws(" ", slice(col("t"), j, lit(W)))))))
         .otherwise(array().cast("array<int>")))
       .withColumn("r", aggregate(col("hits"), zero, (acc, j) => {

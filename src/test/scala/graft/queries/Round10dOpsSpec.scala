@@ -251,6 +251,42 @@ class Round10dOpsSpec extends SparkSpec {
     }
   }
 
+  test("the 6x2 banding adjudication, pinned on p116's own grid: " +
+      "(b,r) is a function of the operating threshold, not corpus size") {
+    // Round-14 adjudication of "should the live banding scale with the
+    // corpus like corpusCells?" — NO, kept fixed: banding theory puts
+    // the S-curve knee at ~(1/b)^(1/r), a function of the operating
+    // tau only; corpus growth moves the false-candidate VOLUME, and
+    // that lever already scales via capBuckets/MaxBucket (bounded pair
+    // fan-out per bucket at ANY corpus size) + the exact-Jaccard
+    // verify + p93's live recall monitor. Re-banding by N would also
+    // invalidate the persisted signature/band artifacts the
+    // incremental ops (p36/p65) join against — a full re-index at
+    // every size boundary for zero recall benefit at fixed tau.
+    val out = run("p116_lsh_planner").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)) ->
+        r.getDouble(3)).toMap
+    def p(b: Int, r: Int, j: Double) = out((b, r, j))
+    val tau = Pipeline.JaccardThreshold
+    // the live 6x2 is the recall-leaning knee nearest tau from below —
+    // the correct factorization AT THE THRESHOLD, corpus size absent
+    val knees = Pipeline.PlannerConfigs.map { case (b, r) =>
+      (b, r) -> math.pow(1.0 / b, 1.0 / r) }.toMap
+    assert(knees((6, 2)) < tau &&
+      knees.filter(_._2 <= tau).maxBy(_._2)._1 == ((6, 2)),
+      s"6x2's knee must be the nearest below tau=$tau: $knees")
+    // at tau it catches >= 80% of exactly-threshold pairs; every
+    // sharper banding (r >= 3) loses more than half of them
+    assert(p(6, 2, tau) >= 0.8, s"live banding recall at tau: $out")
+    Pipeline.PlannerConfigs.filter(_._2 >= 3).foreach { case (b, r) =>
+      assert(p(b, r, tau) < 0.5, s"${b}x$r would be viable at tau — " +
+        "the adjudication's premise changed, revisit it") }
+    // at background j=0.1 it passes <= 6% of noise to the verify;
+    // the softer 12x1 would flood it with > 70%
+    assert(p(6, 2, 0.1) <= 0.06)
+    assert(p(12, 1, 0.1) > 0.7)
+  }
+
   test("p117 core: the matrix counts hand-built overlaps exactly") {
     import spark.implicits._
     val a = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")

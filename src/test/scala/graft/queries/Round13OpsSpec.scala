@@ -60,6 +60,55 @@ class Round13OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the scanner at a deployment-scale eval set: padding the real " +
+      "eval slice to 1e5 grams leaves the stream rows identical to " +
+      "batch p133") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val batch = Pipeline.queries("p133_substring_contam")(spark, Sf01)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+      .toSet
+    val docs = Tables.documents(spark, Sf01).select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val realEval = docs.filter(pmod(col("doc_id"), lit(29L)) === 7)
+      .select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")))
+      .select(explode(when(col("n") >= Pipeline.SpanW,
+        sequence(lit(1), col("n") - (Pipeline.SpanW - 1)))
+        .otherwise(array().cast("array<int>"))).as("j"), col("t"))
+      .select(graft.functions.Portable.h60(concat_ws(" ",
+        slice(col("t"), col("j"), lit(Pipeline.SpanW)))).as("hv"))
+      .distinct()
+    // deterministic padding grams that no train shingle can hash to
+    // (h60 of "pad<i>" strings — single-token, below the SpanW window)
+    val evalHv = realEval.unionByName(spark.range(100000L)
+      .select(graft.functions.Portable.h60(
+        concat(lit("pad"), col("id"))).as("hv")))
+    val train = docs.filter(pmod(col("doc_id"), lit(29L)) =!= 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.substringContamMatches(
+        in.toDF().toDF("doc_id", "text"), evalHv)
+      .writeStream.format("memory").queryName("contam_scan_1e5")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(train.toSeq: _*)
+      q.processAllAvailable()
+      val rows = spark.table("contam_scan_1e5").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getInt(4)))
+        .toSet
+      assert(rows == batch,
+        s"a padded eval set must not change the scan: " +
+          s"only-stream=${(rows -- batch).take(3)} " +
+          s"only-batch=${(batch -- rows).take(3)}")
+    } finally q.stop()
+  }
+
   test("p134 repairs exactly p133's flagged docs and leaves clean " +
       "docs byte-identical") {
     val leaks = Pipeline.queries("p133_substring_contam")(spark, Sf01)

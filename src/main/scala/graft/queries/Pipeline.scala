@@ -60,6 +60,7 @@ object Pipeline extends PipelineOracles {
     "p132_strip_policy_matrix" -> p132StripPolicyMatrix,
     "p133_substring_contam" -> p133SubstringContam,
     "p134_contam_surgery" -> p134ContamSurgery,
+    "p135_rrf_ivf_serving" -> p135RrfIvfServing,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,

@@ -67,63 +67,15 @@ trait PipelineOracles extends PipelineOracleFragments {
     // the p110 rule), the p04-recipe cosine ranking at probe < 10, and
     // the exact-integer RRF fold — RrfScale/(60+rank) divides exactly
     ("p127_rrf_fusion" -> sqlP127) +
+    // the IVF-SERVED fused list itself — the serving posture, one
+    // source with p129's approximate side
+    ("p135_rrf_ivf_serving" -> sqlP135) +
     // the approximation audit: the p127 oracle embedded verbatim as the
-    // exact side, the p20 assignment chain serving the IVF-fused side,
-    // per-probe top-10 overlap out
+    // exact side, the p135 oracle embedded verbatim as the IVF-fused
+    // side (the one-source rule both ways), per-probe top-10 overlap out
     ("p129_rrf_ivf_audit" ->
       s"""WITH ex AS (SELECT probe_id, doc_id FROM ($sqlP127) t),
-         |e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, v,
-         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         |ik AS (SELECT greatest($IvfKFloor, (count(*) + ${IvfCellTarget - 1})
-         |    // $IvfCellTarget) AS k FROM n),
-         |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-         |  FROM n WHERE vec_id < (SELECT k FROM ik)),
-         |a0 AS (
-         |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-         |    round(list_sum(list_transform(generate_series(1, len(n.v)),
-         |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
-         |  FROM n, c),
-         |a AS (
-         |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
-         |  WHERE arnk = 1),
-         |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, cell
-         |  FROM a WHERE vec_id < 10),
-         |s AS (
-         |  SELECT probe_id, vec_id AS doc_id,
-         |    round(list_sum(list_transform(generate_series(1, len(pv)),
-         |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
-         |  FROM a JOIN p USING (cell) WHERE vec_id <> probe_id),
-         |an AS (SELECT probe_id, doc_id, rnk AS ann_rnk FROM (
-         |  SELECT probe_id, doc_id,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |      ORDER BY sim DESC, doc_id) AS INT) AS rnk FROM s) t
-         |  WHERE rnk <= $Bm25TopK),
-         |bm AS (SELECT probe_id, doc_id, rnk AS bm25_rnk
-         |  FROM (${oracleBase("p74_bm25_retrieval")}) t),
-         |fo AS (SELECT COALESCE(bm.probe_id, an.probe_id) AS probe_id,
-         |    COALESCE(bm.doc_id, an.doc_id) AS doc_id,
-         |    COALESCE(bm.bm25_rnk, 0) AS bm25_rnk,
-         |    COALESCE(an.ann_rnk, 0) AS ann_rnk
-         |  FROM bm FULL OUTER JOIN an
-         |    ON bm.probe_id = an.probe_id AND bm.doc_id = an.doc_id),
-         |sc AS (SELECT probe_id, doc_id,
-         |    (CASE WHEN bm25_rnk > 0
-         |      THEN $RrfScale // ($RrfK + CAST(bm25_rnk AS BIGINT))
-         |      ELSE CAST(0 AS BIGINT) END)
-         |    + (CASE WHEN ann_rnk > 0
-         |      THEN $RrfScale // ($RrfK + CAST(ann_rnk AS BIGINT))
-         |      ELSE CAST(0 AS BIGINT) END) AS rrf_q
-         |  FROM fo),
-         |iv AS (SELECT probe_id, doc_id FROM (
-         |    SELECT probe_id, doc_id,
-         |      CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
-         |        ORDER BY rrf_q DESC, doc_id) AS INT) AS rnk FROM sc) t
-         |  WHERE rnk <= $Bm25TopK),
+         |iv AS (SELECT probe_id, doc_id FROM ($sqlP135) t),
          |ne AS (SELECT probe_id, CAST(COUNT(*) AS INT) AS n_exact
          |  FROM ex GROUP BY 1),
          |ni AS (SELECT probe_id, CAST(COUNT(*) AS INT) AS n_ivf
@@ -1844,5 +1796,63 @@ trait PipelineOracles extends PipelineOracleFragments {
            |    ORDER BY rrf_q DESC, doc_id) AS INT) AS rnk FROM sc)
            |SELECT probe_id, doc_id, rnk, rrf_q, bm25_rnk, ann_rnk
            |FROM r WHERE rnk <= $Bm25TopK""".stripMargin
+
+  /** p135's oracle text — the IVF-SERVED fused list: the p129 audit's
+    * IVF chain (coarse assign, own-cell scan, shared BM25, exact-int64
+    * RRF) with the FULL rank columns out. A val so p129's oracle
+    * embeds it verbatim as its approximate side (the one-source rule:
+    * serving op and audit cannot drift). */
+  private lazy val sqlP135: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |ik AS (SELECT greatest($IvfKFloor, (count(*) + ${IvfCellTarget - 1})
+       |    // $IvfCellTarget) AS k FROM n),
+       |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+       |  FROM n WHERE vec_id < (SELECT k FROM ik)),
+       |a0 AS (
+       |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+       |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+       |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
+       |  FROM n, c),
+       |a AS (
+       |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
+       |  WHERE arnk = 1),
+       |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pnrm, cell
+       |  FROM a WHERE vec_id < 10),
+       |s AS (
+       |  SELECT probe_id, vec_id AS doc_id,
+       |    round(list_sum(list_transform(generate_series(1, len(pv)),
+       |      i -> pv[i] * v[i])) / (pnrm * nrm), 6) AS sim
+       |  FROM a JOIN p USING (cell) WHERE vec_id <> probe_id),
+       |an AS (SELECT probe_id, doc_id, rnk AS ann_rnk FROM (
+       |  SELECT probe_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY sim DESC, doc_id) AS INT) AS rnk FROM s) t
+       |  WHERE rnk <= $Bm25TopK),
+       |bm AS (SELECT probe_id, doc_id, rnk AS bm25_rnk
+       |  FROM (${oracleBase("p74_bm25_retrieval")}) t),
+       |fo AS (SELECT COALESCE(bm.probe_id, an.probe_id) AS probe_id,
+       |    COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+       |    COALESCE(bm.bm25_rnk, 0) AS bm25_rnk,
+       |    COALESCE(an.ann_rnk, 0) AS ann_rnk
+       |  FROM bm FULL OUTER JOIN an
+       |    ON bm.probe_id = an.probe_id AND bm.doc_id = an.doc_id),
+       |sc AS (SELECT probe_id, doc_id, bm25_rnk, ann_rnk,
+       |    (CASE WHEN bm25_rnk > 0
+       |      THEN $RrfScale // ($RrfK + CAST(bm25_rnk AS BIGINT))
+       |      ELSE CAST(0 AS BIGINT) END)
+       |    + (CASE WHEN ann_rnk > 0
+       |      THEN $RrfScale // ($RrfK + CAST(ann_rnk AS BIGINT))
+       |      ELSE CAST(0 AS BIGINT) END) AS rrf_q
+       |  FROM fo),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY rrf_q DESC, doc_id) AS INT) AS rnk FROM sc)
+       |SELECT probe_id, doc_id, rnk, rrf_q, bm25_rnk, ann_rnk
+       |FROM r WHERE rnk <= $Bm25TopK""".stripMargin
 
 }

@@ -547,6 +547,46 @@ trait PipelineVectors extends PipelineText {
   }
 
 
+  /** The IVF-SERVED hybrid retrieval — p127's fused top-k with the
+    * ANN branch served from the IVF index instead of the exact brute
+    * scan: the SERVING posture at 100 TB (each probe searches only
+    * its own cell, work |corpus|/|cells|), priced by p129's audit
+    * (fused recall@10 97/100 at sf0.01, 92/100 at sf0.1) and mirrored
+    * by the streaming hybrid's `ivfCentroids` branch — batch and
+    * stream now share the posture through ONE builder
+    * ([[ivfFusedTopDocs]]; the oracle likewise embeds one text,
+    * sqlP135, in both this op and p129's approximate side).
+    *
+    * Scale shape: BM25 as in p127 (bounded inverted-index work); the
+    * ANN branch is a cell-keyed equi-join of probes against ONLY
+    * their own cell's members — never corpus × probes; fusion over
+    * ≤ probes×2·topK rows. */
+  private[queries] def p135RrfIvfServing: Q = (s, d) =>
+    ivfFusedTopDocs(s, d,
+      bm25TopDocs(docsBalanced(s, d), probeMax = 10L)
+        .select(col("probe_id"), col("doc_id"),
+          col("rnk").as("bm25_rnk")))
+
+
+  /** The ONE builder of the IVF-fused list, shared by p135 (the
+    * serving op, which passes its own BM25 branch) and p129 (the
+    * audit, which passes its STAGED branch so both fusions read one
+    * BM25 build) — serving and audit cannot drift. */
+  private[graft] def ivfFusedTopDocs(s: SparkSession, d: String,
+      bm25: DataFrame): DataFrame = {
+    val assigned = ivfAssigned(s, d)
+    val cellProbes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("nrm").as("pnrm"), col("cell"))
+    val annIvf = annTopRanks(assigned.join(cellProbes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("doc_id"),
+        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm"))
+          .as("sim")), "ann_rnk")
+    rrfFuse(bm25, annIvf)
+  }
+
+
   /** Hybrid-retrieval approximation audit — what serving p127's fusion
     * from the SCALE-PATH index costs: at 100 TB the ANN branch cannot
     * be the exact brute scan, it is the IVF index ([[ivfAssigned]] —
@@ -573,18 +613,9 @@ trait PipelineVectors extends PipelineText {
       .select(col("probe_id"), col("vec_id").as("doc_id"),
         cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm"))
           .as("sim")), "ann_rnk")
-    val assigned = ivfAssigned(s, d)
-    val cellProbes = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"), col("cell"))
-    val annIvf = annTopRanks(assigned.join(cellProbes, Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("doc_id"),
-        cos6(vdot(col("pv"), col("v")), col("pnrm") * col("nrm"))
-          .as("sim")), "ann_rnk")
     val exactTop = rrfFuse(bm25, annExact)
       .select(col("probe_id"), col("doc_id")).staged
-    val ivfTop = rrfFuse(bm25, annIvf)
+    val ivfTop = ivfFusedTopDocs(s, d, bm25)
       .select(col("probe_id"), col("doc_id"))
     val nExact = exactTop.groupBy("probe_id")
       .agg(count(lit(1)).cast(IntegerType).as("n_exact"))

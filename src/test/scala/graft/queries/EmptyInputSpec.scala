@@ -130,9 +130,11 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
-  test("p126/p127/p129/p130 flag and retrieve nothing from an empty corpus") {
+  test("p126/p127/p129/p130/p135 flag and retrieve nothing from an " +
+      "empty corpus") {
     Seq("p126_semantic_decontam", "p127_rrf_fusion",
-        "p129_rrf_ivf_audit", "p130_contam_by_source").foreach { q =>
+        "p129_rrf_ivf_audit", "p130_contam_by_source",
+        "p135_rrf_ivf_serving").foreach { q =>
       assert(Pipeline.queries(q)(spark, EmptyInputSpec.dir).count() == 0L,
         s"$q invented rows from an empty corpus")
     }

@@ -442,34 +442,23 @@ class Round12OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("hybridRetrieve in IVF mode serves rows identical to p129's " +
-      "IVF-fused list") {
+  test("hybridRetrieve in IVF mode serves rows identical to batch " +
+      "p135 (which is p129's IVF-fused side, one builder)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
-    import graft.functions.VectorDot.vdot
-    // expected: the IVF-fused branch exactly as p129 builds it —
-    // shared BM25 branch + cell-bounded ANN, fused with the exact
-    // int64 RRF (full rank columns, not just the audit's overlap)
-    val bm25 = Pipeline.bm25TopDocs(Pipeline.docsBalanced(spark, Sf01),
-        probeMax = 10L)
-      .select(col("probe_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
-    val assigned = Pipeline.ivfAssigned(spark, Sf01)
-    val cellProbes = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
-        col("nrm").as("pnrm"), col("cell"))
-    val annIvf = Pipeline.annTopRanks(assigned.join(cellProbes, Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("doc_id"),
-        round(vdot(col("pv"), col("v")) / (col("pnrm") * col("nrm")), 6)
-          .as("sim")), "ann_rnk")
-    val expected = Pipeline.rrfFuse(bm25, annIvf).collect()
+    // expected: the IVF-SERVED fused list as the batch op computes it —
+    // p135 and p129's approximate side share ivfFusedTopDocs, so this
+    // one comparison ties stream, serving op and audit together
+    val expected = Pipeline.queries("p135_rrf_ivf_serving")(spark, Sf01)
+      .collect()
       .map(r => (r.getLong(0), r.getInt(2), r.getLong(1), r.getLong(3),
         r.getInt(4), r.getInt(5)))
       .toSet
     // offline artifacts: postings, the cell-assigned corpus index, and
     // the (cent_id, cv) codebook — exactly what a serving deploy ships
+    val assigned = Pipeline.ivfAssigned(spark, Sf01)
     val postings = Pipeline.bm25Postings(
       Tables.documents(spark, Sf01)
         .repartition(spark.sparkContext.defaultParallelism))

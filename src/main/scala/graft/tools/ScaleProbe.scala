@@ -60,7 +60,9 @@ object ScaleProbe {
     // cross-split verbatim-leak screen (corpus-token row volume by
     // design — the Lee et al. cost class) and the three-policy matrix
     "p131_substring_strip", "p132_strip_policy_matrix",
-    "p133_substring_contam", "p134_contam_surgery")
+    "p133_substring_contam", "p134_contam_surgery",
+    // round-14 addition: the IVF-served fused list (cell-keyed ANN)
+    "p135_rrf_ivf_serving")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

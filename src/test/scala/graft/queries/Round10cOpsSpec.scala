@@ -277,13 +277,17 @@ class Round10cOpsSpec extends SparkSpec {
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
           r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
       .toMap
-    assert(rows.size == 9)
+    assert(rows.size == 10)
     assert(rows("feed_anomaly_cells")._1.get ==
       run("p84_hourly_anomaly").count().toDouble)
     assert(rows("lexical_contam_docs")._1.get ==
       run("p92_decontaminate").count().toDouble)
     assert(rows("semantic_contam_docs")._1.get ==
       run("p126_semantic_decontam").count().toDouble)
+    assert(rows("substring_contam_docs")._1.get ==
+      run("p133_substring_contam").agg(
+        sum(col("verbatim_leak").cast("long")))
+        .collect().head.getLong(0).toDouble)
     assert(rows("cusum_drift_alarms")._1.get ==
       run("p122_cusum_drift").agg(sum(col("alarm")))
         .collect().head.getLong(0).toDouble)

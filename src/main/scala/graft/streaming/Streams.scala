@@ -353,8 +353,15 @@ object Streams {
     val es = broadcastLongArray(docs.sparkSession,
       evalHv.agg(array_sort(collect_list(col("hv"))))
         .head().getSeq[Long](0).toArray)
+    // the fold ALSO counts its elements (cnt), so `hits` — the
+    // expensive h60-probe filter — is referenced exactly once. A
+    // separate size(hits) measured NEUTRAL on DoorScanBench (Spark's
+    // runtime subexpression elimination already dedupes the collapsed
+    // projection's twin reference); the single reference is kept so
+    // the scan's cost never silently doubles if that optimization
+    // stops covering this shape.
     val zero = struct(lit(-2).as("prev"), lit(0).as("cur"),
-      lit(0).as("mx"))
+      lit(0).as("mx"), lit(0).as("cnt"))
     docs
       .withColumn("t", tokens(col("text")))
       .withColumn("n", size(col("t")))
@@ -367,12 +374,13 @@ object Streams {
         val cur = when(j === acc.getField("prev") + 1,
           acc.getField("cur") + 1).otherwise(lit(1))
         struct(j.as("prev"), cur.as("cur"),
-          greatest(acc.getField("mx"), cur).as("mx"))
+          greatest(acc.getField("mx"), cur).as("mx"),
+          (acc.getField("cnt") + 1).as("cnt"))
       }))
       .select(col("doc_id").cast("long").as("doc_id"),
         when(col("n") >= W, col("n") - (W - 1)).otherwise(0)
           .cast(LongType).as("n_starts"),
-        size(col("hits")).cast(LongType).as("n_matched_starts"),
+        col("r").getField("cnt").cast(LongType).as("n_matched_starts"),
         when(col("r").getField("mx") > 0,
           col("r").getField("mx") + (W - 1)).otherwise(0)
           .cast(LongType).as("max_overlap_tokens"),

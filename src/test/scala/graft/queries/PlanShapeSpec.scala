@@ -108,6 +108,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.unset("graft.stage.materialize")
   }
 
+  test("p135's IVF-served ANN branch joins cell-keyed — no cartesian, " +
+      "no nested loop, no probe-side corpus scan") {
+    spark.conf.set("graft.stage.materialize", "none")
+    try {
+      val p = plan("p135_rrf_ivf_serving")
+      assert(!p.contains("CartesianProduct"),
+        s"p135 plans a cartesian:\n$p")
+      // the serving point: the probe ANN side is a KEYED equi-join on
+      // `cell` — never the exact hybrid's probes × corpus cross
+      assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell"
+        .r.findFirstIn(p).isDefined,
+        s"p135 lost its cell-keyed join:\n$p")
+      // the only nested loops allowed are the codebook ASSIGN crosses
+      // (corpus × K-row broadcast centroid grid — bounded by design;
+      // with artifacts disabled the assign subtree inlines once per
+      // ivfAssigned consumer, 3 copies today). A 4th would mean a new
+      // unbounded cross crept into the serving path.
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+        s"p135 grew an extra nested loop beyond the codebook assigns:\n$p")
+    } finally spark.conf.unset("graft.stage.materialize")
+  }
+
   test("filters reach the parquet scan as pushed filters") {
     Seq("q02_filter_eq_ne", "q03_filter_range", "q19_agg_group").foreach { q =>
       val p = plan(q)

@@ -236,26 +236,38 @@ object Streams {
     * overlap against the STATIC eval-set gram index (built offline from
     * the benchmark suite, broadcast-sized), and contaminated docs are
     * flagged with their overlap counts before they ever enter the
-    * training corpus. The eval index aggregates (statically) to one
-    * broadcast array row, so the streaming side is a STATELESS per-row
-    * intersect — Append-legal with no watermark and no shuffle at all,
-    * the same "benchmark set is MBs against the corpus" economics the
-    * batch op banks on. */
+    * training corpus. The eval index ships as a TRUE broadcast
+    * variable (sorted once, probed with the native binary search), so
+    * the streaming side is a STATELESS per-row membership count —
+    * Append-legal with no watermark and no shuffle at all, the same
+    * "benchmark set is MBs against the corpus" economics the batch op
+    * banks on. The previous crossJoin(broadcast(one-row-set-frame)) +
+    * array_intersect shape paid |eval| per row TWICE — the joined row
+    * memcpied the whole gram set AND array_intersect rebuilt a hash
+    * set of it per document (SemScanBench: 26.3 s for 100k docs at
+    * 1e5 grams; a 1e6-gram pass did not finish in 16 minutes). Now
+    * the per-row work is |gs|·log|eval| (measured after: see
+    * PLANS.md round-14). */
   def contaminationMatches(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    import graft.functions.BroadcastLongArray.broadcastLongArray
     import graft.functions.Portable
+    import graft.functions.SortedContains.sortedContains
     import graft.queries.Pipeline.ContamW
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    val evalArr = evalGrams.agg(collect_set(col("g")).as("eg"))
+    val egRow = evalGrams.agg(array_sort(collect_set(col("g")))).head()
+    val eg = broadcastLongArray(docs.sparkSession,
+      if (egRow.isNullAt(0)) Array.empty[Long]
+      else egRow.getSeq[Long](0).toArray)
     docs
       .select(col("doc_id"), array_distinct(transform(
           Portable.shingles(Portable.tokens(col("text")), ContamW),
           x => Portable.h60(x))).as("gs"))
       .filter(size(col("gs")) > 0)
-      .crossJoin(broadcast(evalArr))
       .select(col("doc_id"),
         size(col("gs")).cast(LongType).as("n_grams"),
-        size(array_intersect(col("gs"), col("eg"))).cast(LongType)
-          .as("n_contaminated"))
+        // gs is distinct, so counting members == |gs ∩ eval|
+        size(filter(col("gs"), g => sortedContains(eg, g)))
+          .cast(LongType).as("n_contaminated"))
       .filter(col("n_contaminated") > 0)
       .withColumn("contam_frac",
         round(col("n_contaminated").cast(DoubleType) / col("n_grams"), 6))
@@ -265,44 +277,42 @@ object Streams {
     * p126_semantic_decontam, guarding the door [[contaminationMatches]]
     * guards for verbatim leaks against the paraphrase class: each
     * ARRIVING embedding is scored by exact cosine against the STATIC
-    * eval-set embeddings (benchmark-sized, aggregated into ONE broadcast
-    * array row), flagged with its hit count and best-matching eval doc
-    * before the doc enters the corpus. The per-row fold carries
-    * (n, best_id, best_sim) and replaces on strictly-greater sim or
-    * tie-smaller eval_id — a total order, so the fold is insensitive to
-    * the collect_list ordering and lands on the batch op's exact
-    * (sim DESC, eval_id ASC) pick; same vdot + round-6 arithmetic, same
+    * eval-set embeddings, flagged with its hit count and best-matching
+    * eval doc before the doc enters the corpus. The scan is the native
+    * [[graft.functions.SemanticScan]] over a TRUE broadcast of the
+    * eval matrix (ids + norms + row-major floats): the previous
+    * crossJoin(one-row-struct-array) + `aggregate` HOF paid |eval| per
+    * row twice over — the joined row memcpied the matrix AND the
+    * lambda interpreted per eval vector (SemScanBench: 1k rows/s at
+    * just 1e4 eval vectors). Arithmetic is bit-identical (the
+    * expression replicates vdot + cos6 + the fold's total order —
+    * sim DESC, eval_id ASC — including every NULL case), same
     * τ = 0.40. STATELESS — Append-legal, no watermark, no shuffle.
     * StreamsSpec proves row-identity against batch p126 on the same
-    * vectors. */
+    * vectors; the one-time driver materialization of the eval side at
+    * query build is the stream-static broadcast convention
+    * ([[substringContamMatches]]). */
   def semanticContamMatches(vectors: DataFrame,
       evalVecs: DataFrame): DataFrame = {
-    import graft.functions.VectorDot.{cos6, vdot}
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
-    val evalArr = evalVecs
-      .select(struct(col("eval_id"), col("evv"),
-        sqrt(vdot(col("evv"), col("evv"))).as("enrm")).as("e"))
-      .agg(collect_list(col("e")).as("es"))
-    val zero = struct(lit(0).cast(IntegerType).as("n"),
-      lit(null).cast(LongType).as("best_id"),
-      lit(null).cast(DoubleType).as("best_sim"))
+    import graft.functions.SemanticScan
+    import graft.functions.VectorDot.vdot
+    val evalRows = evalVecs
+      .select(col("eval_id"), col("evv"),
+        sqrt(vdot(col("evv"), col("evv"))).as("enrm"))
+      .filter(col("evv").isNotNull && col("enrm").isNotNull)
+      .orderBy("eval_id").collect()
+    val dim = evalRows.headOption.map(_.getSeq[Float](1).length).getOrElse(0)
+    // the row-major flat matrix needs ONE dim; a mixed-dim eval row
+    // could never match anyway (vdot is NULL on length mismatch)
+    val uni = evalRows.filter(_.getSeq[Float](1).length == dim)
+    val idx = SemanticScan.EvalIndex(
+      uni.map(_.getLong(0)),
+      uni.map(_.getDouble(2)),
+      uni.flatMap(_.getSeq[Float](1)), dim)
     vectors
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-      .crossJoin(broadcast(evalArr))
-      .withColumn("res", aggregate(col("es"), zero, (acc, e) => {
-        val sim = cos6(vdot(col("v"), e.getField("evv")), col("nrm") * e.getField("enrm"))
-        val better = acc.getField("best_sim").isNull ||
-          sim > acc.getField("best_sim") ||
-          (sim === acc.getField("best_sim") &&
-            e.getField("eval_id") < acc.getField("best_id"))
-        when(sim >= 0.40, struct(
-          (acc.getField("n") + 1).as("n"),
-          when(better, e.getField("eval_id"))
-            .otherwise(acc.getField("best_id")).as("best_id"),
-          when(better, sim)
-            .otherwise(acc.getField("best_sim")).as("best_sim")))
-          .otherwise(acc)
-      }))
+      .withColumn("res", SemanticScan.semanticScan(
+        vectors.sparkSession, col("v"), col("nrm"), idx, 0.40))
       .filter(col("res").getField("n") > 0)
       .select(col("vec_id").as("doc_id"),
         col("res").getField("n").as("n_eval_hits"),

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** The IVF coarse-assign argmax as ONE native expression: pick the
+  * broadcast codebook centroid with the best cosine to the probe,
+  * under EXACTLY the batch `ivfAssigned` window order — csim DESC
+  * NULLS LAST, cent_id ASC — including the degenerate edges the
+  * streaming fold pinned (a NULL csim, from a zero-norm/NaN side or a
+  * dimension mismatch, wins only against nothing or another NULL, by
+  * smaller cent_id; a fully-degenerate probe therefore lands in the
+  * smallest cell, not nowhere). Returns the cell id, or NULL only for
+  * an empty codebook.
+  *
+  * Native for the [[SemanticScan]] reasons: the previous
+  * crossJoin(broadcast(one-row-codebook-array)) memcpied the whole
+  * codebook into every probe row and interpreted the argmax lambda
+  * per centroid; here the codebook ships once per executor and the
+  * argmax is one compiled loop. Reuses [[SemanticScan.EvalIndex]]
+  * (ids sorted ascending, norms with NaN marking a NULL norm,
+  * row-major floats). */
+case class CentroidArgmax(left: Expression, right: Expression,
+    bc: Broadcast[SemanticScan.EvalIndex])
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, double), got ${l.sql}, ${r.sql}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "centroid_argmax"
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def eval(input: InternalRow): Any = {
+    val idx = bc.value
+    if (idx.ids.isEmpty) return null
+    val vAny = left.eval(input)
+    val nrmAny = right.eval(input)
+    // a degenerate probe (NULL vector/norm, a null element, or a
+    // dimension mismatch) makes EVERY csim NULL — the fold's
+    // NULL-pair clause elects the smallest cent_id (ids are sorted)
+    if (vAny == null || nrmAny == null) return idx.ids(0)
+    val va = vAny.asInstanceOf[ArrayData]
+    val n = va.numElements()
+    var k = 0
+    var nullElem = false
+    while (k < n && !nullElem) { nullElem = va.isNullAt(k); k += 1 }
+    if (nullElem || n != idx.dim) return idx.ids(0)
+    val pnrm = nrmAny.asInstanceOf[Double]
+    val vf = va.toFloatArray()
+    var has = false
+    var bid = 0L
+    var bNull = true
+    var bsim = 0.0
+    var i = 0
+    while (i < idx.ids.length) {
+      val off = i * idx.dim
+      var dot = 0.0
+      var j = 0
+      while (j < n) {
+        dot += vf(j).toDouble * idx.flat(off + j).toDouble
+        j += 1
+      }
+      val den = pnrm * idx.nrms(i)
+      val simNull = den == 0.0 || dot.isNaN || den.isNaN
+      val sim = if (simNull) 0.0 else round6(dot / den)
+      val id = idx.ids(i)
+      val better = !has ||
+        (!simNull && (bNull || sim > bsim || (sim == bsim && id < bid))) ||
+        (simNull && bNull && id < bid)
+      if (better) { has = true; bid = id; bNull = simNull; bsim = sim }
+      i += 1
+    }
+    bid
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidArgmax {
+  /** Column API: assign `v` (with its precomputed norm) to its best
+    * codebook cell. */
+  def centroidArgmax(s: SparkSession, v: Column, nrm: Column,
+      idx: SemanticScan.EvalIndex): Column =
+    ColumnBridge.column(CentroidArgmax(
+      ColumnBridge.expression(v), ColumnBridge.expression(nrm),
+      s.sparkContext.broadcast(idx)))
+}

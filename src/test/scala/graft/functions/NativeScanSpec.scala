@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The round-14 native scan expressions against independent
+  * driver-side references on seeded randomized corpora — the
+  * SortedContainsSpec discipline. The planted shapes are exactly the
+  * degenerate edges the expressions hand-replicate from the folds
+  * they replaced: zero-norm vectors (NULL cosine), NaN poison,
+  * dimension mismatches, null elements, exact similarity ties, and
+  * the empty index. */
+class NativeScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def nrmOf(v: Seq[Float]): Double =
+    math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+
+  private def dot(a: Seq[Float], b: Seq[Float]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+      acc + x.toDouble * y.toDouble }
+
+  /** cos6's exact convention: None for zero/NaN denominator or NaN
+    * dot (and the caller handles dimension mismatch). */
+  private def cos6Ref(num: Double, den: Double): Option[Double] =
+    if (den == 0.0 || num.isNaN || den.isNaN) None
+    else Some(round6(num / den))
+
+  // ---- SemanticScan via semanticContamMatches ----
+
+  test("semanticContamMatches matches a driver reference on a " +
+      "randomized corpus with planted degenerate vectors") {
+    val rnd = new scala.util.Random(42)
+    val dim = 4
+    def vec(): Seq[Float] =
+      Seq.fill(dim)((rnd.nextInt(5) - 2).toFloat)
+    val evals: Seq[(Long, Seq[Float])] =
+      (0L until 40L).map(i => i -> vec()) :+
+        (40L -> Seq.fill(dim)(0f)) // zero-norm eval vector
+    val probes: Seq[(Long, Seq[Float])] =
+      (100L until 160L).map(i => i -> vec()) ++ Seq(
+        200L -> Seq.fill(dim)(0f), // zero-norm probe
+        201L -> Seq(Float.NaN, 1f, 1f, 1f), // NaN-poisoned probe
+        202L -> Seq(1f, 1f)) // dimension-mismatched probe
+    val expected = probes.flatMap { case (id, v) =>
+      val nrm = nrmOf(v)
+      val hits = evals.flatMap { case (eid, e) =>
+        if (e.length != v.length) None
+        else cos6Ref(dot(v, e), nrm * nrmOf(e))
+          .filter(_ >= 0.40).map(s => (eid, s))
+      }
+      if (hits.isEmpty) None
+      else {
+        val best = hits.minBy { case (eid, s) => (-s, eid) }
+        Some((id, hits.size, best._1, best._2))
+      }
+    }.toSet
+    assert(expected.nonEmpty, "vacuous corpus — regenerate")
+    // degenerate probes must hit nothing on both sides
+    assert(!expected.exists(r => r._1 >= 200L))
+    val out = graft.streaming.Streams.semanticContamMatches(
+        probes.toDF("vec_id", "v"),
+        evals.toDF("eval_id", "evv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == expected,
+      s"only-spark=${(out -- expected).take(3)} " +
+        s"only-ref=${(expected -- out).take(3)}")
+  }
+
+  test("semanticContamMatches against an empty eval set flags nothing") {
+    val out = graft.streaming.Streams.semanticContamMatches(
+      Seq((1L, Seq(1f, 2f))).toDF("vec_id", "v"),
+      Seq.empty[(Long, Seq[Float])].toDF("eval_id", "evv"))
+    assert(out.count() == 0L)
+  }
+
+  // ---- CentroidArgmax ----
+
+  private def argmaxRef(v: Seq[Float], cents: Seq[(Long, Seq[Float])])
+      : Option[Long] = {
+    if (cents.isEmpty) return None
+    val nrm = nrmOf(v)
+    // (simOption, id) under csim DESC NULLS LAST, id ASC
+    val scored = cents.map { case (id, c) =>
+      val sim =
+        if (c.length != v.length) None
+        else cos6Ref(dot(v, c), nrm * nrmOf(c))
+      (sim, id)
+    }
+    Some(scored.minBy { case (s, id) =>
+      (s.isEmpty, s.map(-_).getOrElse(0.0), id) }._2)
+  }
+
+  private def runArgmax(probes: Seq[(Long, Seq[Float])],
+      cents: Seq[(Long, Seq[Float])]): Map[Long, Option[Long]] = {
+    import graft.functions.VectorDot.vdot
+    val centRows = cents.map { case (id, c) => (id, c, nrmOf(c)) }
+    val idx = SemanticScan.EvalIndex(
+      centRows.map(_._1).toArray,
+      centRows.map(_._3).toArray,
+      centRows.flatMap(_._2).toArray,
+      cents.headOption.map(_._2.length).getOrElse(0))
+    probes.toDF("probe_id", "v")
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .withColumn("cell", CentroidArgmax.centroidArgmax(
+        spark, col("v"), col("nrm"), idx))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("cell"))) None
+         else Some(r.getLong(r.fieldIndex("cell"))))).toMap
+  }
+
+  test("CentroidArgmax matches the batch window order on a randomized " +
+      "codebook, ties and degenerate probes included") {
+    val rnd = new scala.util.Random(7)
+    val dim = 4
+    def vec(): Seq[Float] =
+      Seq.fill(dim)((rnd.nextInt(5) - 2).toFloat)
+    val base = (0L until 12L).map(i => i -> vec())
+    // plant an exact-tie pair (same vector, two ids) and a zero-norm
+    // centroid (NULL csim against every probe)
+    val cents = base ++ Seq(20L -> base.head._2, 21L -> Seq.fill(dim)(0f))
+    val probes = (100L until 140L).map(i => i -> vec()) ++ Seq(
+      200L -> Seq.fill(dim)(0f), // zero-norm probe: all csim NULL
+      201L -> Seq(Float.NaN, 1f, 1f, 1f), // NaN probe: all csim NULL
+      202L -> Seq(1f, 1f)) // dim mismatch: all csim NULL
+    val got = runArgmax(probes, cents)
+    probes.foreach { case (id, v) =>
+      assert(got(id) == argmaxRef(v, cents), s"probe $id")
+    }
+    // the all-NULL degenerates land in the SMALLEST cell — the batch
+    // window's NULLS-LAST + id-ASC edge, not a dropped row
+    Seq(200L, 201L, 202L).foreach(id => assert(got(id).contains(0L)))
+  }
+
+  test("CentroidArgmax on an empty codebook yields NULL (probe drops " +
+      "out of the cell join)") {
+    val got = runArgmax(Seq(1L -> Seq(1f, 0f)), Nil)
+    assert(got(1L).isEmpty)
+  }
+
+  // ---- BroadcastLongArray ----
+
+  test("BroadcastLongArray + SortedContains equals array_contains on " +
+      "a literal copy, across a multi-partition frame") {
+    val rnd = new scala.util.Random(11)
+    val set = (0 until 5000).map(_ => rnd.nextLong() % 100000L)
+      .distinct.sorted.toArray
+    val bcArr = BroadcastLongArray.broadcastLongArray(spark, set)
+    val keys = ((0 until 2000).map(_ => rnd.nextLong() % 100000L) ++
+      set.take(500)).toDF("key").repartition(13)
+    val out = keys
+      .select(col("key"),
+        SortedContains.sortedContains(bcArr, col("key")).as("native"),
+        array_contains(lit(set), col("key")).as("literal"))
+      .collect()
+    assert(out.nonEmpty && out.exists(_.getBoolean(1)))
+    out.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+      s"diverged at key ${r.getLong(0)}"))
+  }
+}

@@ -39,15 +39,27 @@ case class BroadcastLongArray(bc: Broadcast[Array[Long]])
 
   override def prettyName: String = "broadcast_long_array"
 
-  // per-JVM: first eval on an executor pulls the broadcast blocks and
-  // wraps them once; every later eval returns the same instance
+  // The wrap is cached PER BROADCAST in the companion, not per
+  // expression instance: expressions deserialize once per TASK, so an
+  // instance-level lazy would re-run fromPrimitiveArray's memcpy (8 MB
+  // at a 10⁶-gram suite) on every task — only bc.value is
+  // executor-cached by Spark, not anything derived from it.
   @transient private lazy val arr: ArrayData =
-    UnsafeArrayData.fromPrimitiveArray(bc.value)
+    BroadcastLongArray.wrapped(bc)
 
   override def eval(input: InternalRow): Any = arr
 }
 
 object BroadcastLongArray {
+  // one entry per live broadcast (a handful per query build) — the
+  // per-executor "wrap once" the expression's scaladoc promises
+  private val wrapCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, ArrayData]()
+
+  private[functions] def wrapped(bc: Broadcast[Array[Long]]): ArrayData =
+    wrapCache.computeIfAbsent(Long.box(bc.id),
+      _ => UnsafeArrayData.fromPrimitiveArray(bc.value))
+
   /** Column API: broadcast `values` through `s` and expose it as an
     * `array<bigint>` column. */
   def broadcastLongArray(s: SparkSession, values: Array[Long]): Column =

@@ -106,7 +106,16 @@ object VectorDot {
     * the documented batch/stream row identity on NaN-poisoned
     * vectors. With it, every degenerate cosine — zero-norm OR
     * NaN-poisoned — is NULL on both paths and ranks last everywhere
-    * (StreamsSpec pins the identity on a NaN-poisoned corpus). */
+    * (Round12OpsSpec pins the identity on a NaN-poisoned corpus).
+    *
+    * Adjudicated scope of the NaN branch: it is an ENGINE-side
+    * robustness convention. The DuckDB oracle fragments keep native
+    * `round(NaN) = NaN`, so op-vs-oracle identity is defined over
+    * FINITE inputs — which is the oracle's entire input domain (the
+    * driver's parquet embeddings are finite by construction; the
+    * zero-norm case, which the gate CAN exercise, agrees exactly:
+    * both engines yield NULL for x/0.0). NaN behavior is pinned by
+    * the engine's own specs instead of the cross-engine gate. */
   def cos6(num: Column, den: Column): Column = {
     import org.apache.spark.sql.functions.{isnan, lit, round, when}
     round(when(den =!= lit(0.0) && !isnan(num) && !isnan(den),

@@ -1371,6 +1371,18 @@ trait PipelineDedup extends PipelineVectors {
     * [[ProdSubTokens]] is Lee et al.'s production calibration). */
   private[graft] def substringStripOf(docsIn: DataFrame,
       gate: Int = MinSubTokens): DataFrame = {
+    val (base, runs) = substringRunsOf(docsIn)
+    exciseRuns(base, runs.filter(col("m") + (SpanW - 1) >= gate))
+  }
+
+
+  /** The stride-1 census up to the PRE-GATE maximal runs
+    * (doc_id, isl, j0, m), plus the tokenized base — split out so
+    * p132's two substring gate rows share ONE census (the explode +
+    * hv self-join is the matrix's dominant cost; only the final
+    * run-extent filter differs between the 30 and 50 rows). */
+  private[graft] def substringRunsOf(docsIn: DataFrame)
+      : (DataFrame, DataFrame) = {
     val base = docsIn
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")))
@@ -1394,8 +1406,7 @@ trait PipelineDedup extends PipelineVectors {
       .groupBy("doc_id", "isl")
       .agg(min(col("j")).as("j0"),
         count(lit(1)).cast(IntegerType).as("m"))
-      .filter(col("m") + (SpanW - 1) >= gate)
-    exciseRuns(base, runs)
+    (base, runs)
   }
 
 
@@ -1531,14 +1542,21 @@ trait PipelineDedup extends PipelineVectors {
             .as("drop_frac"))
     }
     val docs = docsBalanced(s, d)
+    // the two substring rows differ only in the run-extent gate: pay
+    // the stride-1 census (the matrix's dominant cost) ONCE and gate
+    // the staged pre-gate runs twice
+    val (sbase, sruns) = substringRunsOf(docs)
+    val srs = sruns.staged
+    def subRow(policy: String, gate: Int): DataFrame =
+      rowOf(policy,
+        exciseRuns(sbase, srs.filter(col("m") + (SpanW - 1) >= gate)),
+        col("n_dropped"))
     rowOf("c4_span", spanStrip(docs),
         col("n_dropped") * lit(SpanW.toLong))
       .unionByName(rowOf("run_gated", runStripOf(docs),
         col("n_dropped") * lit(SpanW.toLong)))
-      .unionByName(rowOf("substring", substringStripOf(docs),
-        col("n_dropped")))
-      .unionByName(rowOf("substring_50",
-        substringStripOf(docs, ProdSubTokens), col("n_dropped")))
+      .unionByName(subRow("substring", MinSubTokens))
+      .unionByName(subRow("substring_50", ProdSubTokens))
   }
 
 

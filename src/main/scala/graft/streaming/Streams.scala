@@ -301,18 +301,31 @@ object Streams {
         sqrt(vdot(col("evv"), col("evv"))).as("enrm"))
       .filter(col("evv").isNotNull && col("enrm").isNotNull)
       .orderBy("eval_id").collect()
-    val dim = evalRows.headOption.map(_.getSeq[Float](1).length).getOrElse(0)
-    // the row-major flat matrix needs ONE dim; a mixed-dim eval row
-    // could never match anyway (vdot is NULL on length mismatch)
-    val uni = evalRows.filter(_.getSeq[Float](1).length == dim)
-    val idx = SemanticScan.EvalIndex(
-      uni.map(_.getLong(0)),
-      uni.map(_.getDouble(2)),
-      uni.flatMap(_.getSeq[Float](1)), dim)
-    vectors
+    // one index PER DISTINCT eval dimension (normally exactly one):
+    // the replaced per-pair fold scored an eval row iff its dim
+    // matched the PROBE's, so a mixed-dim eval set must keep every
+    // dim group — anchoring on the first row's dim would silently
+    // blind the screen to the dominant group. A probe matches at most
+    // one group; the merge takes the group with hits.
+    val idxs = evalRows.groupBy(_.getSeq[Float](1).length)
+      .toSeq.sortBy(_._1)
+      .map { case (d, rows) =>
+        SemanticScan.EvalIndex(rows.map(_.getLong(0)),
+          rows.map(_.getDouble(2)),
+          rows.flatMap(_.getSeq[Float](1)), d)
+      } match {
+        case Seq() => Seq(SemanticScan.EvalIndex(
+          Array.empty, Array.empty, Array.empty, 0))
+        case is => is
+      }
+    val withNrm = vectors
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
-      .withColumn("res", SemanticScan.semanticScan(
-        vectors.sparkSession, col("v"), col("nrm"), idx, 0.40))
+    val res = idxs
+      .map(i => SemanticScan.semanticScan(
+        vectors.sparkSession, col("v"), col("nrm"), i, 0.40))
+      .reduce((a, b) => when(a.getField("n") > 0, a).otherwise(b))
+    withNrm
+      .withColumn("res", res)
       .filter(col("res").getField("n") > 0)
       .select(col("vec_id").as("doc_id"),
         col("res").getField("n").as("n_eval_hits"),
@@ -756,21 +769,18 @@ object Streams {
           .select(col("cent_id"), col("cv"),
             sqrt(vdot(col("cv"), col("cv"))).as("cnrm"))
           .orderBy("cent_id").collect()
-        val dim = centRows.headOption
-          .map(r => if (r.isNullAt(1)) 0 else r.getSeq[Float](1).length)
-          .getOrElse(0)
-        require(centRows.forall(r =>
-          !r.isNullAt(1) && r.getSeq[Float](1).length == dim),
-          "IVF codebook must carry uniform-dimension non-null centroids")
-        val idx = graft.functions.SemanticScan.EvalIndex(
-          centRows.map(_.getLong(0)),
-          centRows.map(r =>
-            if (r.isNullAt(2)) Double.NaN else r.getDouble(2)),
-          // a null ELEMENT stores as NaN: the dot goes NaN → csim
-          // NULL, exactly what the null-intolerant vdot produced
-          centRows.toArray.flatMap(_.getSeq[java.lang.Float](1)
-            .map(f => if (f == null) Float.NaN else f.floatValue())),
-          dim)
+        // a RAGGED codebook: each row keeps its own dim (the replaced
+        // fold's per-centroid vdot rule), so a NULL, wrong-dimension,
+        // or null-element centroid LOSES to any real csim instead of
+        // failing the query at build — batch ivfAssigned accepts the
+        // same degraded codebook (NativeScanSpec pins the edges)
+        val idx = graft.functions.CentroidArgmax.codebook(
+          centRows.toSeq.map { r =>
+            (r.getLong(0),
+              if (r.isNullAt(1)) None
+              else Some(r.getSeq[java.lang.Float](1)),
+              if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+          })
         val probeCell = pv
           .withColumn("cell", graft.functions.CentroidArgmax
             .centroidArgmax(probes.sparkSession, col("pv"),

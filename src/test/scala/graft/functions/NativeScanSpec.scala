@@ -74,6 +74,60 @@ class NativeScanSpec extends SparkSpec {
         s"only-ref=${(expected -- out).take(3)}")
   }
 
+  test("semanticContamMatches keeps every dim group of a mixed-dim " +
+      "eval set — the replaced fold's per-row dim rule") {
+    // a dim-3 eval row first by id must NOT anchor the index and
+    // blind the screen to the dim-2 rows the probes actually match
+    val evals = Seq(
+      (0L, Seq(1f, 1f, 1f)), // odd-dim row, smallest id
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+    val probes = Seq(
+      (100L, Seq(1f, 0f)), // matches eval 1 at sim 1.0
+      (101L, Seq(1f, 1f, 1f))) // matches eval 0 at sim 1.0
+    val out = graft.streaming.Streams.semanticContamMatches(
+        probes.toDF("vec_id", "v"), evals.toDF("eval_id", "evv"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(100L) == ((1, 1L)),
+      s"dim-2 probe must still hit the dim-2 eval rows: $out")
+    assert(out(101L) == ((1, 0L)),
+      s"dim-3 probe must hit the dim-3 eval row: $out")
+  }
+
+  test("CentroidArgmax survives a degraded codebook: a NULL or " +
+      "wrong-dim centroid loses to any real cosine instead of " +
+      "failing the query at build") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha beta one"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, Seq(1f, 0f), 10L), (1L, Seq(0.9f, 0.1f), 10L))
+      .toDF("vec_id", "v", "cell")
+    val cents = Seq(
+      (5L, Option.empty[Seq[Float]]), // NULL centroid
+      (7L, Some(Seq(1f, 1f, 1f))), // wrong-dim centroid
+      (10L, Some(Seq(1f, 0f)))) // the real cell
+      .toDF("cent_id", "cv")
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = graft.streaming.Streams.hybridRetrieve(
+        in.toDF().toDF("probe_id", "text", "v"),
+        graft.queries.Pipeline.bm25Postings(docs), corpus,
+        ivfCentroids = Some(cents))
+      .writeStream.format("memory").queryName("hybrid_degraded")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((0L, "alpha beta gamma", Seq(1f, 0f)))
+      q.processAllAvailable()
+      val rows = spark.table("hybrid_degraded").collect()
+      // the probe must land in cell 10 (the only real cosine) and
+      // retrieve doc 1 through the ANN branch
+      assert(rows.exists(r => r.getLong(2) == 1L && r.getInt(5) > 0),
+        s"degraded codebook broke the serving path: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("semanticContamMatches against an empty eval set flags nothing") {
     val out = graft.streaming.Streams.semanticContamMatches(
       Seq((1L, Seq(1f, 2f))).toDF("vec_id", "v"),
@@ -101,12 +155,10 @@ class NativeScanSpec extends SparkSpec {
   private def runArgmax(probes: Seq[(Long, Seq[Float])],
       cents: Seq[(Long, Seq[Float])]): Map[Long, Option[Long]] = {
     import graft.functions.VectorDot.vdot
-    val centRows = cents.map { case (id, c) => (id, c, nrmOf(c)) }
-    val idx = SemanticScan.EvalIndex(
-      centRows.map(_._1).toArray,
-      centRows.map(_._3).toArray,
-      centRows.flatMap(_._2).toArray,
-      cents.headOption.map(_._2.length).getOrElse(0))
+    val idx = CentroidArgmax.codebook(cents.map { case (id, c) =>
+      (id, Some(c.map(java.lang.Float.valueOf): Seq[java.lang.Float]),
+        nrmOf(c))
+    })
     probes.toDF("probe_id", "v")
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .withColumn("cell", CentroidArgmax.centroidArgmax(
@@ -124,9 +176,11 @@ class NativeScanSpec extends SparkSpec {
     def vec(): Seq[Float] =
       Seq.fill(dim)((rnd.nextInt(5) - 2).toFloat)
     val base = (0L until 12L).map(i => i -> vec())
-    // plant an exact-tie pair (same vector, two ids) and a zero-norm
-    // centroid (NULL csim against every probe)
-    val cents = base ++ Seq(20L -> base.head._2, 21L -> Seq.fill(dim)(0f))
+    // plant an exact-tie pair (same vector, two ids), a zero-norm
+    // centroid (NULL csim against every probe), and a wrong-dim
+    // centroid (per-row vdot NULL — the ragged-codebook rule)
+    val cents = base ++ Seq(20L -> base.head._2,
+      21L -> Seq.fill(dim)(0f), 22L -> Seq(1f, 1f))
     val probes = (100L until 140L).map(i => i -> vec()) ++ Seq(
       200L -> Seq.fill(dim)(0f), // zero-norm probe: all csim NULL
       201L -> Seq(Float.NaN, 1f, 1f, 1f), // NaN probe: all csim NULL
@@ -137,7 +191,10 @@ class NativeScanSpec extends SparkSpec {
     }
     // the all-NULL degenerates land in the SMALLEST cell — the batch
     // window's NULLS-LAST + id-ASC edge, not a dropped row
-    Seq(200L, 201L, 202L).foreach(id => assert(got(id).contains(0L)))
+    Seq(200L, 201L).foreach(id => assert(got(id).contains(0L)))
+    // while the dim-2 probe finds the dim-2 codebook row (real cosine
+    // 1.0) — the ragged per-row dim rule, not a global anchor
+    assert(got(202L).contains(22L))
   }
 
   test("CentroidArgmax on an empty codebook yields NULL (probe drops " +

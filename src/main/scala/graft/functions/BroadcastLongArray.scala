@@ -51,14 +51,29 @@ case class BroadcastLongArray(bc: Broadcast[Array[Long]])
 }
 
 object BroadcastLongArray {
-  // one entry per live broadcast (a handful per query build) — the
-  // per-executor "wrap once" the expression's scaladoc promises
-  private val wrapCache =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, ArrayData]()
+  // One entry per live broadcast — the per-executor "wrap once" the
+  // expression's scaladoc promises — keyed WEAKLY on the broadcast's
+  // VALUE array (identity): all task-level Broadcast instances of one
+  // id return the same block-manager-cached array, so the wrap is
+  // still computed once per executor, and when ContextCleaner (or a
+  // context teardown) drops the broadcast block the key dies and the
+  // entry is expunged — no unbounded growth in a long-lived process
+  // that rebuilds scanners, and no stale-value collision when a new
+  // SparkContext restarts broadcast ids from 0. (Keying on bc.id had
+  // both defects; keying on the Broadcast INSTANCE would re-wrap per
+  // task, because tasks deserialize their own Broadcast handles.)
+  // The UnsafeArrayData value is a copy holding no reference back to
+  // the key, so the entry cannot keep itself alive.
+  private val wrapCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Long], ArrayData]())
 
   private[functions] def wrapped(bc: Broadcast[Array[Long]]): ArrayData =
-    wrapCache.computeIfAbsent(Long.box(bc.id),
-      _ => UnsafeArrayData.fromPrimitiveArray(bc.value))
+    wrapCache.computeIfAbsent(bc.value,
+      a => UnsafeArrayData.fromPrimitiveArray(a))
+
+  /** Test hook: live entries after expunging stale refs (forces a
+    * size() walk — WeakHashMap expunges on access). */
+  private[graft] def cacheSize: Int = wrapCache.size()
 
   /** Column API: broadcast `values` through `s` and expose it as an
     * `array<bigint>` column. */

@@ -90,8 +90,14 @@ case class CentroidArgmax(left: Expression, right: Expression,
         }
       }
       val den = pnrm * idx.nrms(i)
-      val simNull = simNullDim || den == 0.0 || dot.isNaN || den.isNaN
-      val sim = if (simNull) 0.0 else round6(dot / den)
+      val q = dot / den
+      // the finite check covers Inf operands (Inf-poisoned embeddings)
+      // and finite/subnormal overflow: a non-finite q would make
+      // round6's BigDecimal.valueOf THROW; treat it as the csim-NULL
+      // degenerate it is (same election rule as NaN/zero-norm rows)
+      val simNull = simNullDim || den == 0.0 || dot.isNaN || den.isNaN ||
+        !java.lang.Double.isFinite(q)
+      val sim = if (simNull) 0.0 else round6(q)
       val id = idx.ids(i)
       val better = !has ||
         (!simNull && (bNull || sim > bsim || (sim == bsim && id < bid))) ||

@@ -79,9 +79,16 @@ case class SemanticScan(left: Expression, right: Expression,
           j += 1
         }
         val den = nrm * idx.nrms(i)
-        // cos6's NULL cases → this eval vector is skipped
-        if (den != 0.0 && !dot.isNaN && !den.isNaN) {
-          val sim = java.math.BigDecimal.valueOf(dot / den)
+        val q = dot / den
+        // cos6's NULL cases → this eval vector is skipped. The finite
+        // check covers what NaN tests alone miss: an Inf operand (an
+        // Inf-poisoned embedding) or a finite/subnormal overflow make
+        // q non-finite, and BigDecimal.valueOf(q) would THROW — the
+        // replaced fold's round() passed such rows through as degraded
+        // values; a skip (never-matches) is this scan's NULL analogue.
+        if (den != 0.0 && !dot.isNaN && !den.isNaN &&
+            java.lang.Double.isFinite(q)) {
+          val sim = java.math.BigDecimal.valueOf(q)
             .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
           if (sim >= tau) {
             cnt += 1

@@ -231,6 +231,29 @@ object Streams {
         carry.map(col): _*)
   }
 
+  /** Shared static-side build for the two LEXICAL door scanners
+    * ([[contaminationMatches]], [[substringContamMatches]]): ONE
+    * driver-side materialization of the sorted long-gram index — the
+    * stream-static broadcast convention, a one-time bounded build-time
+    * step, not a per-batch or per-row driver loop — shipped as a true
+    * broadcast through [[graft.functions.BroadcastLongArray]]. The
+    * NULL guard is uniform here on purpose: `collect_set` and
+    * `collect_list` both return an empty array (not NULL) on zero
+    * input rows today, but neither scanner should depend on that Spark
+    * behavior staying put, and the previous asymmetry (one guarded,
+    * one bare `getSeq`) invited a wrong "fix". The semantic scanner's
+    * static side is a float MATRIX ([[graft.functions.SemanticScan]]'s
+    * EvalIndex), so it builds separately, under the same convention. */
+  private def broadcastSortedIndex(s: SparkSession, src: DataFrame,
+      c: String, distinct: Boolean): org.apache.spark.sql.Column = {
+    import graft.functions.BroadcastLongArray.broadcastLongArray
+    val agg0 = if (distinct) collect_set(col(c)) else collect_list(col(c))
+    val row = src.agg(array_sort(agg0)).head()
+    broadcastLongArray(s,
+      if (row.isNullAt(0)) Array.empty[Long]
+      else row.getSeq[Long](0).toArray)
+  }
+
   /** Streaming decontamination — the continuous twin of batch
     * p92_decontaminate: each ARRIVING document is checked for long-n-gram
     * overlap against the STATIC eval-set gram index (built offline from
@@ -249,15 +272,12 @@ object Streams {
     * the per-row work is |gs|·log|eval| (measured after: see
     * PLANS.md round-14). */
   def contaminationMatches(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
-    import graft.functions.BroadcastLongArray.broadcastLongArray
     import graft.functions.Portable
     import graft.functions.SortedContains.sortedContains
     import graft.queries.Pipeline.ContamW
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    val egRow = evalGrams.agg(array_sort(collect_set(col("g")))).head()
-    val eg = broadcastLongArray(docs.sparkSession,
-      if (egRow.isNullAt(0)) Array.empty[Long]
-      else egRow.getSeq[Long](0).toArray)
+    val eg = broadcastSortedIndex(docs.sparkSession, evalGrams, "g",
+      distinct = true)
     docs
       .select(col("doc_id"), array_distinct(transform(
           Portable.shingles(Portable.tokens(col("text")), ContamW),
@@ -367,15 +387,13 @@ object Streams {
     * micro-batch). */
   def substringContamMatches(docs: DataFrame, evalHv: DataFrame)
       : DataFrame = {
-    import graft.functions.BroadcastLongArray.broadcastLongArray
     import graft.functions.Portable.{h60, tokens}
     import graft.functions.SortedContains.sortedContains
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val W = graft.queries.Pipeline.SpanW
     val gate = graft.queries.Pipeline.MinSubTokens
-    val es = broadcastLongArray(docs.sparkSession,
-      evalHv.agg(array_sort(collect_list(col("hv"))))
-        .head().getSeq[Long](0).toArray)
+    val es = broadcastSortedIndex(docs.sparkSession, evalHv, "hv",
+      distinct = false)
     // the fold ALSO counts its elements (cnt), so `hits` — the
     // expensive h60-probe filter — is referenced exactly once. A
     // separate size(hits) measured NEUTRAL on DoorScanBench (Spark's
@@ -1440,15 +1458,22 @@ object Streams {
           val (n, v) = batch.foldLeft((0L, 0.0)) { case ((c, s), e) =>
             (c + 1, s + e.value)
           }
+          val sum = prev.sum_value + v
           val next = UserTotal(userId, prev.n_events + n,
             // keep cents exact like the batch dsum contract — the
             // house BigDecimal HALF_UP convention (psiOf's rule), not
             // math.rint: rint rounds half-even over a ×100 FP product,
             // so the two could differ at a true half-tie; cent-exact
             // inputs arguably cannot produce one, but one spelling of
-            // "round to N decimals" beats a proven-safe exemption
-            java.math.BigDecimal.valueOf(prev.sum_value + v)
-              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue())
+            // "round to N decimals" beats a proven-safe exemption.
+            // A NaN/Inf event value must propagate RAW (Spark round()'s
+            // pass-through convention): BigDecimal.valueOf(non-finite)
+            // throws, which would turn one poisoned event into a
+            // stateful-stream crash
+            if (java.lang.Double.isFinite(sum))
+              java.math.BigDecimal.valueOf(sum)
+                .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+            else sum)
           state.update(next)
           next
       }

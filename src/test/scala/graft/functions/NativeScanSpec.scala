@@ -26,9 +26,13 @@ class NativeScanSpec extends SparkSpec {
       acc + x.toDouble * y.toDouble }
 
   /** cos6's exact convention: None for zero/NaN denominator or NaN
-    * dot (and the caller handles dimension mismatch). */
+    * dot (and the caller handles dimension mismatch) — plus the native
+    * scans' non-finite-quotient skip: an Inf operand (Inf-poisoned
+    * embedding) or overflow makes q non-finite, which the scans treat
+    * as the NULL degenerate instead of crashing BigDecimal.valueOf. */
   private def cos6Ref(num: Double, den: Double): Option[Double] =
-    if (den == 0.0 || num.isNaN || den.isNaN) None
+    if (den == 0.0 || num.isNaN || den.isNaN ||
+        !java.lang.Double.isFinite(num / den)) None
     else Some(round6(num / den))
 
   // ---- SemanticScan via semanticContamMatches ----
@@ -40,13 +44,17 @@ class NativeScanSpec extends SparkSpec {
     def vec(): Seq[Float] =
       Seq.fill(dim)((rnd.nextInt(5) - 2).toFloat)
     val evals: Seq[(Long, Seq[Float])] =
-      (0L until 40L).map(i => i -> vec()) :+
-        (40L -> Seq.fill(dim)(0f)) // zero-norm eval vector
+      (0L until 40L).map(i => i -> vec()) ++ Seq(
+        40L -> Seq.fill(dim)(0f), // zero-norm eval vector
+        // Inf-poisoned eval vector: q is non-finite against every
+        // probe — must be SKIPPED, not crash the scan (ADVICE r15)
+        41L -> Seq(Float.PositiveInfinity, 1f, 1f, 1f))
     val probes: Seq[(Long, Seq[Float])] =
       (100L until 160L).map(i => i -> vec()) ++ Seq(
         200L -> Seq.fill(dim)(0f), // zero-norm probe
         201L -> Seq(Float.NaN, 1f, 1f, 1f), // NaN-poisoned probe
-        202L -> Seq(1f, 1f)) // dimension-mismatched probe
+        202L -> Seq(1f, 1f), // dimension-mismatched probe
+        203L -> Seq(Float.NegativeInfinity, 1f, 1f, 1f)) // Inf probe
     val expected = probes.flatMap { case (id, v) =>
       val nrm = nrmOf(v)
       val hits = evals.flatMap { case (eid, e) =>
@@ -180,18 +188,24 @@ class NativeScanSpec extends SparkSpec {
     // centroid (NULL csim against every probe), and a wrong-dim
     // centroid (per-row vdot NULL — the ragged-codebook rule)
     val cents = base ++ Seq(20L -> base.head._2,
-      21L -> Seq.fill(dim)(0f), 22L -> Seq(1f, 1f))
+      21L -> Seq.fill(dim)(0f), 22L -> Seq(1f, 1f),
+      // Inf-poisoned centroid: csim NULL vs every probe (non-finite
+      // quotient) — must never win AND never crash round6 (ADVICE r15)
+      23L -> Seq(Float.PositiveInfinity, 0f, 0f, 0f))
     val probes = (100L until 140L).map(i => i -> vec()) ++ Seq(
       200L -> Seq.fill(dim)(0f), // zero-norm probe: all csim NULL
       201L -> Seq(Float.NaN, 1f, 1f, 1f), // NaN probe: all csim NULL
-      202L -> Seq(1f, 1f)) // dim mismatch: all csim NULL
+      202L -> Seq(1f, 1f), // dim mismatch: all csim NULL
+      203L -> Seq(Float.PositiveInfinity, 1f, 1f, 1f)) // Inf probe
     val got = runArgmax(probes, cents)
     probes.foreach { case (id, v) =>
       assert(got(id) == argmaxRef(v, cents), s"probe $id")
     }
     // the all-NULL degenerates land in the SMALLEST cell — the batch
     // window's NULLS-LAST + id-ASC edge, not a dropped row
-    Seq(200L, 201L).foreach(id => assert(got(id).contains(0L)))
+    Seq(200L, 201L, 203L).foreach(id => assert(got(id).contains(0L)))
+    // and the Inf-poisoned CENTROID never wins any probe
+    assert(!got.values.exists(_.contains(23L)))
     // while the dim-2 probe finds the dim-2 codebook row (real cosine
     // 1.0) — the ragged per-row dim rule, not a global anchor
     assert(got(202L).contains(22L))
@@ -221,5 +235,40 @@ class NativeScanSpec extends SparkSpec {
     assert(out.nonEmpty && out.exists(_.getBoolean(1)))
     out.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
       s"diverged at key ${r.getLong(0)}"))
+  }
+
+  test("BroadcastLongArray wrap cache: one wrap per broadcast, and " +
+      "entries die with their broadcasts (no unbounded growth when " +
+      "scanners are rebuilt)") {
+    import org.apache.spark.broadcast.Broadcast
+    // wrap-once: the same broadcast yields the SAME cached instance
+    val bc0 = spark.sparkContext.broadcast(Array(1L, 2L, 3L))
+    assert(BroadcastLongArray.wrapped(bc0) eq BroadcastLongArray.wrapped(bc0))
+    // and distinct broadcasts cannot collide (value-keyed, not id-keyed)
+    val bc1 = spark.sparkContext.broadcast(Array(9L, 9L, 9L))
+    assert(BroadcastLongArray.wrapped(bc1).getLong(0) == 9L)
+    assert(BroadcastLongArray.wrapped(bc0).getLong(0) == 1L)
+    bc0.destroy(); bc1.destroy()
+    // lifecycle: N scanner-rebuild-style broadcasts, then destroy +
+    // drop the handles — once the value arrays are only weakly
+    // reachable (block removed by destroy, handle gone), ordinary GC
+    // must expunge the entries
+    val baseline = BroadcastLongArray.cacheSize
+    var handles: Seq[Broadcast[Array[Long]]] =
+      (0 until 16).map { i =>
+        val bc = spark.sparkContext.broadcast(Array.fill(4096)(i.toLong))
+        BroadcastLongArray.wrapped(bc)
+        bc
+      }
+    assert(BroadcastLongArray.cacheSize >= baseline + 16)
+    handles.foreach(_.destroy())
+    handles = Nil
+    var tries = 0
+    while (BroadcastLongArray.cacheSize > baseline && tries < 50) {
+      System.gc(); Thread.sleep(50); tries += 1
+    }
+    assert(BroadcastLongArray.cacheSize <= baseline,
+      s"cache retained ${BroadcastLongArray.cacheSize - baseline} " +
+        "entries after their broadcasts were destroyed and dropped")
   }
 }

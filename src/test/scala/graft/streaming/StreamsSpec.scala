@@ -802,6 +802,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserTotals propagates a non-finite event value raw " +
+      "instead of crashing the stateful stream (ADVICE r15: " +
+      "BigDecimal.valueOf(Inf) throws)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("totals_nonfinite")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, 0, 9, "click", 1.25),
+        ev(2, 1, 9, "view", Double.PositiveInfinity))
+      q.processAllAvailable() // pre-fix: NumberFormatException here
+      in.addData(ev(3, 2, 9, "click", 0.25))
+      q.processAllAvailable()
+      val latest = spark.table("totals_nonfinite")
+        .filter($"user_id" === 9).orderBy($"n_events".desc).head
+      assert(latest.getAs[Long]("n_events") == 3L)
+      // Spark round()'s pass-through convention: the poisoned total
+      // stays Inf (degraded, visible) rather than killing the query
+      assert(latest.getAs[Double]("sum_value").isPosInfinity)
+    } finally q.stop()
+  }
+
   test("chunkStream chunks a document stream with the batch expressions") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

@@ -46,7 +46,10 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
+        if Path(p).is_dir():  # Spark directory layout (ScaleUp output)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif Path(p).exists():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())

@@ -463,7 +463,7 @@ trait PipelineText extends PipelineCore {
     * two-phase window. Nothing is ever all-pairs: work is
     * Σ_{query tokens} df(t), the classic inverted-index bound. */
   private[queries] def p74Bm25Retrieval: Q = (s, d) =>
-    bm25TopDocs(docsBalanced(s, d), probeMax = 10L)
+    bm25TopDocsServed(s, d, probeMax = 10L)
 
 
   /** The p74 core over any `(doc_id, text)` frame, probes = doc_id <
@@ -554,6 +554,56 @@ trait PipelineText extends PipelineCore {
       .select(col("token"), col("doc_id"),
         ldiv(col("idf_q") * col("tf") * lit(22L * Bm25S / 10L), col("den"))
           .as("term_q"))
+  }
+
+
+  /** The corpus's BM25 postings index as a named ARTIFACT — the
+    * production posture [[bm25Postings]]'s scaladoc describes, made
+    * literal: at 100 TB the impact-ordered index is a persisted
+    * side-table the corpus build writes once and every retrieval job
+    * reads, never rebuilt per query. With `graft.artifacts.dir` set it
+    * lives in the parquet store (first session builds, later sessions
+    * warm-serve: ArtifactStoreDualSessionSpec); within one session it
+    * is built once and checkpointed for all consumers (p74, p129,
+    * p135 — previously each re-ran the corpus-sized tf chain). */
+  private[graft] def bm25PostingsArt(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cached(s, d, "bm25_postings") {
+      graft.Artifacts.stage(s, bm25Postings(docsBalanced(s, d)))
+    }
+
+
+  /** [[bm25TopDocs]] SERVED from the postings artifact instead of a
+    * per-query index build: the probe docs' distinct term bigrams (a
+    * probeMax-bounded scan — the filter pushes to the corpus scan)
+    * join the precomputed postings and SUM their complete term_q
+    * score terms — term-at-a-time retrieval, the way an inverted
+    * index is actually consumed. Bit-identical to [[bm25TopDocs]] by
+    * construction (PerplexityBm25Spec pins postings-sum ≡ topdocs
+    * scores; the df·20 ≤ D pruning lives in the postings, so the
+    * token join intersects to exactly the batch candidate set), same
+    * salted two-phase top-k tail. */
+  private[graft] def bm25TopDocsServed(s: SparkSession, d: String,
+      probeMax: Long): DataFrame = {
+    val postings = bm25PostingsArt(s, d)
+    val probeToks = bigramPairs(
+        docsBalanced(s, d).filter(col("doc_id") < probeMax))
+      .select(col("doc_id").as("probe_id"),
+        concat_ws(" ", col("prev"), col("cur")).as("token"))
+      .distinct()
+    val scoredDocs = probeToks.join(postings, "token")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("term_q")).as("score_q"))
+    val local = Window
+      .partitionBy(col("probe_id"), pmod(hash(col("doc_id")), lit(64)))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    val global = Window.partitionBy("probe_id")
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    scoredDocs.withColumn("lrnk", row_number().over(local))
+      .filter(col("lrnk") <= Bm25TopK)
+      .withColumn("rnk", row_number().over(global).cast(IntegerType))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("probe_id", "doc_id", "rnk", "score_q")
   }
 
 

@@ -216,12 +216,25 @@ trait PipelineVectors extends PipelineText {
     * a deterministic stand-in for k-means centroids, which keeps the
     * DuckDB oracle bit-exact; a production build would train the codebook
     * offline and broadcast it the same way. */
-  /** IVF cell assignment shared by p20 (probe search) and p33 (kNN
-    * graph): every vector keyed to its nearest codebook centroid via a
-    * broadcast crossJoin + per-vector argmax — one map-side pass, one
-    * keyed shuffle for the argmax window. Checkpointed because both
-    * consumers read it from two join sides. */
-  private[queries] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  /** IVF cell assignment shared by every IVF consumer (p20 probe
+    * search, p33 kNN graph, p72/p104's monitored variant, p125's flat
+    * reference, and the p135 serving op): every vector keyed to its
+    * nearest codebook centroid via a broadcast crossJoin + per-vector
+    * argmax — one map-side pass, one keyed shuffle for the argmax
+    * window. Held as a named ARTIFACT: at 100 TB this (vec_id, cell)
+    * assignment IS the IVF index — a persisted side-table the corpus
+    * build writes once and every retrieval job reads — so with
+    * `graft.artifacts.dir` set it lives in the parquet store (built by
+    * the first session, warm-served by all later ones:
+    * ArtifactStoreDualSessionSpec), and within a session it is built
+    * once and checkpointed for all consumers. */
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    graft.Artifacts.cached(s, d, "ivf_assigned") {
+      graft.Artifacts.stage(s, buildIvfAssigned(s, d))
+    }
+
+
+  private def buildIvfAssigned(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
@@ -237,7 +250,6 @@ trait PipelineVectors extends PipelineText {
       .withColumn("arnk", row_number().over(wAssign))
       .filter(col("arnk") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
-      .staged
   }
 
 
@@ -563,7 +575,7 @@ trait PipelineVectors extends PipelineText {
     * ≤ probes×2·topK rows. */
   private[queries] def p135RrfIvfServing: Q = (s, d) =>
     ivfFusedTopDocs(s, d,
-      bm25TopDocs(docsBalanced(s, d), probeMax = 10L)
+      bm25TopDocsServed(s, d, probeMax = 10L)
         .select(col("probe_id"), col("doc_id"),
           col("rnk").as("bm25_rnk")))
 
@@ -600,7 +612,7 @@ trait PipelineVectors extends PipelineText {
     * applied to the fused product). The BM25 branch is shared (built
     * once, staged); each fusion is the same exact-int64 RRF. */
   private[queries] def p129RrfIvfAudit: Q = (s, d) => {
-    val bm25 = bm25TopDocs(docsBalanced(s, d), probeMax = 10L)
+    val bm25 = bm25TopDocsServed(s, d, probeMax = 10L)
       .select(col("probe_id"), col("doc_id"), col("rnk").as("bm25_rnk"))
       .staged // read by both fusions
     val e = Tables.embeddings(s, d)

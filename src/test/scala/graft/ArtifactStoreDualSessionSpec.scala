@@ -71,4 +71,51 @@ class ArtifactStoreDualSessionSpec extends SparkSpec {
       assert(fromStore.nonEmpty, s"$name: vacuous comparison")
     }
   }
+
+  /** Every gate query that reads the round-15 SERVING indexes —
+    * [[graft.queries.Pipeline.bm25PostingsArt]] (p74/p129/p135's BM25
+    * branch) or `ivfAssigned` (the IVF cell index behind p20/p33/
+    * p72/p104/p125 and p135's ANN branch). */
+  private val retrievalConsumers = Seq(
+    "p74_bm25_retrieval", "p20_ann_ivf", "p33_knn_graph",
+    "p72_ann_recall", "p104_ann_multiprobe", "p125_ann_ivf2",
+    "p129_rrf_ivf_audit", "p135_rrf_ivf_serving")
+
+  test("a fresh session serves every retrieval-index consumer from " +
+      "the store, row-identical to a rebuild") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-dual-session-idx").toString
+    // SESSION A: the index build — publishes the BM25 postings and the
+    // IVF cell assignment once, the offline half of a retrieval stack
+    val a: SparkSession = spark.newSession()
+    a.conf.set("graft.artifacts.dir", store)
+    Pipeline.bm25PostingsArt(a, sf).count()
+    Pipeline.ivfAssigned(a, sf).count()
+    val dsKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(sf.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (art <- Seq("bm25_postings", "ivf_assigned"))
+      assert(new java.io.File(s"$store/$dsKey/$art/_SUCCESS").exists(),
+        s"session A must publish $art")
+
+    // SESSION B: a fresh serving session — its index subtree must BE
+    // the store (a parquet scan), never a corpus re-index
+    val b: SparkSession = spark.newSession()
+    b.conf.set("graft.artifacts.dir", store)
+    val servedPlan = Pipeline.bm25PostingsArt(b, sf)
+      .queryExecution.executedPlan.toString
+    assert(servedPlan.contains("FileScan parquet") &&
+      servedPlan.contains(new java.io.File(store).getName),
+      s"session B's postings must scan the store, plan was:\n$servedPlan")
+
+    val r: SparkSession = spark.newSession()
+    r.conf.set("graft.artifacts.reuse", "false")
+
+    for (name <- retrievalConsumers) {
+      val fromStore = rowsOf(SparkEntry.queries(name)(b, sf))
+      val rebuilt = rowsOf(SparkEntry.queries(name)(r, sf))
+      assert(fromStore == rebuilt,
+        s"$name: store-served result diverges from rebuilt")
+      assert(fromStore.nonEmpty, s"$name: vacuous comparison")
+    }
+  }
 }

@@ -370,6 +370,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("headline fingerprints hold under the cluster-shaped profile") {
+    // VERDICT r14 item 7: the engine only ever runs local[32]; replay
+    // the whole fingerprint pin under the cluster profile (2000 shuffle
+    // partitions, skew-join on, default broadcast threshold —
+    // Session.applyClusterProfile) so the 100-TB-graded plan shapes are
+    // provably not an artifact of the 32-partition local config. Any
+    // intended divergence gets adjudicated here per query, next to the
+    // profile that produced it.
+    spark.catalog.clearCache()
+    val prior = graft.Session.applyClusterProfile(spark)
+    spark.conf.set("graft.stage.materialize", "none")
+    spark.conf.set("graft.artifacts.reuse", "false")
+    try HeadlineFingerprints.foreach { case (q, expect) =>
+      val got = graft.tools.PlanFingerprint.of(plan(q))
+      assert(got == expect,
+        s"$q plan shape diverges under the cluster profile:" +
+          s"\n  local    $expect\n  cluster  $got")
+    } finally {
+      spark.conf.unset("graft.stage.materialize")
+      spark.conf.unset("graft.artifacts.reuse")
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("p89's profile shuffles are digest-keyed — raw values never key an exchange") {
     // staging off so localCheckpoint doesn't truncate the plan under test
     spark.conf.set("graft.stage.materialize", "none")

@@ -120,6 +120,50 @@ object DoorScanBench {
         f"stream=$ts%.3f (${nTrain / ts}%.0f rows/s) " +
         f"apply=$ta%.3f (${nTrain / ta}%.0f rows/s) " +
         f"batch_semijoin=$tb%.3f (${nTrain / tb}%.0f rows/s)")
+      // PARTITIONED file source (VERDICT r14 item 3): the MemoryStream
+      // number above is a single-partition per-core floor; the scanner
+      // is a stateless map, so throughput should scale ~linearly with
+      // source partitions. Measure it instead of asserting it: the
+      // train split written as an 8-file and a 32-file parquet dir,
+      // streamed through the SAME scanner via the file source (first
+      // micro-batch carries all files → task parallelism = files).
+      locally {
+        import org.apache.spark.sql.streaming.OutputMode
+        for (parts <- Seq(8, 32)) {
+          val dir = s"/tmp/graft-doorscan/src-$parts"
+          train.repartition(parts).write.mode("overwrite").parquet(dir)
+          def fsOnce(): Double = {
+            val src = spark.readStream.schema(train.schema).parquet(dir)
+            val q = Streams.substringContamMatches(src, evalHv)
+              .writeStream.format("noop")
+              .outputMode(OutputMode.Append).start()
+            try time(q.processAllAvailable()) finally q.stop()
+          }
+          fsOnce(): Unit // warmup
+          val tf = (1 to 3).map(_ => fsOnce()).min
+          println(f"DOORSCAN eval=$e file_source parts=$parts " +
+            f"t=$tf%.3f (${nTrain / tf}%.0f rows/s, " +
+            f"${nTrain / tf / parts}%.0f rows/s/partition)")
+        }
+        // stream/batch identity at a partitioned configuration: the
+        // 8-file source's emitted rows must equal the batch transform's
+        if (e == 100000L) {
+          val src = spark.readStream.schema(train.schema)
+            .parquet("/tmp/graft-doorscan/src-8")
+          val q = Streams.substringContamMatches(src, evalHv)
+            .writeStream.format("memory").queryName("doorscan_identity")
+            .outputMode(OutputMode.Append).start()
+          try q.processAllAvailable() finally q.stop()
+          val sRows = spark.table("doorscan_identity")
+            .collect().map(_.toString).sorted
+          val bRows = Streams.substringContamMatches(train.toDF(), evalHv)
+            .collect().map(_.toString).sorted
+          val ok = sRows.sameElements(bRows)
+          println(s"DOORSCAN identity parts=8 rows=${sRows.length} " +
+            s"identical=$ok")
+          require(ok, "partitioned stream diverged from batch transform")
+        }
+      }
       evalHv.unpersist(): Unit
     }
     spark.stop()

@@ -166,22 +166,35 @@ object Dialect extends QueryModule {
     // TPC-H Q1 shape: the pricing-summary scan — every aggregate stays
     // an exact decimal sum (the disc-price/charge products widen scale,
     // still exact); averages divide the identical double by the
-    // identical count once at output.
+    // identical count once at output. The two product sums are rounded
+    // back to MONEY scale (2) before the final DOUBLE cast: at sf1 the
+    // scale-6 charge sum carries 17 significant digits, where the two
+    // engines' decimal→double conversions legitimately differ by one
+    // ULP (DuckDB double-rounds through int128/10^6; Spark converts the
+    // unscaled BigDecimal correctly rounded). At scale 2 the unscaled
+    // value stays below 2^53 for decades of growth, so BOTH conversions
+    // are a single exact-to-double rounding of the same rational —
+    // bit-identical by construction, and the output is the money amount
+    // TPC-H reports anyway. ROUND, not a decimal downcast: Spark's cast
+    // rounds HALF_UP but DuckDB's TRUNCATES (probed: 1.019::dec(10,2)
+    // = 1.01), while both engines' ROUND is half-away-from-zero.
     "s28_sql_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |    AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
         |    AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |    * (CAST(1 AS DECIMAL(12,2))
-        |       - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |       - CAST(l_discount AS DECIMAL(12,2)))), 2)
+        |    AS DOUBLE)
         |    AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |    * (CAST(1 AS DECIMAL(12,2))
         |       - CAST(l_discount AS DECIMAL(12,2)))
         |    * (CAST(1 AS DECIMAL(12,2))
-        |       + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |       + CAST(l_tax AS DECIMAL(12,2)))), 2)
+        |    AS DOUBLE) AS sum_charge,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
         |    / COUNT(*) AS avg_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)

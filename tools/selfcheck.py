@@ -6,11 +6,20 @@ runs each oracle SQL in DuckDB over the same scale-factor parquet tables,
 and compares: schema (column names + dtypes), row count, and an
 order-insensitive exact value comparison.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [nameFilter] [timeoutSec]
+
+  nameFilter: comma-separated query names ("-" = all, the default).
+  timeoutSec: per-oracle wall budget; a DuckDB run past it is interrupted
+      and reported as "TIMEOUT" (counted separately from FAIL, and the
+      exit code stays 0 if everything else passes). Used for the big
+      scale rungs (sf1/sf10) where a handful of deliberately-quadratic
+      audit oracles would otherwise dominate the sweep.
 """
 import json
 import math
 import sys
+import threading
+import time
 from pathlib import Path
 
 import duckdb
@@ -53,20 +62,46 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
-    n_pass = n_fail = 0
+    only = None
+    if len(sys.argv) > 3 and sys.argv[3] != "-":
+        only = set(sys.argv[3].split(","))
+    timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
+    n_pass = n_fail = n_timeout = 0
     for name, sql in sorted(oracles.items()):
+        if only is not None and name not in only:
+            continue
         spark_path = f"{out_dir}/{name}"
         if not Path(spark_path).exists():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        timed_out = threading.Event()
+        timer = None
+        if timeout is not None:
+            def kill(c=con, ev=timed_out):
+                ev.set()
+                c.interrupt()
+            timer = threading.Timer(timeout, kill)
+            timer.start()
+        t0 = time.monotonic()
         try:
             got = pd.read_parquet(spark_path)
             want = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: {e}")
-            n_fail += 1
+            if timed_out.is_set():
+                print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s")
+                n_timeout += 1
+            else:
+                print(f"FAIL {name}: {e}")
+                n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
+            if timeout is not None:
+                dt = time.monotonic() - t0
+                if dt > timeout / 2:
+                    print(f"  (slow oracle {name}: {dt:.0f}s)")
         got, want = canon(got), canon(want)
         problems = []
         if list(got.columns) != list(want.columns):
@@ -90,7 +125,10 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    if n_timeout:
+        print(f"== {n_pass} pass, {n_fail} fail, {n_timeout} timeout ==")
+    else:
+        print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
 

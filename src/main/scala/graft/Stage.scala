@@ -30,6 +30,20 @@ object Stage {
   implicit class StageOps(private val df: DataFrame) extends AnyVal {
     /** Cut the plan here per the session's staging mode. */
     def staged: DataFrame = Stage.materialize(df)
+
+    /** Cut the plan here with DISK-backed block storage — for
+      * CORPUS-SIZED reused subtrees (gram/token censuses, full pair
+      * frames). `staged`'s default `local` mode holds blocks in unified
+      * memory, where `spark.memory.storageFraction` of the pool is
+      * unevictable: a multi-GB staged census squeezes every concurrent
+      * aggregation task into a sliver of execution memory, and at sf10
+      * that starved a 32-way hash aggregate to death
+      * (UNABLE_TO_ACQUIRE_MEMORY) — the p112 post-mortem. Disk blocks
+      * cost one write + streamed reads and take ZERO unified memory,
+      * which is the right trade exactly when the frame is too big to
+      * want in memory anyway. Small bounded frames (band tables, capped
+      * candidates, threshold grids) should keep using `staged`. */
+    def stagedDisk: DataFrame = Stage.materializeDisk(df)
   }
 
   def materialize(df: DataFrame): DataFrame = {
@@ -47,6 +61,21 @@ object Stage {
       case other => throw new IllegalArgumentException(
         s"graft.stage.materialize must be one of local|reliable|persist|none," +
           s" got '$other'")
+    }
+  }
+
+  /** [[StageOps.stagedDisk]]: same mode switch, disk-backed levels.
+    * `local` keeps localCheckpoint's lineage-truncation semantics (and
+    * its lost-executor caveat) but stores the blocks DISK_ONLY;
+    * `persist` likewise. `reliable` and `none` are unchanged — a
+    * reliable checkpoint is already a filesystem write. */
+  def materializeDisk(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("graft.stage.materialize", "local") match {
+      case "local" =>
+        df.localCheckpoint(eager = false, StorageLevel.DISK_ONLY)
+      case "persist" => df.persist(StorageLevel.DISK_ONLY)
+      case _ => materialize(df)
     }
   }
 }

@@ -79,7 +79,7 @@ trait PipelineDedup extends PipelineVectors {
       .filter(col("ms").isNotNull)
       .select(col("doc_id"), col("ms.sig").as("sig"),
         col("ms.shset").as("shset"), col("ms.n").as("n"))
-      .staged
+      .stagedDisk // carries every doc's full shingle-id SET: corpus-token-sized
 
 
   /** The pre-native declarative sketch (explode shingle rows → md5 hex →
@@ -572,7 +572,7 @@ trait PipelineDedup extends PipelineVectors {
         graft.functions.ShingleIdSet.shingleIdSet(col("text"), ShingleW)
           .as("st"))
       .filter(col("st").isNotNull)
-      .staged
+      .stagedDisk // full per-doc shingle sets: corpus-token-sized
     // st is sorted ascending, so slice(st, 1, k) IS the k smallest ids
     val sets = sets0
       .select(col("doc_id"), col("st"), size(col("st")).cast(LongType).as("n"),
@@ -636,7 +636,7 @@ trait PipelineDedup extends PipelineVectors {
         .isNull)
       .withColumn("aa", vdotl(col("qv"), col("qv")))
       .select("vec_id", "cell", "d2", "qv", "aa")
-      .staged // read 3×: both self-join sides + the census
+      .stagedDisk // read 3×: both self-join sides + the census; rows carry full quantized vectors — corpus-vector-sized
     val dropped = m
       .join(m.select(col("cell"), col("vec_id").as("o_id"),
         col("d2").as("o_d2"), col("qv").as("o_qv"), col("aa").as("o_aa")),
@@ -930,7 +930,7 @@ trait PipelineDedup extends PipelineVectors {
       .select(explode(col("st")).as("g")).distinct()
     val trainGrams = docs.filter(pmod(col("doc_id"), lit(29L)) =!= 7)
       .select(col("doc_id"), explode(col("st")).as("g"))
-      .staged
+      .stagedDisk // one row per train gram: corpus-token-sized
     trainGrams.join(evalGrams, Seq("g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
       .join(trainGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
@@ -986,7 +986,7 @@ trait PipelineDedup extends PipelineVectors {
       .select(col("doc_id"), col("j"),
         h60(concat_ws(" ", slice(col("t"), col("j"), lit(SpanW))))
           .as("hv"))
-      .staged // read by the eval set and the train side
+      .stagedDisk // one row per token window: corpus-token-sized; read by the eval set and the train side
     val evalHv = starts.filter(isEval).select("hv").distinct()
     val matched = starts.filter(!isEval)
       .join(evalHv, Seq("hv"), "left_semi")
@@ -1154,15 +1154,28 @@ trait PipelineDedup extends PipelineVectors {
     * span-dedup pass (p37/p75) should run at, measured instead of
     * assumed.
     *
-    * Scale shape: ONE corpus scan computes every width's per-doc
-    * distinct gram set in a single projection (the native map-only
-    * [[graft.functions.ShingleIdSet]], once per width, exploded from
-    * one struct array); the only corpus-keyed shuffle is the (w, gram)
-    * doc-frequency count (map-side combined). Doc verdicts ride a
-    * (w, gram)-keyed join of the gram rows back to the bounded df
-    * table, then per-(w, doc) and per-w aggregates. Fractions follow
-    * p107's exact-ppm rule; widths with no eligible docs still emit
-    * their row with NULL fractions (p100's grid rule). */
+    * Scale shape (reworked after the sf10 post-mortem, where the first
+    * form died of UNABLE_TO_ACQUIRE_MEMORY): ONE corpus scan computes
+    * every width's per-doc distinct gram set in a single projection
+    * (the native map-only [[graft.functions.ShingleIdSet]], once per
+    * width, exploded from one struct array); the only corpus-keyed
+    * shuffle is the (w, gram) doc-frequency count (map-side combined,
+    * its exchange planned once and reused). Neither the gram rows nor
+    * the per-gram counts are ever STAGED — at census scale both are
+    * corpus-sized (~140M rows at sf10), and pinning them in unified
+    * memory is what starved the aggregate. The three reductions are
+    * built so everything that persists is SMALL:
+    *  - doc verdicts LEFT-SEMI-join the gram rows against only the
+    *    DUPLICATED grams (df > 1) — a dup-RATE-bounded set, staged —
+    *    instead of joining the full df table back to every gram row;
+    *  - n_docs comes straight from per-doc token counts (a doc has a
+    *    width-w gram iff it has >= w tokens — [[ShingleIdSet]]'s NULL
+    *    rule), no gram rows involved;
+    *  - the gram-level counts aggregate the df table straight down to
+    *    one row per width.
+    * Fractions follow p107's exact-ppm rule; widths with no eligible
+    * docs still emit their row with NULL fractions (p100's grid
+    * rule). */
   private[queries] def p112DupSpectrum: Q = (s, d) =>
     dupSpectrumOf(s, docsBalanced(s, d))
 
@@ -1180,21 +1193,29 @@ trait PipelineDedup extends PipelineVectors {
             .as("st"))): _*)).as("x"))
       .filter(col("x.st").isNotNull) // docs with < w tokens: no rows at w
       .select(col("doc_id"), col("x.w").as("w"), explode(col("x.st")).as("g"))
-      .staged // read by the df count and the doc-verdict join
-    val dfreq = grams.groupBy("w", "g").agg(count(lit(1)).as("df")).staged
+      // deliberately un-staged: corpus-sized (see scaladoc)
+    val dfreq = grams.groupBy("w", "g").agg(count(lit(1)).as("df"))
     val gramAgg = dfreq.groupBy("w")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
-    val docAgg = grams.join(dfreq, Seq("w", "g"))
-      .groupBy("w", "doc_id").agg(max(col("df")).as("mx"))
-      .groupBy("w")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("mx") > 1, 1L).otherwise(0L)).as("n_docs_with_dup"))
+    // the duplicated grams are the dup-RATE-bounded slice — small enough
+    // to stage, and the doc verdict needs nothing else from the df table
+    val dupGrams = dfreq.filter(col("df") > 1).select("w", "g").staged
+    val dupDocAgg = grams.join(dupGrams, Seq("w", "g"), "left_semi")
+      .groupBy("w").agg(countDistinct(col("doc_id")).as("n_docs_with_dup"))
+    // a doc has >= 1 width-w gram iff it has >= w tokens (ShingleIdSet's
+    // NULL rule) — n_docs needs only the per-doc token count
+    val docAgg = docsIn
+      .select(size(tokens(col("text"))).as("ntok"))
+      .crossJoin(broadcast(widths))
+      .filter(col("ntok") >= col("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_docs"))
     def ppm(num: Column, den: Column): Column =
       when(den.isNull || den === 0L, lit(null).cast(DoubleType))
         .otherwise(ldiv(num * lit(1000000L), den).cast(DoubleType)
           / lit(1000000.0))
     widths.join(docAgg, Seq("w"), "left_outer")
+      .join(dupDocAgg, Seq("w"), "left_outer")
       .join(gramAgg, Seq("w"), "left_outer")
       .select(col("w"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
@@ -1236,7 +1257,7 @@ trait PipelineDedup extends PipelineVectors {
   private[queries] def dupRunLengthsOf(docsIn: DataFrame): DataFrame = {
     val spans = spanWindowTable(docsIn)._2
       .select("doc_id", "j", "hv")
-      .staged // read by the census and the dup-window join
+      .stagedDisk // one row per token window: corpus-token-sized; read by the census and the dup-window join
     // a window is duplicated if its span text occurs anywhere else in
     // the corpus — including the keeper copy (structure, not policy)
     val census = spans.groupBy("hv").agg(count(lit(1)).as("cnt"))
@@ -1484,7 +1505,7 @@ trait PipelineDedup extends PipelineVectors {
       .select(col("doc_id"), col("j"),
         h60(concat_ws(" ", slice(col("t"), col("j"), lit(SpanW))))
           .as("hv"))
-      .staged // read by the eval set and the train side
+      .stagedDisk // one row per token window: corpus-token-sized; read by the eval set and the train side
     val evalHv = starts.filter(isEval).select("hv").distinct()
     val matched = starts.filter(!isEval)
       .join(evalHv, Seq("hv"), "left_semi")

@@ -68,7 +68,7 @@ trait PipelineReports extends PipelineAssembly {
       .select(col("column_name"), unhex(md5(col("v"))).as("dg"), col("v"))
       .groupBy("column_name", "dg")
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("v"))
-      .staged
+      .stagedDisk // one row per (column, DISTINCT value digest): key columns make this table-sized
     val stats = grouped.groupBy("column_name").agg(
       sum(col("cnt")).as("n_rows"),
       sum(when(col("dg").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
@@ -250,7 +250,7 @@ trait PipelineReports extends PipelineAssembly {
       }.reduce(_ unionAll _)
       .select(col("fam"), col("cid"), unhex(md5(col("v"))).as("dg"))
       .distinct()
-      .staged
+      .stagedDisk // one row per (column, DISTINCT value digest): key columns make this table-sized
     val profile = stacked.groupBy("fam", "cid")
       .agg(count(lit(1)).as("nd"))
     val matched = stacked

@@ -475,7 +475,7 @@ trait PipelineText extends PipelineCore {
       .select(col("doc_id"),
         concat_ws(" ", col("prev"), col("cur")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .staged
+      .stagedDisk // one row per (doc, distinct bigram): corpus-token-sized
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("d_docs"), sum(col("dl")).as("t_toks"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))

@@ -676,7 +676,7 @@ trait PipelineVectors extends PipelineText {
       .select(col("doc_id"),
         concat_ws(" ", col("prev"), col("cur")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .staged
+      .stagedDisk // one row per (doc, distinct bigram): corpus-token-sized
     val po = bm25PostingsFromTf(
         tf.filter(pmod(col("doc_id"), lit(10L)) =!= 0))
       .withColumnRenamed("term_q", "tq_old")

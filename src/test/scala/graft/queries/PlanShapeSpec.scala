@@ -483,12 +483,19 @@ class PlanShapeSpec extends SparkSpec {
       val p111 = plan("p111_dedup_threshold_curve")
       assert(!p111.contains("CartesianProduct"),
         s"p111 plans a cartesian:\n$p111")
-      // p112's only corpus-keyed exchanges are the (w, gram) df count
-      // chain; the width struct explode must NOT become a join
+      // p112's only corpus-keyed exchange is the (w, gram) df count
+      // chain; the gram build must NOT become a join. The n_docs path
+      // legitimately plans ONE BroadcastNestedLoopJoin — the 4-row
+      // widths grid against per-doc token counts (p111's threshold-grid
+      // pattern: a broadcast inequality join on a constant table) —
+      // so the ban is on CartesianProduct and on any BNLJ beyond it
       val p112 = plan("p112_dup_spectrum")
-      assert(!p112.contains("CartesianProduct") &&
-        !p112.contains("BroadcastNestedLoopJoin"),
+      assert(!p112.contains("CartesianProduct"),
         s"p112 went all-pairs:\n$p112")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p112).size <= 1,
+        s"p112 grew a second nested-loop join:\n$p112")
+      assert("hashpartitioning\\(w#\\d+, g#\\d+".r.findFirstIn(p112).isDefined,
+        s"p112 lost its (w, gram) census exchange:\n$p112")
       // p113/p114's island windows run over the SPARSE dup rows keyed
       // by doc — a window without partitioning would funnel the corpus
       Seq("p113_dup_run_lengths", "p114_run_strip").foreach { q =>

@@ -31,6 +31,37 @@ class ReuseStageSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // a query whose corpus-sized subtrees use the DISK-backed cut
+  // (p112's duplicated-gram slice + p113's window table — the sf10
+  // post-mortem sites)
+  private def runDisk(): Set[Seq[Any]] =
+    Pipeline.queries("p113_dup_run_lengths")(spark, sf)
+      .collect().map(_.toSeq).toSet
+
+  test("all staging modes agree through stagedDisk cuts") {
+    val expect = runDisk() // default: local → DISK_ONLY localCheckpoint
+    Seq("reliable", "persist", "none").foreach { mode =>
+      spark.conf.set("graft.stage.materialize", mode)
+      try assert(runDisk() == expect, s"mode=$mode diverged")
+      finally spark.conf.unset("graft.stage.materialize")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("stagedDisk local mode keeps blocks OFF the unified memory pool") {
+    val df = graft.Stage.materializeDisk(
+      Tables(spark, sf, "nation").select(col("n_nationkey")))
+    assert(df.count() == 25)
+    // the materialized RDD's blocks must be disk-only: zero bytes in
+    // block-manager memory (the p112 starvation mechanism)
+    val rddInfos = spark.sparkContext.getRDDStorageInfo
+    val mine = rddInfos.filter(_.storageLevel.useDisk)
+      .filter(!_.storageLevel.useMemory)
+    assert(mine.nonEmpty, "no DISK_ONLY-cached RDD found after stagedDisk")
+    assert(mine.forall(_.memSize == 0L),
+      s"stagedDisk blocks occupy memory: ${mine.map(_.memSize).toSeq}")
+  }
+
   test("reliable mode writes recoverable checkpoint files") {
     spark.conf.set("graft.stage.materialize", "reliable")
     try {

@@ -291,6 +291,14 @@ trait PipelineDedup extends PipelineVectors {
         col("n_chars").as("lb")), "doc_b")
       .withColumn("mx", greatest(col("la"), col("lb")))
       .filter(abs(col("la") - col("lb")) <= lit(EditRelThreshold) * col("mx"))
+      // Spread the DP uniformly: after the broadcast joins the pairs
+      // inherit the DOCS scan's partitioning, and near-dup pairs are id-
+      // LOCAL (dup clusters sit in adjacent ids → the same row groups),
+      // so the Levenshtein work piles onto a few partitions — at sf10
+      // one task carried the whole tail for ~13 min. This exchange moves
+      // only the CAP-BOUNDED candidate pairs (never the corpus), and
+      // hash(doc_a, doc_b) is uniform by construction.
+      .repartition(col("doc_a"), col("doc_b"))
       // Threshold-banded DP (Ukkonen): O(d·n) per pair instead of O(n²),
       // with early exit (-1) the moment a pair provably exceeds the
       // acceptance bound. dist is an integer, so the floor'd threshold

@@ -6,7 +6,7 @@ runs each oracle SQL in DuckDB over the same scale-factor parquet tables,
 and compares: schema (column names + dtypes), row count, and an
 order-insensitive exact value comparison.
 
-Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [nameFilter] [timeoutSec]
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [nameFilter] [timeoutSec] [mode]
 
   nameFilter: comma-separated query names ("-" = all, the default).
   timeoutSec: per-oracle wall budget; a DuckDB run past it is interrupted
@@ -14,6 +14,16 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [nameFilter] [timeoutSe
       exit code stays 0 if everything else passes). Used for the big
       scale rungs (sf1/sf10) where a handful of deliberately-quadratic
       audit oracles would otherwise dominate the sweep.
+  mode: "rowkey" (default) = the original order-insensitive exact compare
+      in Python — repr-stable per value, byte-exact on floats. "fast" =
+      the same schema/dtype/count checks, but value equality via DuckDB
+      EXCEPT ALL in both directions (multiset-exact, engine-side): at
+      sf10 a 16M-row output takes ~10 min to CHECK in rowkey mode
+      (~100k rows/s of Python) and seconds in fast mode. Caveat: fast
+      mode compares floats by VALUE with NaN = NaN (DuckDB DISTINCT
+      semantics), so it cannot distinguish -0.0 from 0.0 or two NaN
+      payloads the way repr does — use rowkey mode when a query's
+      contract hangs on float bit patterns.
 """
 import json
 import math
@@ -66,6 +76,7 @@ def main():
     if len(sys.argv) > 3 and sys.argv[3] != "-":
         only = set(sys.argv[3].split(","))
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
+    fast = len(sys.argv) > 5 and sys.argv[5] == "fast"
     n_pass = n_fail = n_timeout = 0
     for name, sql in sorted(oracles.items()):
         if only is not None and name not in only:
@@ -85,6 +96,46 @@ def main():
             timer.start()
         t0 = time.monotonic()
         try:
+            if fast:
+                sp = (f"read_parquet('{spark_path}/*.parquet')"
+                      if Path(spark_path).is_dir()
+                      else f"read_parquet('{spark_path}')")
+                got0 = con.execute(f"SELECT * FROM {sp} LIMIT 0").df()
+                con.execute(
+                    f"CREATE OR REPLACE TEMP VIEW _want AS ({sql})")
+                want0 = con.execute("SELECT * FROM _want LIMIT 0").df()
+                got0, want0 = canon(got0), canon(want0)
+                problems = []
+                if list(got0.columns) != list(want0.columns):
+                    problems.append(
+                        f"cols spark={list(got0.columns)} duck={list(want0.columns)}")
+                else:
+                    gd = {c: str(got0[c].dtype) for c in got0.columns}
+                    wd = {c: str(want0[c].dtype) for c in want0.columns}
+                    if gd != wd:
+                        problems.append(f"dtypes spark={gd} duck={wd}")
+                if not problems:
+                    sel = ", ".join(f'"{c}"' for c in got0.columns)
+                    ng, nw, nd = con.execute(
+                        f"SELECT (SELECT count(*) FROM {sp}),"
+                        f" (SELECT count(*) FROM _want),"
+                        f" (SELECT count(*) FROM ("
+                        f"  (SELECT {sel} FROM {sp} EXCEPT ALL"
+                        f"   SELECT {sel} FROM _want)"
+                        f"  UNION ALL"
+                        f"  (SELECT {sel} FROM _want EXCEPT ALL"
+                        f"   SELECT {sel} FROM {sp})))").fetchone()
+                    if ng != nw:
+                        problems.append(f"rows spark={ng} duck={nw}")
+                    elif nd != 0:
+                        problems.append(f"{nd} rows differ (multiset)")
+                if problems:
+                    print(f"FAIL {name}: " + " | ".join(problems))
+                    n_fail += 1
+                else:
+                    print(f"PASS {name} ({ng} rows, fast)")
+                    n_pass += 1
+                continue
             got = pd.read_parquet(spark_path)
             want = con.execute(sql).df()
         except Exception as e:

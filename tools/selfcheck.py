@@ -9,11 +9,21 @@ order-insensitive exact value comparison.
 Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [nameFilter] [timeoutSec] [mode]
 
   nameFilter: comma-separated query names ("-" = all, the default).
-  timeoutSec: per-oracle wall budget; a DuckDB run past it is interrupted
-      and reported as "TIMEOUT" (counted separately from FAIL, and the
-      exit code stays 0 if everything else passes). Used for the big
-      scale rungs (sf1/sf10) where a handful of deliberately-quadratic
-      audit oracles would otherwise dominate the sweep.
+      A name that matches no oracle is an ERROR (nonzero exit), so a
+      typo'd gate invocation cannot silently report "0 pass, 0 fail".
+  timeoutSec: per-oracle wall budget; a DuckDB run past it is interrupted.
+      Before reporting TIMEOUT the sweep retries the oracle BRANCH BY
+      BRANCH: top-level UNION ALL arms are materialized one at a time
+      into temp tables (each arm under its own budget, the shared WITH
+      prefix carried into every arm — DuckDB only evaluates the CTEs an
+      arm references), then the compare runs against the union of the
+      materialized arms. This mechanizes the manual adjudication used
+      for the instrument-composition oracles (p90 at sf1.0, p100/p102/
+      p110/p117/p119 at sf10), whose multi-branch UNION plans trip
+      DuckDB's scheduler at scale-rung volumes. An oracle with no
+      top-level UNION ALL is retried once whole under 4x the budget.
+      Only an oracle that STILL exceeds its budget is reported TIMEOUT
+      (counted separately from FAIL; exit stays 0 if all else passes).
   mode: "rowkey" (default) = the original order-insensitive exact compare
       in Python — repr-stable per value, byte-exact on floats. "fast" =
       the same schema/dtype/count checks, but value equality via DuckDB
@@ -24,9 +34,15 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [nameFilter] [timeoutSe
       semantics), so it cannot distinguish -0.0 from 0.0 or two NaN
       payloads the way repr does — use rowkey mode when a query's
       contract hangs on float bit patterns.
+
+Every oracle runs on its own cursor (duckdb per-cursor connection), so
+an interrupt that fires as an oracle finishes lands on THIS oracle's
+cursor, never the next oracle's — a stale interrupt flag cannot turn a
+fresh query into a spurious FAIL.
 """
 import json
 import math
+import re
 import sys
 import threading
 import time
@@ -37,6 +53,152 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+class OracleTimeout(Exception):
+    def __init__(self, what):
+        self.what = what
+
+
+class Budget:
+    """Arm an interrupt timer around ONE DuckDB statement on `cur`.
+
+    The done-flag is set before timer.cancel(), so a timer that fires in
+    the cancellation window sees done and does NOT interrupt; and the
+    interrupt targets this oracle's own cursor, so even the residual
+    fire-vs-set race cannot leak into another oracle.
+    """
+
+    def __init__(self, cur, seconds, what):
+        self.cur, self.seconds, self.what = cur, seconds, what
+        self.timed_out = threading.Event()
+        self.done = threading.Event()
+        self.timer = None
+
+    def __enter__(self):
+        if self.seconds is not None:
+            def kill():
+                if not self.done.is_set():
+                    self.timed_out.set()
+                    self.cur.interrupt()
+            self.timer = threading.Timer(self.seconds, kill)
+            self.timer.start()
+        return self
+
+    def __exit__(self, etype, evalue, tb):
+        self.done.set()
+        if self.timer is not None:
+            self.timer.cancel()
+        if etype is not None and self.timed_out.is_set():
+            raise OracleTimeout(self.what)
+        return False
+
+
+def split_union_all(sql):
+    """Split `sql` into (with_prefix, [branch bodies]) on top-level
+    UNION ALL, or None if there is no top-level UNION ALL.
+
+    with_prefix is the leading WITH/WITH RECURSIVE CTE block (possibly
+    empty), carried verbatim into every branch — DuckDB evaluates only
+    the CTEs a branch actually references."""
+    # walk once recording depth + quote state per char
+    depth = 0
+    in_str = False
+    marks = []  # (pos, depth) for each char outside strings
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        marks.append((i, depth, in_str))
+        i += 1
+    depth_at = {}
+    for pos, d, s in marks:
+        depth_at[pos] = (d, s)
+
+    def at_top(pos):
+        d, s = depth_at.get(pos, (None, None))
+        return d == 0 and not s
+
+    prefix = ""
+    body_start = 0
+    m = re.match(r"\s*WITH(\s+RECURSIVE)?\b", sql, re.IGNORECASE)
+    if m:
+        # consume CTEs: name AS ( ... ) [, name AS ( ... )]*
+        pos = m.end()
+        while True:
+            op = sql.find("(", pos)
+            if op < 0:
+                return None  # malformed; give up on splitting
+            # find the matching close paren
+            d0, _ = depth_at[op]
+            close = None
+            for j in range(op + 1, n):
+                dj, sj = depth_at[j]
+                if sql[j] == ")" and not sj and dj == d0 - 1:
+                    close = j
+                    break
+            if close is None:
+                return None
+            pos = close + 1
+            rest = re.match(r"\s*,", sql[pos:])
+            if rest:
+                pos += rest.end()
+            else:
+                break
+        prefix = sql[:pos]
+        body_start = pos
+    body = sql[body_start:]
+    # split the body on top-level UNION ALL
+    cuts = []
+    for mm in re.finditer(r"\bUNION\s+ALL\b", body, re.IGNORECASE):
+        if at_top(body_start + mm.start()):
+            cuts.append((mm.start(), mm.end()))
+    if not cuts:
+        return None
+    branches = []
+    prev = 0
+    for s0, e0 in cuts:
+        branches.append(body[prev:s0])
+        prev = e0
+    branches.append(body[prev:])
+    return prefix, [b.strip() for b in branches]
+
+
+def materialize_branches(cur, sql, timeout, name):
+    """Branch-by-branch retry after a budget trip: materialize each
+    top-level UNION ALL arm into its own temp table (one arm per budget
+    window), return a FROM-able SQL expression for their union.
+    Raises OracleTimeout if any single arm still exceeds the budget."""
+    parts = split_union_all(sql)
+    if parts is None:
+        # no top-level UNION ALL: one whole-oracle retry at 4x budget
+        with Budget(cur, timeout * 4 if timeout else None,
+                    f"{name} retry at 4x budget"):
+            cur.execute(f"CREATE OR REPLACE TEMP TABLE _b0 AS ({sql})")
+        print(f"  (oracle {name}: passed on whole-query retry at 4x budget)")
+        return "_b0"
+    prefix, branches = parts
+    for i, b in enumerate(branches):
+        stmt = f"CREATE OR REPLACE TEMP TABLE _b{i} AS ({prefix} {b})"
+        with Budget(cur, timeout, f"{name} branch {i + 1}/{len(branches)}"):
+            cur.execute(stmt)
+    print(f"  (oracle {name}: materialized {len(branches)} UNION ALL "
+          f"branches under per-branch budget)")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM _b{i}" for i in range(len(branches)))
+    return f"({union})"
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -60,6 +222,119 @@ def rows_key(df: pd.DataFrame):
     return sorted(out)
 
 
+def compare_fast(cur, name, spark_rel, want_rel, timeout):
+    """Schema + count + engine-side multiset compare. `want_rel` is a
+    FROM-able SQL expression for the ALREADY-MATERIALIZED oracle result.
+
+    One simple statement per Budget: DuckDB 1.0 does not honor
+    interrupt() inside a statement whose uncorrelated scalar subqueries
+    carry the work (measured: a 3-scalar-subquery compare ran 30 s
+    through a 3 s interrupt; a bare count / CTAS aborts on time), so the
+    compare never packs the heavy relations into scalar subqueries."""
+    got0 = cur.execute(f"SELECT * FROM {spark_rel} LIMIT 0").df()
+    want0 = cur.execute(f"SELECT * FROM {want_rel} LIMIT 0").df()
+    got0, want0 = canon(got0), canon(want0)
+    problems = []
+    if list(got0.columns) != list(want0.columns):
+        problems.append(
+            f"cols spark={list(got0.columns)} duck={list(want0.columns)}")
+    else:
+        gd = {c: str(got0[c].dtype) for c in got0.columns}
+        wd = {c: str(want0[c].dtype) for c in want0.columns}
+        if gd != wd:
+            problems.append(f"dtypes spark={gd} duck={wd}")
+    ng = None
+    if not problems:
+        sel = ", ".join(f'"{c}"' for c in got0.columns)
+        with Budget(cur, timeout, f"{name} count spark"):
+            ng = cur.execute(
+                f"SELECT count(*) FROM {spark_rel}").fetchone()[0]
+        with Budget(cur, timeout, f"{name} count oracle"):
+            nw = cur.execute(
+                f"SELECT count(*) FROM {want_rel}").fetchone()[0]
+        if ng != nw:
+            problems.append(f"rows spark={ng} duck={nw}")
+        else:
+            with Budget(cur, timeout, f"{name} multiset compare"):
+                nd = cur.execute(
+                    f"SELECT count(*) FROM ("
+                    f"  (SELECT {sel} FROM {spark_rel} EXCEPT ALL"
+                    f"   SELECT {sel} FROM {want_rel})"
+                    f"  UNION ALL"
+                    f"  (SELECT {sel} FROM {want_rel} EXCEPT ALL"
+                    f"   SELECT {sel} FROM {spark_rel}))").fetchone()[0]
+            if nd != 0:
+                problems.append(f"{nd} rows differ (multiset)")
+    return problems, ng
+
+
+def compare_rowkey(got, want):
+    got, want = canon(got), canon(want)
+    problems = []
+    if list(got.columns) != list(want.columns):
+        problems.append(
+            f"cols spark={list(got.columns)} duck={list(want.columns)}")
+    if len(got) != len(want):
+        problems.append(f"rows spark={len(got)} duck={len(want)}")
+    if not problems:
+        gd = {c: str(got[c].dtype) for c in got.columns}
+        wd = {c: str(want[c].dtype) for c in want.columns}
+        if gd != wd:
+            problems.append(f"dtypes spark={gd} duck={wd}")
+    if not problems and rows_key(got) != rows_key(want):
+        gk, wk = rows_key(got), rows_key(want)
+        diff = [i for i, (a, b) in enumerate(zip(gk, wk)) if a != b][:3]
+        problems.append(f"values differ at sorted idx {diff}; "
+                        f"ex spark={gk[diff[0]] if diff else '?'} "
+                        f"duck={wk[diff[0]] if diff else '?'}")
+    return problems, len(got)
+
+
+def run_one(cur, name, sql, spark_path, timeout, fast):
+    """Returns ('pass'|'fail'|'timeout', detail)."""
+    spark_rel = (f"read_parquet('{spark_path}/*.parquet')"
+                 if Path(spark_path).is_dir()
+                 else f"read_parquet('{spark_path}')")
+    t0 = time.monotonic()
+    try:
+        if fast:
+            # materialize the oracle ONCE (CTAS is interruptible, and the
+            # compare then reads the materialized rows instead of
+            # re-running the oracle for each of count + 2x EXCEPT)
+            try:
+                with Budget(cur, timeout, f"{name} oracle"):
+                    cur.execute(
+                        f"CREATE OR REPLACE TEMP TABLE _want AS ({sql})")
+                want_rel = "_want"
+            except OracleTimeout:
+                want_rel = materialize_branches(cur, sql, timeout, name)
+            problems, ng = compare_fast(
+                cur, name, spark_rel, want_rel, timeout)
+            return (("fail", " | ".join(problems)) if problems
+                    else ("pass", f"{ng} rows, fast"))
+        # rowkey mode: the parquet read is NOT under the oracle budget
+        # (the budget protects against runaway DuckDB plans; a slow read
+        # must not eat the window the execute needs).
+        got = pd.read_parquet(spark_path)
+        try:
+            with Budget(cur, timeout, f"{name} oracle"):
+                want = cur.execute(sql).df()
+        except OracleTimeout:
+            want_rel = materialize_branches(cur, sql, timeout, name)
+            with Budget(cur, timeout, f"{name} fetch after branch split"):
+                want = cur.execute(f"SELECT * FROM {want_rel}").df()
+        problems, nrows = compare_rowkey(got, want)
+        return (("fail", " | ".join(problems)) if problems
+                else ("pass", f"{nrows} rows"))
+    except OracleTimeout as t:
+        return ("timeout", f"exceeded budget at: {t.what}")
+    finally:
+        if timeout is not None:
+            dt = time.monotonic() - t0
+            if dt > timeout / 2:
+                print(f"  (slow oracle {name}: {dt:.0f}s)")
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -75,6 +350,11 @@ def main():
     only = None
     if len(sys.argv) > 3 and sys.argv[3] != "-":
         only = set(sys.argv[3].split(","))
+        unknown = only - set(oracles)
+        if unknown:
+            print(f"ERROR: nameFilter entries match no oracle: "
+                  f"{sorted(unknown)}")
+            sys.exit(2)
     timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
     fast = len(sys.argv) > 5 and sys.argv[5] == "fast"
     n_pass = n_fail = n_timeout = 0
@@ -86,96 +366,21 @@ def main():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        timed_out = threading.Event()
-        timer = None
-        if timeout is not None:
-            def kill(c=con, ev=timed_out):
-                ev.set()
-                c.interrupt()
-            timer = threading.Timer(timeout, kill)
-            timer.start()
-        t0 = time.monotonic()
+        cur = con.cursor()  # oracle-scoped: stale interrupts cannot leak
         try:
-            if fast:
-                sp = (f"read_parquet('{spark_path}/*.parquet')"
-                      if Path(spark_path).is_dir()
-                      else f"read_parquet('{spark_path}')")
-                got0 = con.execute(f"SELECT * FROM {sp} LIMIT 0").df()
-                con.execute(
-                    f"CREATE OR REPLACE TEMP VIEW _want AS ({sql})")
-                want0 = con.execute("SELECT * FROM _want LIMIT 0").df()
-                got0, want0 = canon(got0), canon(want0)
-                problems = []
-                if list(got0.columns) != list(want0.columns):
-                    problems.append(
-                        f"cols spark={list(got0.columns)} duck={list(want0.columns)}")
-                else:
-                    gd = {c: str(got0[c].dtype) for c in got0.columns}
-                    wd = {c: str(want0[c].dtype) for c in want0.columns}
-                    if gd != wd:
-                        problems.append(f"dtypes spark={gd} duck={wd}")
-                if not problems:
-                    sel = ", ".join(f'"{c}"' for c in got0.columns)
-                    ng, nw, nd = con.execute(
-                        f"SELECT (SELECT count(*) FROM {sp}),"
-                        f" (SELECT count(*) FROM _want),"
-                        f" (SELECT count(*) FROM ("
-                        f"  (SELECT {sel} FROM {sp} EXCEPT ALL"
-                        f"   SELECT {sel} FROM _want)"
-                        f"  UNION ALL"
-                        f"  (SELECT {sel} FROM _want EXCEPT ALL"
-                        f"   SELECT {sel} FROM {sp})))").fetchone()
-                    if ng != nw:
-                        problems.append(f"rows spark={ng} duck={nw}")
-                    elif nd != 0:
-                        problems.append(f"{nd} rows differ (multiset)")
-                if problems:
-                    print(f"FAIL {name}: " + " | ".join(problems))
-                    n_fail += 1
-                else:
-                    print(f"PASS {name} ({ng} rows, fast)")
-                    n_pass += 1
-                continue
-            got = pd.read_parquet(spark_path)
-            want = con.execute(sql).df()
-        except Exception as e:
-            if timed_out.is_set():
-                print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s")
-                n_timeout += 1
-            else:
-                print(f"FAIL {name}: {e}")
-                n_fail += 1
-            continue
+            status, detail = run_one(cur, name, sql, spark_path,
+                                     timeout, fast)
         finally:
-            if timer is not None:
-                timer.cancel()
-            if timeout is not None:
-                dt = time.monotonic() - t0
-                if dt > timeout / 2:
-                    print(f"  (slow oracle {name}: {dt:.0f}s)")
-        got, want = canon(got), canon(want)
-        problems = []
-        if list(got.columns) != list(want.columns):
-            problems.append(f"cols spark={list(got.columns)} duck={list(want.columns)}")
-        if len(got) != len(want):
-            problems.append(f"rows spark={len(got)} duck={len(want)}")
-        if not problems:
-            gd = {c: str(got[c].dtype) for c in got.columns}
-            wd = {c: str(want[c].dtype) for c in want.columns}
-            if gd != wd:
-                problems.append(f"dtypes spark={gd} duck={wd}")
-        if not problems and rows_key(got) != rows_key(want):
-            gk, wk = rows_key(got), rows_key(want)
-            diff = [i for i, (a, b) in enumerate(zip(gk, wk)) if a != b][:3]
-            problems.append(f"values differ at sorted idx {diff}; "
-                            f"ex spark={gk[diff[0]] if diff else '?'} "
-                            f"duck={wk[diff[0]] if diff else '?'}")
-        if problems:
-            print(f"FAIL {name}: " + " | ".join(problems))
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(got)} rows)")
+            cur.close()
+        if status == "pass":
+            print(f"PASS {name} ({detail})")
             n_pass += 1
+        elif status == "timeout":
+            print(f"TIMEOUT {name}: {detail}")
+            n_timeout += 1
+        else:
+            print(f"FAIL {name}: {detail}")
+            n_fail += 1
     if n_timeout:
         print(f"== {n_pass} pass, {n_fail} fail, {n_timeout} timeout ==")
     else:

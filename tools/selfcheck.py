@@ -338,6 +338,12 @@ def run_one(cur, name, sql, spark_path, timeout, fast):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # Bound the spill: at sf10 one instrument oracle's CTAS spilled the
+    # disk FULL (>70 GB of duckdb_temp_storage), killing not just its
+    # own sweep but every concurrently-running Spark JVM on the host.
+    # With a cap the runaway oracle aborts alone and is reported FAIL.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='30GiB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if Path(p).is_dir():  # Spark directory layout (ScaleUp output)

@@ -376,6 +376,8 @@ def main():
         try:
             status, detail = run_one(cur, name, sql, spark_path,
                                      timeout, fast)
+        except Exception as e:  # engine error (spill cap, binder, IO):
+            status, detail = "fail", f"{type(e).__name__}: {e}"
         finally:
             cur.close()
         if status == "pass":

@@ -345,15 +345,22 @@ trait PipelineReports extends PipelineAssembly {
     * p110_health_report at 1175 s, which a monitor that pages cannot
     * afford; p129 prices the recall trade). The served variant is
     * gated by its own oracle twin (p137_health_report_ivf). */
-  private def semanticScreen(s: SparkSession): Q =
-    s.conf.get("graft.contam.substrate", "exact") match {
+  private def semanticScreen(substrate: String): Q =
+    substrate match {
       case "exact" => p126SemanticDecontam
       case "ivf"   => p136SemanticDecontamIvf
       case other => throw new IllegalArgumentException(
         s"graft.contam.substrate must be exact|ivf, got '$other'")
     }
 
-  private[queries] def p110HealthReport: Q = (s, d) => {
+  /** Deployment entry point: the substrate conf is read HERE, once, and
+    * threaded down as a plain parameter — it never round-trips through
+    * mutable session state, so concurrent plan construction of p110 and
+    * p137 on one shared session cannot cross-contaminate postures. */
+  private[queries] def p110HealthReport: Q = (s, d) =>
+    healthReport(s.conf.get("graft.contam.substrate", "exact"))(s, d)
+
+  private def healthReport(substrate: String): Q = (s, d) => {
     def row(check: String, v: DataFrame, threshold: Double,
         higherBad: Boolean): DataFrame = {
       val value = col("v").cast(DoubleType)
@@ -389,7 +396,7 @@ trait PipelineReports extends PipelineAssembly {
       .union(row("lexical_contam_docs",
         p92Decontaminate(s, d).agg(count(lit(1)).as("v")), 0.0, true))
       .union(row("semantic_contam_docs",
-        semanticScreen(s)(s, d).agg(count(lit(1)).as("v")), 0.0, true))
+        semanticScreen(substrate)(s, d).agg(count(lit(1)).as("v")), 0.0, true))
       .union(row("substring_contam_docs",
         p133SubstringContam(s, d).agg(
           sum(col("verbatim_leak").cast(LongType)).as("v")), 0.0, true))
@@ -401,19 +408,11 @@ trait PipelineReports extends PipelineAssembly {
     * substrate is oracle-checked end to end (its oracle twin embeds the
     * p136 oracle where p110's embeds p126's); deployments get the same
     * effect on the real p110 by setting `graft.contam.substrate=ivf`.
-    * The conf is set only around PLAN CONSTRUCTION (the substrate choice
-    * is read eagerly), then restored, so a shared session's default
-    * posture is untouched. */
-  private[queries] def p137HealthReportIvf: Q = (s, d) => {
-    val key = "graft.contam.substrate"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "ivf")
-    try p110HealthReport(s, d)
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
-    }
-  }
+    * The substrate is passed as a plain parameter — no session conf is
+    * touched, so a shared session's default posture is untouched even
+    * under concurrent plan construction of p110/p130 on the same
+    * session. */
+  private[queries] def p137HealthReportIvf: Q = healthReport("ivf")
 
 
   /** Per-source contamination breakdown — the ACTIONABLE form of the
@@ -436,7 +435,8 @@ trait PipelineReports extends PipelineAssembly {
       .staged // read by the census and both flag joins
     val lex = p92Decontaminate(s, d).select(col("doc_id"))
       .join(src, "doc_id").staged
-    val sem = semanticScreen(s)(s, d).select(col("doc_id"))
+    val sem = semanticScreen(s.conf.get("graft.contam.substrate", "exact"))(
+      s, d).select(col("doc_id"))
       .join(src, "doc_id").staged
     val census = src.groupBy("source")
       .agg(count(lit(1)).as("n_train_docs"))

@@ -130,11 +130,11 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
-  test("p126/p127/p129/p130/p135 flag and retrieve nothing from an " +
+  test("p126/p127/p129/p130/p135/p136 flag and retrieve nothing from an " +
       "empty corpus") {
     Seq("p126_semantic_decontam", "p127_rrf_fusion",
         "p129_rrf_ivf_audit", "p130_contam_by_source",
-        "p135_rrf_ivf_serving").foreach { q =>
+        "p135_rrf_ivf_serving", "p136_semantic_decontam_ivf").foreach { q =>
       assert(Pipeline.queries(q)(spark, EmptyInputSpec.dir).count() == 0L,
         s"$q invented rows from an empty corpus")
     }
@@ -148,8 +148,12 @@ class EmptyInputSpec extends SparkSpec {
     rows.values.foreach { case (d, t) => assert(d == 0L && t == 0L) }
   }
 
-  test("p110_health_report keeps its ten rows; absent checks stay NULL") {
-    val rows = Pipeline.queries("p110_health_report")(
+  // p137 is p110 on the IVF-served screen — the empty-corpus grid
+  // contract is identical (an empty corpus has zero cells and zero
+  // flags on BOTH substrates), so both names run the same assertions.
+  Seq("p110_health_report", "p137_health_report_ivf").foreach { hr =>
+  test(s"$hr keeps its ten rows; absent checks stay NULL") {
+    val rows = Pipeline.queries(hr)(
       spark, EmptyInputSpec.dir).collect()
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
@@ -172,6 +176,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(rows("index_orphans").contains(0.0))
     assert(rows("dedup_index_recall").isEmpty,
       "recall of an empty corpus must be NULL, not a number")
+  }
   }
 
   test("p115_skew_audit keeps its domain grid: zero counts, NULL skew") {

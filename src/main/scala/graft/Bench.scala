@@ -142,28 +142,43 @@ object Bench {
     //     a fair-weather sample whenever the host offers one.
     //  2. NORMALIZED TOTAL beside the raw one: per pass, scale times by
     //     (ref / that pass's canary) — "what this pass would have read at
-    //     reference weather" — and take the min over passes per query.
-    //     First-order (queries are not pure CPU), and when any pass has
-    //     ratio ≈ 1 the min makes normalization a near-no-op; it only
-    //     carries the total when EVERY pass was bad. Raw `value` remains
-    //     the driver's scraped contract number, untouched.
+    //     reference weather". Raw `value` remains the driver's scraped
+    //     contract number, untouched. Estimator de-biased in round 17
+    //     (the r16 artifact's norm read 0.83x baseline, below any
+    //     same-tree fair-weather RAW total — impossible if the model
+    //     held, so the old estimator was biased low two ways):
+    //     a. the canary was measured only BEFORE a pass, so a mid-pass
+    //        weather improvement scaled that pass's honest times down by
+    //        a stale bad-weather ratio. Now measured before AND after;
+    //        the pass is scaled by the CONSERVATIVE reading — the
+    //        faster (smaller) canary, i.e. the best weather the pass
+    //        could have enjoyed, which scales its times down the least.
+    //     b. min-over-passes of scaled times rewards any pass whose
+    //        ratio errs low (queries are not pure CPU, so ratios carry
+    //        model error; min selects the error's low tail). Now
+    //        MEDIAN-of-scaled per query — robust to a per-pass spike
+    //        with >= 4 passes, and centered rather than tail-seeking.
     val canaryParRef = 0.138 // BENCH_r14's recorded weather, best on record
     val canaryBand = canaryParRef * 1.3
     val minPasses = 4
     val maxPasses = 8
+    // per pass: (conservative canary, pre, post, times)
     val passBuf =
-      Vector.newBuilder[(Double, Map[String, Double])] // (canary_par, times)
+      Vector.newBuilder[(Double, Double, Double, Map[String, Double])]
     var nPass = 0
     var bestWeather = Double.PositiveInfinity
     while (nPass < maxPasses &&
         (nPass < minPasses || bestWeather > canaryBand)) {
-      val c = hostCanaryParallel()
+      val cPre = hostCanaryParallel()
+      val times = names.map(n => n -> timed(n)).toMap
+      val cPost = hostCanaryParallel()
+      val c = math.min(cPre, cPost)
       bestWeather = math.min(bestWeather, c)
-      passBuf += ((c, names.map(n => n -> timed(n)).toMap))
+      passBuf += ((c, cPre, cPost, times))
       nPass += 1
     }
     val weathered = passBuf.result()
-    val passes = weathered.map(_._2)
+    val passes = weathered.map(_._4)
     val results = names.map { name =>
       val t = passes.map(_(name)).min
       name -> (if (t.isFinite) t else -1.0) // -1 marks a query that always failed
@@ -183,10 +198,17 @@ object Bench {
     // any failure poisons it to -1 so round-over-round comparisons scream
     val total =
       if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
     val normTotal =
       if (results.exists(_._2 < 0)) -1.0
       else names.map { name =>
-        weathered.map { case (c, ts) => ts(name) * (canaryParRef / c) }.min
+        median(weathered.map { case (c, _, _, ts) =>
+          ts(name) * (canaryParRef / c)
+        })
       }.sum
     // rounded via rint, not %f: Double.toString is locale-independent,
     // so the JSON decimal point can never become a locale comma
@@ -194,8 +216,11 @@ object Bench {
     // same min-of-3 recipe per measurement; reported value is the best
     // weather seen across the run's per-pass measurements
     val canaryPar = math.rint(bestWeather * 1000) / 1000
-    val canaryPerPass = weathered
-      .map(w => math.rint(w._1 * 1000) / 1000).mkString("[", ",", "]")
+    // [pre, post] per pass — a diverging pair is the mid-pass-shift
+    // signature a reader should weigh before quoting the norm
+    val canaryPerPass = weathered.map { case (_, pre, post, _) =>
+      s"[${math.rint(pre * 1000) / 1000},${math.rint(post * 1000) / 1000}]"
+    }.mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""samples":$samples,"passes":${passes.size},""" +
       s""""canary_sec":$canary,"canary":"lcg64-500m-minof3",""" +

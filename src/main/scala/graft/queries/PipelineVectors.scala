@@ -476,23 +476,62 @@ trait PipelineVectors extends PipelineText {
   }
 
   /** IVF-SERVED semantic decontamination — p126's screen at serving
-    * cost: train vectors score only against eval vectors in their OWN
-    * IVF cell ([[ivfAssigned]] — the shared, artifact-held coarse
-    * codebook every ANN consumer reuses), so the pair work drops from
-    * N·|eval| to Σ_cell |train_cell|·|eval_cell| ≈ N·|eval|/K, the
-    * p20/p135 candidate-reduction shape. Same τ (0.40), same eval
-    * slice, same output contract as p126; what it trades is RECALL —
-    * a contaminated pair whose vectors straddle a cell boundary is
-    * missed, the approximation p129's audit prices for the retrieval
-    * twin (fused recall 92–97/100 at sf0.1). This is the AT-CADENCE
-    * substrate for the p110 health report (`graft.contam.substrate` =
-    * `ivf`); the exact screen stays the weekly/release posture. sf10
-    * re-measure in PLANS.md prices the swap at health-report scale. */
-  private[queries] def p136SemanticDecontamIvf: Q = (s, d) => {
+    * cost: train vectors score only against eval vectors whose probed
+    * cells include the train vector's OWN IVF cell ([[ivfAssigned]] —
+    * the shared, artifact-held coarse codebook every ANN consumer
+    * reuses), so the pair work drops from N·|eval| to ≈ N·|eval|·P/K.
+    * Same τ (0.40), same eval slice, same output contract as p126;
+    * what it trades is RECALL — a contaminated pair whose vectors
+    * straddle every probed cell boundary is missed.
+    *
+    * PRICED in round 17 (graft.tools.ServedRecall): at τ = 0.40 the
+    * flagged train doc's cell is near-UNIFORM over the eval vector's
+    * centroid ranking (this corpus's coarse codebook carries almost no
+    * locality that far below nearest-neighbor similarity), so the
+    * single-probe screen catches only ~14% of p126's flagged docs at
+    * sf0.1 — IVF compresses top-k retrieval (p129's fused twin: 92–97
+    * /100), not low-τ threshold screens. `graft.contam.probes` (read
+    * here, threaded as a parameter) dials the trade: the eval side —
+    * benchmark-sized at ANY corpus — re-ranks against the broadcast
+    * codebook and keeps its top-P cells, multiplying recall AND cost
+    * by ~P (curve in PLANS.md). Default stays P = 1 (the oracle-gated
+    * plan); the exact screen remains the release/weekly posture, and
+    * the served screen is a TREND monitor whose flags are hit-for-hit
+    * exact (containment proof in ServedScreenSpec) with a now-priced,
+    * dialable miss rate. */
+  private[queries] def p136SemanticDecontamIvf: Q = (s, d) =>
+    servedSemanticScreen(
+      s.conf.get("graft.contam.probes", "1").toInt)(s, d)
+
+  private def servedSemanticScreen(probes: Int): Q = (s, d) => {
+    require(probes >= 1, s"graft.contam.probes must be >= 1, got $probes")
     val assigned = ivfAssigned(s, d) // (vec_id, v, nrm, cell)
-    val ev = assigned.filter(pmod(col("vec_id"), lit(29L)) === 7)
-      .select(col("cell"), col("vec_id").as("eval_id"),
-        col("v").as("evv"), col("nrm").as("enrm"))
+    val evBase = assigned.filter(pmod(col("vec_id"), lit(29L)) === 7)
+    val ev =
+      if (probes == 1)
+        // single probe: the artifact's own argmax assignment, verbatim
+        evBase.select(col("cell"), col("vec_id").as("eval_id"),
+          col("v").as("evv"), col("nrm").as("enrm"))
+      else {
+        // multi-probe: re-rank the (tiny) eval side against the same
+        // broadcast codebook (the first-K rows of the artifact itself)
+        // and keep its top-P cells — |eval|·K extra dots, nothing
+        // corpus-scaled; P = 1 of this ranking IS the argmax above
+        val cents = assigned.filter(col("vec_id") < ivfK(s, d))
+          .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+            col("nrm").as("cnrm"))
+        val w = Window.partitionBy("eval_id")
+          .orderBy(col("csim").desc, col("cent_id").asc)
+        evBase.select(col("vec_id").as("eval_id"), col("v").as("evv"),
+            col("nrm").as("enrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("csim",
+            cos6(vdot(col("evv"), col("cv")), col("enrm") * col("cnrm")))
+          .withColumn("arnk", row_number().over(w))
+          .filter(col("arnk") <= probes)
+          .select(col("cent_id").as("cell"), col("eval_id"),
+            col("evv"), col("enrm"))
+      }
     val hits = assigned.filter(pmod(col("vec_id"), lit(29L)) =!= 7)
       .join(ev, Seq("cell")) // eval side is benchmark-sized → broadcast
       .withColumn("sim", cos6(vdot(col("v"), col("evv")), col("nrm") * col("enrm")))

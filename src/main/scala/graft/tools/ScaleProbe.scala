@@ -62,7 +62,12 @@ object ScaleProbe {
     "p131_substring_strip", "p132_strip_policy_matrix",
     "p133_substring_contam", "p134_contam_surgery",
     // round-14 addition: the IVF-served fused list (cell-keyed ANN)
-    "p135_rrf_ivf_serving")
+    "p135_rrf_ivf_serving",
+    // round-17 additions: the two hot-cell SALTED self-joins (r16's
+    // saltedCellSelfJoin fix was measured as sf10 wall-time; the
+    // scaling RATIO is the evidence the fix holds a decade up) and
+    // the IVF-served semantic screen beside its exact twin
+    "p33_knn_graph", "p136_semantic_decontam_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1,9 +1,9 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Session
@@ -18,18 +18,41 @@ import graft.streaming.Streams
   * numbers a state blow-up shows up in first: batch durations, state
   * rows, and state memory from the progress telemetry.
   *
-  *   sbt "runMain graft.tools.StatefulStreamBench <sfDir> [chunks]"
+  *   sbt "runMain graft.tools.StatefulStreamBench <sfDir> [chunks] [store]"
+  *
+  * `store` = heap (default) | rocksdb — rocksdb switches the state
+  * store to RocksDBStateStoreProvider, the posture a 100 TB deploy
+  * runs the LINEAR-state twins under (latestPerKey's state is O(keys);
+  * on the default heap-backed HDFSBackedStateStoreProvider that rides
+  * the executor heap, while RocksDB keeps it off-heap + on-disk with
+  * bounded block-cache memory). Run both and diff the state-mem lines.
   *
   * Staging: events/documents are rewritten once into <chunks> files so
   * maxFilesPerTrigger=1 yields <chunks> micro-batches; state then builds
   * ACROSS batches, which is what a blow-up needs to manifest. */
 object StatefulStreamBench {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: StatefulStreamBench <sfDir> [chunks]")
+    require(args.nonEmpty, "usage: StatefulStreamBench <sfDir> [chunks] [store]")
     val sfDir = args(0)
     val chunks = args.lift(1).map(_.toInt).getOrElse(8)
+    val store = args.lift(2).getOrElse("heap")
     val spark = Session.local()
     import spark.implicits._
+    // recentProgress is capped at numRecentProgressUpdates (default
+    // 100): with chunks above that, the reported input-row totals,
+    // batch durations, and peak state stats would silently cover only
+    // the LAST 100 micro-batches. Size the window to the run.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      (chunks + 16).toString)
+    store match {
+      case "rocksdb" => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      case "heap" => () // Spark's default HDFSBackedStateStoreProvider
+      case other => throw new IllegalArgumentException(
+        s"store must be heap|rocksdb, got '$other'")
+    }
 
     val work = "/tmp/graft-streambench"
     def stage(table: String): String = {
@@ -61,8 +84,8 @@ object StatefulStreamBench {
       val stateRows = prog.flatMap(_.stateOperators.map(_.numRowsTotal))
       val stateMem = prog.flatMap(_.stateOperators.map(_.memoryUsedBytes))
       val inRows = prog.map(_.numInputRows).sum
-      println(f"== $name: wall $wall%.1fs, batches ${batchMs.length}, " +
-        f"input $inRows rows ==")
+      println(f"== $name [$store]: wall $wall%.1fs, " +
+        f"batches ${batchMs.length}, input $inRows rows ==")
       if (batchMs.nonEmpty)
         println(f"   batch ms: max ${batchMs.max}, " +
           f"mean ${batchMs.sum / batchMs.length}, last ${batchMs.last}")
@@ -71,6 +94,18 @@ object StatefulStreamBench {
           f"peak ${stateRows.max}; state mem: " +
           f"peak ${stateMem.max / 1048576.0}%.1f MiB, " +
           f"final ${stateMem.last / 1048576.0}%.1f MiB")
+      // RocksDB reports where the bytes actually LIVE (off-heap block
+      // cache / memtable vs on-disk SST) through custom metrics —
+      // that split is the whole point of the posture, so surface it.
+      val custom = prog.flatMap(_.stateOperators).flatMap(
+        _.customMetrics.asScala).groupMapReduce(_._1)(_._2.longValue)(
+        math.max)
+      val interesting = Seq("rocksdbTotalMemoryUsage",
+        "rocksdbTotalSstFilesSize", "rocksdbPinnedBlocksMemoryUsage",
+        "loadedMapCacheHitCount")
+      val shown = interesting.flatMap(k => custom.get(k).map(v =>
+        f"$k ${v / 1048576.0}%.1f MiB"))
+      if (shown.nonEmpty) println("   " + shown.mkString(", "))
     }
 
     def events(s: SparkSession) = {

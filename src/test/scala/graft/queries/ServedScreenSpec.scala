@@ -74,4 +74,43 @@ class ServedScreenSpec extends SparkSpec {
       spark.conf.unset("graft.artifacts.reuse")
     }
   }
+
+  test("multi-probe widens the served screen monotonically, stays " +
+      "inside the exact flags, and clears the measured recall floor") {
+    // graft.tools.ServedRecall's r17 measurement (sf0.1): doc recall
+    // 0.137 @ P=1, 0.493 @ P=8 — at τ=0.40 the coarse codebook carries
+    // little locality, so the served screen is a dialable TREND
+    // monitor, not a release gate. This pins (at sf0.01, with margin)
+    // that the knob keeps working: each P's flags contain the previous
+    // P's (the probe list is a prefix chain), every P stays hit-for-hit
+    // inside p126, and P=8 catches a meaningfully larger fraction.
+    def flags(probes: Int): Map[Long, Int] = {
+      spark.conf.set("graft.contam.probes", probes.toString)
+      try Pipeline.queries("p136_semantic_decontam_ivf")(spark, Sf01)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      finally spark.conf.unset("graft.contam.probes")
+    }
+    val exact = Pipeline.queries("p126_semantic_decontam")(spark, Sf01)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byP = Seq(1, 2, 8).map(p => p -> flags(p))
+    byP.sliding(2).foreach { case Seq((pLo, lo), (pHi, hi)) =>
+      lo.foreach { case (doc, hits) =>
+        assert(hi.contains(doc),
+          s"doc $doc flagged at P=$pLo but lost at P=$pHi")
+        assert(hi(doc) >= hits,
+          s"doc $doc hit count shrank from P=$pLo to P=$pHi")
+      }
+    }
+    byP.foreach { case (p, served) =>
+      served.foreach { case (doc, hits) =>
+        assert(exact.contains(doc) && hits <= exact(doc),
+          s"P=$p invented flags beyond the exact screen for doc $doc")
+      }
+    }
+    val (r1, r8) = (byP.head._2.size.toDouble / exact.size,
+      byP.last._2.size.toDouble / exact.size)
+    assert(r8 >= r1, "P=8 recall below P=1")
+    assert(r8 >= 0.25,
+      f"P=8 doc recall $r8%.3f fell below the measured floor band")
+  }
 }

@@ -12,18 +12,30 @@ Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir> [nameFilter] [timeoutSe
       A name that matches no oracle is an ERROR (nonzero exit), so a
       typo'd gate invocation cannot silently report "0 pass, 0 fail".
   timeoutSec: per-oracle wall budget; a DuckDB run past it is interrupted.
-      Before reporting TIMEOUT the sweep retries the oracle BRANCH BY
-      BRANCH: top-level UNION ALL arms are materialized one at a time
-      into temp tables (each arm under its own budget, the shared WITH
-      prefix carried into every arm — DuckDB only evaluates the CTEs an
-      arm references), then the compare runs against the union of the
-      materialized arms. This mechanizes the manual adjudication used
-      for the instrument-composition oracles (p90 at sf1.0, p100/p102/
-      p110/p117/p119 at sf10), whose multi-branch UNION plans trip
-      DuckDB's scheduler at scale-rung volumes. An oracle with no
-      top-level UNION ALL is retried once whole under 4x the budget.
-      Only an oracle that STILL exceeds its budget is reported TIMEOUT
-      (counted separately from FAIL; exit stays 0 if all else passes).
+      Before reporting TIMEOUT the sweep escalates through a retry
+      ladder, each rung mechanizing a class of manual adjudication:
+      (1) BRANCH BY BRANCH — top-level UNION ALL arms are materialized
+      one at a time into temp tables (each arm under its own budget,
+      the shared WITH prefix carried into every arm — DuckDB only
+      evaluates the CTEs an arm references), then the compare runs
+      against the union of the materialized arms. This cracks the
+      instrument-composition oracles (p90 at sf1.0, p102's 12 branches
+      at sf10), whose multi-branch UNION plans trip DuckDB's scheduler
+      at scale-rung volumes. An oracle with no top-level UNION ALL is
+      retried once whole under 4x the budget.
+      (2) CTE BY CTE — if a single arm (or the whole-query retry) still
+      trips, the WITH block is materialized one CTE at a time into temp
+      tables (each under 4x budget; DuckDB resolves the stripped body's
+      references to the temp tables, which shadow same-named views the
+      way the CTEs did), then the body runs — whole, or branch-split if
+      it still trips. This cracks the kmeans-chain family (p100/p110/
+      p117/p123/p125 at sf10): their N*K assignment CTE is a nested-loop
+      DuckDB cannot finish inside one whole-query window, but CTAS'd
+      alone it gets its own window AND is paid once instead of once per
+      consuming UNION branch.
+      Only an oracle that STILL exceeds a rung's budget is reported
+      TIMEOUT (counted separately from FAIL; exit stays 0 if all else
+      passes), naming the CTE/branch that tripped.
   mode: "rowkey" (default) = the original order-insensitive exact compare
       in Python — repr-stable per value, byte-exact on floats. "fast" =
       the same schema/dtype/count checks, but value equality via DuckDB
@@ -89,81 +101,148 @@ class Budget:
         self.done.set()
         if self.timer is not None:
             self.timer.cancel()
-        if etype is not None and self.timed_out.is_set():
-            raise OracleTimeout(self.what)
+            # if kill() is mid-flight (passed the done check, interrupt
+            # not yet delivered), wait for it so timed_out is decisive
+            self.timer.join()
+        if self.timed_out.is_set():
+            if etype is not None:
+                raise OracleTimeout(self.what)
+            # The statement finished in the fire-vs-set window: the
+            # interrupt landed on an IDLE cursor and the stale flag
+            # would abort the NEXT statement (misreporting a healthy
+            # oracle as FAIL). Drain it on a trivial statement.
+            try:
+                self.cur.execute("SELECT 1")
+            except duckdb.InterruptException:
+                pass
         return False
+
+
+def scan_sql(sql):
+    """One pass over `sql` recording, per character position, the paren
+    DEPTH and whether the position is inside a single-quoted string
+    (with '' escape), a double-quoted identifier (with "" escape), a
+    `--` line comment, or a `/* */` block comment. Returns
+    (depth, opaque) arrays — a position with opaque[i] True must not be
+    treated as SQL structure."""
+    n = len(sql)
+    depth = [0] * n
+    opaque = [False] * n
+    d = 0
+    i = 0
+    mode = None  # None | "'" | '"' | '--' | '/*'
+    while i < n:
+        c = sql[i]
+        if mode == "'" or mode == '"':
+            opaque[i] = True
+            if c == mode:
+                if i + 1 < n and sql[i + 1] == mode:  # doubled escape
+                    opaque[i + 1] = True
+                    depth[i] = depth[i + 1] = d
+                    i += 2
+                    continue
+                mode = None
+        elif mode == "--":
+            opaque[i] = True
+            if c == "\n":
+                mode = None
+                opaque[i] = False
+        elif mode == "/*":
+            opaque[i] = True
+            if c == "*" and i + 1 < n and sql[i + 1] == "/":
+                opaque[i + 1] = True
+                depth[i] = depth[i + 1] = d
+                i += 2
+                mode = None
+                continue
+        elif c == "'" or c == '"':
+            mode = c
+            opaque[i] = True
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            mode = "--"
+            opaque[i] = True
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            mode = "/*"
+            opaque[i] = True
+        elif c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        depth[i] = d
+        i += 1
+    return depth, opaque
+
+
+def split_with_prefix(sql):
+    """Split a leading WITH block off `sql`. Returns
+    (ctes, body_start) where ctes is a list of (name, inner_sql) and
+    body_start the offset of the main body — or None on no WITH, on
+    WITH RECURSIVE (a recursive CTE cannot be CTAS'd independently),
+    or on any parse trouble."""
+    n = len(sql)
+    depth, opaque = scan_sql(sql)
+    if re.match(r"\s*WITH\s+RECURSIVE\b", sql, re.IGNORECASE):
+        return None
+    m = re.match(r"\s*WITH\b", sql, re.IGNORECASE)
+    if not m:
+        return None
+    pos = m.end()
+    ctes = []
+    while True:
+        # CTE head: name [ (cols) ] AS (
+        h = re.match(r'\s*("(?:[^"]|"")+"|[A-Za-z_][A-Za-z_0-9]*)',
+                     sql[pos:])
+        if not h:
+            return None
+        name = h.group(1)
+        if name.startswith('"'):
+            name = name[1:-1].replace('""', '"')
+        pos += h.end()
+        op = sql.find("(", pos)
+        if op < 0:
+            return None
+        between = sql[pos:op]
+        if re.search(r"\bAS\s*$", between, re.IGNORECASE) is None:
+            # a (cols) list before AS — unsupported shape, give up
+            return None
+        d0 = depth[op]
+        close = None
+        for j in range(op + 1, n):
+            if sql[j] == ")" and not opaque[j] and depth[j] == d0 - 1:
+                close = j
+                break
+        if close is None:
+            return None
+        ctes.append((name, sql[op + 1:close].strip()))
+        pos = close + 1
+        rest = re.match(r"\s*,", sql[pos:])
+        if rest:
+            pos += rest.end()
+        else:
+            break
+    return ctes, pos
 
 
 def split_union_all(sql):
     """Split `sql` into (with_prefix, [branch bodies]) on top-level
     UNION ALL, or None if there is no top-level UNION ALL.
 
-    with_prefix is the leading WITH/WITH RECURSIVE CTE block (possibly
-    empty), carried verbatim into every branch — DuckDB evaluates only
-    the CTEs a branch actually references."""
-    # walk once recording depth + quote state per char
-    depth = 0
-    in_str = False
-    marks = []  # (pos, depth) for each char outside strings
-    i = 0
-    n = len(sql)
-    while i < n:
-        c = sql[i]
-        if in_str:
-            if c == "'":
-                if i + 1 < n and sql[i + 1] == "'":
-                    i += 2
-                    continue
-                in_str = False
-        elif c == "'":
-            in_str = True
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-        marks.append((i, depth, in_str))
-        i += 1
-    depth_at = {}
-    for pos, d, s in marks:
-        depth_at[pos] = (d, s)
-
-    def at_top(pos):
-        d, s = depth_at.get(pos, (None, None))
-        return d == 0 and not s
-
-    prefix = ""
+    with_prefix is the leading WITH CTE block (possibly empty), carried
+    verbatim into every branch — DuckDB evaluates only the CTEs a
+    branch actually references."""
     body_start = 0
-    m = re.match(r"\s*WITH(\s+RECURSIVE)?\b", sql, re.IGNORECASE)
-    if m:
-        # consume CTEs: name AS ( ... ) [, name AS ( ... )]*
-        pos = m.end()
-        while True:
-            op = sql.find("(", pos)
-            if op < 0:
-                return None  # malformed; give up on splitting
-            # find the matching close paren
-            d0, _ = depth_at[op]
-            close = None
-            for j in range(op + 1, n):
-                dj, sj = depth_at[j]
-                if sql[j] == ")" and not sj and dj == d0 - 1:
-                    close = j
-                    break
-            if close is None:
-                return None
-            pos = close + 1
-            rest = re.match(r"\s*,", sql[pos:])
-            if rest:
-                pos += rest.end()
-            else:
-                break
-        prefix = sql[:pos]
-        body_start = pos
+    parsed = split_with_prefix(sql)
+    if parsed is not None:
+        _, body_start = parsed
+    elif re.match(r"\s*WITH\b", sql, re.IGNORECASE):
+        return None  # has a WITH block we failed to parse; don't mis-split
+    prefix = sql[:body_start]
     body = sql[body_start:]
-    # split the body on top-level UNION ALL
+    depth, opaque = scan_sql(sql)
     cuts = []
     for mm in re.finditer(r"\bUNION\s+ALL\b", body, re.IGNORECASE):
-        if at_top(body_start + mm.start()):
+        p = body_start + mm.start()
+        if depth[p] == 0 and not opaque[p]:
             cuts.append((mm.start(), mm.end()))
     if not cuts:
         return None
@@ -176,24 +255,96 @@ def split_union_all(sql):
     return prefix, [b.strip() for b in branches]
 
 
-def materialize_branches(cur, sql, timeout, name):
-    """Branch-by-branch retry after a budget trip: materialize each
-    top-level UNION ALL arm into its own temp table (one arm per budget
-    window), return a FROM-able SQL expression for their union.
-    Raises OracleTimeout if any single arm still exceeds the budget."""
+def materialize_ctes(cur, sql, timeout, name):
+    """Ladder rung 2 (the kmeans-chain mechanization): materialize the
+    WITH block one CTE at a time into temp tables (each under 4x
+    budget; the stripped body's references then resolve to the temp
+    tables, which shadow same-named views exactly the way the CTEs
+    did), then CTAS the body — whole, or branch-split if it still
+    trips. The heavy assignment CTE gets its own budget window AND is
+    paid once, not once per consuming UNION branch.
+    Raises OracleTimeout if a single CTE/branch still exceeds its
+    window, or if the WITH block cannot be split."""
+    parsed = split_with_prefix(sql)
+    if parsed is None:
+        raise OracleTimeout(f"{name} (and no splittable WITH block for "
+                            f"a CTE-by-CTE retry)")
+    ctes, body_start = parsed
+    per = timeout * 4 if timeout else None
+    try:
+        for i, (cname, cbody) in enumerate(ctes):
+            with Budget(cur, per,
+                        f"{name} CTE {cname} ({i + 1}/{len(ctes)})"):
+                cur.execute(
+                    f'CREATE OR REPLACE TEMP TABLE "{cname}" AS ({cbody})')
+    except OracleTimeout:
+        raise
+    except Exception as e:
+        # a CTE the splitter mis-parsed binds badly; the honest status
+        # is still "exceeded budget, mechanized retries failed"
+        raise OracleTimeout(f"{name} (CTE split failed: "
+                            f"{type(e).__name__}: {e})")
+    body = sql[body_start:]
+    try:
+        with Budget(cur, per, f"{name} body after CTE materialization"):
+            cur.execute(f"CREATE OR REPLACE TEMP TABLE _body AS ({body})")
+        print(f"  (oracle {name}: materialized {len(ctes)} CTEs under "
+              f"per-CTE budget, then the body whole)")
+        return "_body"
+    except OracleTimeout:
+        parts = split_union_all(body)
+        if parts is None:
+            raise
+        _, branches = parts
+        for i, b in enumerate(branches):
+            with Budget(cur, per,
+                        f"{name} body branch {i + 1}/{len(branches)} "
+                        f"after CTE materialization"):
+                cur.execute(f"CREATE OR REPLACE TEMP TABLE _b{i} AS ({b})")
+        print(f"  (oracle {name}: materialized {len(ctes)} CTEs + "
+              f"{len(branches)} body branches under per-step budget)")
+        union = " UNION ALL ".join(
+            f"SELECT * FROM _b{i}" for i in range(len(branches)))
+        return f"({union})"
+
+
+def materialize_oracle(cur, sql, timeout, name):
+    """Escalating retry ladder after a whole-oracle budget trip:
+    (1) top-level UNION ALL arms one at a time (or a whole-query 4x
+    retry when there is no union), then (2) CTE-by-CTE materialization.
+    Returns a FROM-able SQL expression for the oracle result; raises
+    OracleTimeout only when every rung trips."""
     parts = split_union_all(sql)
     if parts is None:
-        # no top-level UNION ALL: one whole-oracle retry at 4x budget
+        try:
+            with Budget(cur, timeout * 4 if timeout else None,
+                        f"{name} retry at 4x budget"):
+                cur.execute(f"CREATE OR REPLACE TEMP TABLE _b0 AS ({sql})")
+            print(f"  (oracle {name}: passed on whole-query retry "
+                  f"at 4x budget)")
+            return "_b0"
+        except OracleTimeout:
+            return materialize_ctes(cur, sql, timeout, name)
+    prefix, branches = parts
+    try:
+        for i, b in enumerate(branches):
+            stmt = f"CREATE OR REPLACE TEMP TABLE _b{i} AS ({prefix} {b})"
+            with Budget(cur, timeout,
+                        f"{name} branch {i + 1}/{len(branches)}"):
+                cur.execute(stmt)
+    except OracleTimeout:
+        return materialize_ctes(cur, sql, timeout, name)
+    except Exception as e:
+        # a mis-split branch (the splitter is a scanner, not a parser)
+        # surfaces as a binder/parse error on bogus branch SQL — fall
+        # back to the whole query under 4x budget instead of letting it
+        # read as a spurious oracle FAIL
+        print(f"  (oracle {name}: branch split bound badly "
+              f"({type(e).__name__}); whole-query retry at 4x budget)")
         with Budget(cur, timeout * 4 if timeout else None,
                     f"{name} retry at 4x budget"):
             cur.execute(f"CREATE OR REPLACE TEMP TABLE _b0 AS ({sql})")
-        print(f"  (oracle {name}: passed on whole-query retry at 4x budget)")
         return "_b0"
-    prefix, branches = parts
-    for i, b in enumerate(branches):
-        stmt = f"CREATE OR REPLACE TEMP TABLE _b{i} AS ({prefix} {b})"
-        with Budget(cur, timeout, f"{name} branch {i + 1}/{len(branches)}"):
-            cur.execute(stmt)
     print(f"  (oracle {name}: materialized {len(branches)} UNION ALL "
           f"branches under per-branch budget)")
     union = " UNION ALL ".join(
@@ -307,7 +458,7 @@ def run_one(cur, name, sql, spark_path, timeout, fast):
                         f"CREATE OR REPLACE TEMP TABLE _want AS ({sql})")
                 want_rel = "_want"
             except OracleTimeout:
-                want_rel = materialize_branches(cur, sql, timeout, name)
+                want_rel = materialize_oracle(cur, sql, timeout, name)
             problems, ng = compare_fast(
                 cur, name, spark_rel, want_rel, timeout)
             return (("fail", " | ".join(problems)) if problems
@@ -320,7 +471,7 @@ def run_one(cur, name, sql, spark_path, timeout, fast):
             with Budget(cur, timeout, f"{name} oracle"):
                 want = cur.execute(sql).df()
         except OracleTimeout:
-            want_rel = materialize_branches(cur, sql, timeout, name)
+            want_rel = materialize_oracle(cur, sql, timeout, name)
             with Budget(cur, timeout, f"{name} fetch after branch split"):
                 want = cur.execute(f"SELECT * FROM {want_rel}").df()
         problems, nrows = compare_rowkey(got, want)

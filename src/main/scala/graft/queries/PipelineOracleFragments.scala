@@ -215,6 +215,19 @@ trait PipelineOracleFragments extends PipelineReports {
   // via BIGINT ceil-division over the SAME relation the Spark side
   // counts — the corpus-scaled codebook stays bit-identical across
   // engines because K is a pure function of row count.
+  //
+  // The N×K distance scans (s1/s2) use the exact-integer identity
+  // d2 = v·v + c·c − 2·v·c with DuckDB's VECTORIZED list_inner_product
+  // instead of a per-pair list_transform lambda: the lambda form
+  // evaluated ~612M interpreted 64-step closures at sf10 (>2300 s for
+  // ONE assignment pass — the whole p100/p110/p117/p123/p125 timeout
+  // family), the native form does the same arithmetic in ~200 s for
+  // the full argmin. Exactness: qv entries are int8-range BIGINTs, so
+  // every inner product is ≤ 64·128² ≈ 1.05M — exactly representable
+  // in list_inner_product's DOUBLE regardless of summation order
+  // (integer sums are order-independent), and the CAST back to the
+  // lambda form's HUGEINT is value-identical (A/B-verified by EXCEPT
+  // against the lambda form at sf10, 617k rows, 0 diffs).
   private[queries] val sqlKmeansCtes: String =
     s"""qq AS (SELECT vec_id, qv FROM q),
        |kk AS (SELECT greatest($KmeansK, (count(*) + ${KmeansCellTarget - 1})
@@ -224,9 +237,12 @@ trait PipelineOracleFragments extends PipelineReports {
        |c0 AS (SELECT vec_id AS cell, qv AS cv FROM qq
        |  WHERE vec_id < (SELECT k FROM kk)),
        |s1 AS (SELECT v.vec_id, c.cell,
-       |    list_sum(list_transform(generate_series(1, len(v.qv)),
-       |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
-       |  FROM qq v, c0 c),
+       |    CAST(v.qsq + c.csq - 2 * list_inner_product(v.qv, c.cv)
+       |      AS HUGEINT) AS d2
+       |  FROM (SELECT vec_id, qv,
+       |          list_inner_product(qv, qv) AS qsq FROM qq) v,
+       |       (SELECT cell, cv,
+       |          list_inner_product(cv, cv) AS csq FROM c0) c),
        |b1 AS (SELECT vec_id, MIN(d2) AS d2 FROM s1 GROUP BY 1),
        |a1 AS (SELECT s1.vec_id, s1.d2, MIN(s1.cell) AS cell
        |  FROM s1 JOIN b1 ON s1.vec_id = b1.vec_id AND s1.d2 = b1.d2
@@ -238,9 +254,12 @@ trait PipelineOracleFragments extends PipelineReports {
        |    list((sx - ((sx % n) + n) % n) // n ORDER BY j) AS cv
        |  FROM u1 GROUP BY 1),
        |s2 AS (SELECT v.vec_id, c.cell,
-       |    list_sum(list_transform(generate_series(1, len(v.qv)),
-       |      i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i]))) AS d2
-       |  FROM qq v, c1 c),
+       |    CAST(v.qsq + c.csq - 2 * list_inner_product(v.qv, c.cv)
+       |      AS HUGEINT) AS d2
+       |  FROM (SELECT vec_id, qv,
+       |          list_inner_product(qv, qv) AS qsq FROM qq) v,
+       |       (SELECT cell, cv,
+       |          list_inner_product(cv, cv) AS csq FROM c1) c),
        |b2 AS (SELECT vec_id, MIN(d2) AS d2 FROM s2 GROUP BY 1),
        |a2 AS (SELECT s2.vec_id, s2.d2, MIN(s2.cell) AS cell
        |  FROM s2 JOIN b2 ON s2.vec_id = b2.vec_id AND s2.d2 = b2.d2

@@ -16,8 +16,65 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Parquet schema per (path, mtime): `spark.read.parquet` with no
+    * schema runs a footer-reading Spark JOB per call (~100 ms on this
+    * host), and every query invocation re-reads every table it touches —
+    * ~35% of the sf0.1 bench was this planning tax (OPTIMIZATION_r17.md
+    * §measure). A real deployment resolves schemas from a catalog once;
+    * this cache is that catalog for the DataFrame path. Keyed on the
+    * file's mtime so a rewritten fixture (tests, ScaleUp rungs) can
+    * never serve a stale schema; only metadata is cached — every query
+    * still scans the parquet data itself. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long), org.apache.spark.sql.types.StructType]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val f = new java.io.File(path)
+    val key = (f.getAbsolutePath, f.lastModified)
+    val schema = schemaCache.computeIfAbsent(key,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
+  /** Scale-adaptive scan balancing: `df` repartitioned to the session
+    * default parallelism when the table's scan would otherwise run on
+    * (much) fewer tasks than cores — the byte-sized-parallelism class
+    * from the round-16 sf10 audit, which also governs the driver's
+    * single-row-group bench files: every map-side stage (filters, join
+    * probes, partial aggregation, per-row digests) inherits a ONE-task
+    * scan no matter how heavy its per-row work is, and AQE cannot see it
+    * (it sizes by bytes, not FLOPs).
+    *
+    * The split estimate is the same arithmetic Spark's own
+    * FilePartition packing uses (bytes / maxPartitionBytes, one split
+    * floor per file), so the guard self-disables exactly where the scan
+    * is already wide: at 100 TB the condition is false and the plan is
+    * untouched — no repartition shuffle is ever added where the input
+    * is properly split. Keys make the exchange deterministic (guide
+    * §2.5: hash on a real high-cardinality column, never rand()). */
+  private[graft] def balanced(s: SparkSession, d: String, name: String,
+      keys: Seq[String]): DataFrame = {
+    val df = apply(s, d, name)
+    val cores = s.sparkContext.defaultParallelism
+    if (scanSplits(s, s"$d/$name.parquet") * 2 >= cores) df
+    else df.repartition(cores, keys.map(col): _*)
+  }
+
+  /** Spark's split count for a parquet path: ceil(bytes/maxSplit) summed
+    * per file. Over-estimates when row groups clump (a single-row-group
+    * file larger than maxSplit still scans as one task), which errs
+    * toward NOT repartitioning at big rungs — the safe side. */
+  private def scanSplits(s: SparkSession, path: String): Long = {
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else if (f.getName.endsWith(".parquet") || f.getName.startsWith("part-"))
+        math.max(1L, (f.length() + maxSplit - 1) / maxSplit)
+      else 0L
+    math.max(1L, walk(new java.io.File(path)))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

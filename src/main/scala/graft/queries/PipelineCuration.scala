@@ -643,15 +643,23 @@ trait PipelineCuration extends PipelineEvents {
         pmod(h60(concat_ws(" ",
           element_at(col("t"), col("i")),
           element_at(col("t"), col("i") + 1))), lit(DsirBuckets)).as("f"))
-    val cr = grams.groupBy("f").agg(count(lit(1)).as("cr"))
-    val ct = grams.filter(col("is_target"))
-      .groupBy("f").agg(count(lit(1)).as("ct"))
-    val feat = cr.join(ct, Seq("f"), "left_outer")
-      .select(col("f"),
-        (qlog2(coalesce(col("ct"), lit(0L)) + 1) - qlog2(col("cr") + 1))
-          .as("delta_q"))
-    val totals = grams.agg(count(lit(1)).as("r_tot"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_tot"))
+    // ONE model aggregation instead of three corpus passes (r17): the
+    // raw and target feature counts are conditional counts of the SAME
+    // groupBy, and both corpus totals are exact sums of the ≤DsirBuckets
+    // model rows — the gram explode (an md5 per bigram) used to be
+    // recomputed for cr, ct AND totals; now it runs once here and once
+    // in the scoring join. Counts are integers, so every downstream
+    // value is bit-identical (oracle hash-checked).
+    val model = grams.groupBy("f").agg(count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+      .staged // bounded: ≤ DsirBuckets rows by construction
+    val feat = model.select(col("f"),
+      (qlog2(col("ct") + 1) - qlog2(col("cr") + 1)).as("delta_q"))
+    // exact totals from the model table; coalesce keeps the empty-corpus
+    // values identical to the direct aggregation (count()=0, sum()=NULL)
+    val totals = model.agg(
+      coalesce(sum(col("cr")), lit(0L)).as("r_tot"),
+      sum(col("ct")).as("t_tot"))
     grams.join(broadcast(feat), "f")
       .groupBy("doc_id", "is_target")
       .agg(count(lit(1)).as("n_grams"), sum(col("delta_q")).as("sum_delta"))

@@ -146,7 +146,13 @@ object Relational extends QueryModule {
   /** ORDER BY multi-key ascending (one global ASC flag for all keys,
     * Sort.java:28-41). */
   private def q14SortMultiKey: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    // balanced: a global sort reads its input TWICE (range-boundary
+    // sampling pass + the exchange itself); on an under-split scan both
+    // passes are single-task parquet decodes. Spreading the rows once
+    // moves the second decode + both serializations onto all cores
+    // (A/B: 0.93→0.83 s at sf0.1); the guard disables this at wide inputs
+    // where the sort exchange is already fed in parallel.
+    Tables.balanced(s, d, "lineitem", Seq("l_orderkey"))
       .orderBy(col("l_returnflag").asc, col("l_linestatus").asc,
         col("l_orderkey").asc, col("l_linenumber").asc)
       .select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
@@ -183,7 +189,12 @@ object Relational extends QueryModule {
   /** Grouped aggregation, TPC-H Q1 pricing-summary shape
     * (testcases/query8.sql `MAX(...) GROUPBY` generalized). */
   private def q19AggGroup: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    // balanced: the partial decimal aggregation is the heavy map stage;
+    // on an under-split scan it runs single-task (A/B: 0.71→0.58 s at
+    // sf0.1, OPTIMIZATION_r17.md). The filter still pushes to the scan
+    // (PushedFilters unchanged); at a properly-split 100 TB input the
+    // guard leaves the plan untouched.
+    Tables.balanced(s, d, "lineitem", Seq("l_orderkey"))
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -285,7 +296,14 @@ object Relational extends QueryModule {
     * top-10. */
   private def q30TopRevenue: Q = (s, d) =>
     Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      // balanced on the orders side: whichever join strategy Catalyst
+      // picks, orders is the streamed side here (CBO broadcasts pruned
+      // lineitem at bench scale), and an under-split scan runs the
+      // whole probe + partial-agg pipeline on one task. The o_orderkey
+      // hash partitioning propagates through the join's key equivalence,
+      // so the groupBy below needs no second exchange.
+      .join(Tables.balanced(s, d, "orders", Seq("o_orderkey")),
+        col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       // group on the raw date; the string form is projected AFTER the
       // top-10, so the formatter runs 10 times, not once per fact row
@@ -309,6 +327,11 @@ object Relational extends QueryModule {
         col("r_regionkey") === col("n_regionkey"))
       .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      // NOT balanced (A/B: 0.657 plain vs 0.713 balanced at sf0.1): the
+      // broadcast probes per lineitem row are cheaper than the serial
+      // shuffle write a rebalance would pay — the win only exists where
+      // the moved work exceeds one row serialization (q19's decimal agg,
+      // q30's unfiltered probe+agg chain)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .join(Tables.supplier(s, d),
         col("l_suppkey") === col("s_suppkey") &&
@@ -319,6 +342,9 @@ object Relational extends QueryModule {
 
   /** Q10-style returned-item losses per customer (top-20, total order). */
   private def q32ReturnedItems: Q = (s, d) =>
+    // NOT balanced (A/B: 0.527 plain vs 0.523 balanced at sf0.1 — a
+    // wash): the returnflag filter keeps only ~25% of rows, so the
+    // probe work a rebalance would spread is already small
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))

@@ -5,7 +5,9 @@ import graft.SparkSpec
 /** Physical-plan shape assertions for the scale claims made in operator
   * comments and PLANS.md — the properties that keep these queries alive
   * at 100 TB, checked mechanically so a refactor can't silently lose
-  * them. Runs at sf0.001; plan shape is scale-independent. */
+  * them. Runs at sf0.001; plan shape is scale-independent EXCEPT the
+  * round-17 Tables.balanced rebalances, which by design appear only on
+  * under-split inputs (any gate sf) and vanish on wide 100 TB scans. */
 class PlanShapeSpec extends SparkSpec {
 
   private def plan(name: String): String =
@@ -308,7 +310,11 @@ class PlanShapeSpec extends SparkSpec {
   // diff, not rounds later as a bench forensic. Regenerate after an
   // INTENDED plan change with: sbt "runMain graft.tools.PlanFingerprint".
   private val HeadlineFingerprints: Map[String, Map[String, Int]] = Map(
-    "q19_agg_group" -> Map("Exchange" -> 1, "HashAggregate" -> 2),
+    // round 17: +1 Exchange = the scale-adaptive scan balance
+    // (Tables.balanced) spreading the single-row-group scan before the
+    // heavy partial decimal aggregation; at wide inputs the guard
+    // disables and the plan returns to 1 Exchange
+    "q19_agg_group" -> Map("Exchange" -> 2, "HashAggregate" -> 2),
     "q30_top_revenue" -> Map("BroadcastExchange" -> 2,
       "BroadcastHashJoin" -> 2, "Exchange" -> 1, "HashAggregate" -> 2,
       "TakeOrderedAndProject" -> 1),
@@ -320,7 +326,10 @@ class PlanShapeSpec extends SparkSpec {
     "q11_join_merge" -> Map("Exchange" -> 2, "Sort" -> 2,
       "SortMergeJoin" -> 1),
     "q13_sort_desc" -> Map("Exchange" -> 1, "Sort" -> 1),
-    "q14_sort_multikey" -> Map("Exchange" -> 1, "Sort" -> 1),
+    // round 17: +1 Exchange = Tables.balanced before the global sort
+    // (the range-boundary sampling pass otherwise re-decodes the whole
+    // single-row-group file serially); guard-disabled at wide inputs
+    "q14_sort_multikey" -> Map("Exchange" -> 2, "Sort" -> 1),
     "q28_window_rank" -> Map("Exchange" -> 1, "Sort" -> 2, "Window" -> 1,
       "WindowGroupLimit" -> 2),
     "q09_join_multikey" -> Map("Exchange" -> 1, "Sort" -> 1, "Window" -> 1),

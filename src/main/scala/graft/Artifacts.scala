@@ -277,6 +277,19 @@ object Artifacts {
     if (s.conf.get("graft.artifacts.dir", "").nonEmpty) df
     else Stage.materialize(df)
 
+  /** [[stage]] applied only when the artifact registry will actually
+    * share the frame across consumers (`graft.artifacts.reuse=true`,
+    * the default). With reuse off, every call rebuilds for exactly ONE
+    * consumer, so the final checkpoint write + read-back is pure
+    * overhead — measured 1.15 → 1.04 s on p02 at sf0.1 (P02CutProbe,
+    * min of 6 same-session). Only for builds whose consumer binds the
+    * returned frame ONCE; builders consumed from multiple join sides
+    * of a single plan (ivfAssigned, the kmeans assignment) keep
+    * [[stage]] so the no-reuse path cannot duplicate their subtree. */
+  def stageIfShared(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.conf.get("graft.artifacts.reuse", "true") == "true") stage(s, df)
+    else df
+
   /** Session-scoped memo for small derived SCALARS — corpus row
     * counts feeding corpus-scaled sizing (codebook K, sample
     * divisors, sign-bucket width). Same (session, dataset) lifecycle

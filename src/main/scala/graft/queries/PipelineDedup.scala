@@ -127,7 +127,9 @@ trait PipelineDedup extends PipelineVectors {
     * downstream curation jobs, not recomputed per query. */
   private[graft] def nearDupPairs(s: SparkSession, d: String): DataFrame =
     graft.Artifacts.cached(s, d, "neardup_pairs") {
-      graft.Artifacts.stage(s, buildNearDupPairs(s, d))
+      // stageIfShared: with artifact reuse off (bench/probes) the pair
+      // graph has exactly one consumer and the final cut is overhead
+      graft.Artifacts.stageIfShared(s, buildNearDupPairs(s, d))
     }
 
 
@@ -297,8 +299,14 @@ trait PipelineDedup extends PipelineVectors {
       // so the Levenshtein work piles onto a few partitions — at sf10
       // one task carried the whole tail for ~13 min. This exchange moves
       // only the CAP-BOUNDED candidate pairs (never the corpus), and
-      // hash(doc_a, doc_b) is uniform by construction.
-      .repartition(col("doc_a"), col("doc_b"))
+      // hash(doc_a, doc_b) is uniform by construction. The partition
+      // count is EXPLICIT: a keyed repartition without one is
+      // AQE-coalescible, and the pair bytes are tiny while the DP is
+      // compute-bound — at sf0.1 AQE folded the whole verify into ONE
+      // task (JobTraceProbe: 1 task, 2.2 s of 3.2 s total; the same
+      // byte-sized-parallelism class as the r16 sf10 finds).
+      .repartition(s.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       // Threshold-banded DP (Ukkonen): O(d·n) per pair instead of O(n²),
       // with early exit (-1) the moment a pair provably exceeds the
       // acceptance bound. dist is an integer, so the floor'd threshold
@@ -359,19 +367,25 @@ trait PipelineDedup extends PipelineVectors {
       require(rounds <= 64, s"label propagation did not converge")
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
-        .select(col("src").as("doc_id"), col("lbl"))
+        .select(col("src").as("doc_id"), col("lbl"),
+          lit(null).cast(LongType).as("old"))
       val viaParent = labels
         .join(labels.select(col("doc_id").as("lbl"), col("lbl").as("plbl")),
           "lbl")
-        .select(col("doc_id"), col("plbl").as("lbl"))
-      val next = labels.union(viaNeighbor).union(viaParent)
-        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+        .select(col("doc_id"), col("plbl").as("lbl"),
+          lit(null).cast(LongType).as("old"))
+      // carry each doc's CURRENT label through the one keyed aggregation
+      // (exactly one `old` per doc_id — labels holds one row per doc), so
+      // the convergence test is a map-side filter over the staged result
+      // instead of a per-round shuffle JOIN of two corpus-sized label
+      // tables (guide §2.4: one exchange does both jobs)
+      val next = labels.select(col("doc_id"), col("lbl"), col("lbl").as("old"))
+        .union(viaNeighbor).union(viaParent)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"),
+          max(col("old")).as("old"))
         .staged
-      converged = next
-        .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") < col("old"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("lbl") < col("old")).isEmpty
+      labels = next.select(col("doc_id"), col("lbl"))
     }
     labels.select(col("doc_id"), col("lbl").as("cluster_id"),
       when(col("lbl") === col("doc_id"), 1).otherwise(0).as("keep"))

@@ -249,7 +249,12 @@ trait PipelineVectors extends PipelineText {
     // corpus-scaled K — would otherwise run on those few tasks while
     // the rest of the cluster idles (the sf10 TaskSkewAudit straggler
     // class: compute-bound map stages inherit byte-sized parallelism)
-    e.repartition(col("vec_id")).crossJoin(broadcast(cents))
+    // explicit width: a keyed repartition without a count is
+    // AQE-coalescible, and the N×K scoring work is compute-bound over
+    // tiny bytes — AQE folds it back to one task at small rungs (the
+    // r16 byte-sized-parallelism class this exchange exists to fix)
+    e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
         cos6(vdot(col("v"), col("cv")), col("nrm") * col("cnrm"))
           .as("csim"))
@@ -834,8 +839,12 @@ trait PipelineVectors extends PipelineText {
       // the k-means assignment crossJoins above all — inherits the
       // staged frame's partitioning; at sf10 that put a 614M-distance
       // assignment on ONE task (TaskSkewAudit: 224–286 s stragglers
-      // over 0.1 s stage medians) while 31 cores idled
-      .repartition(col("vec_id"))
+      // over 0.1 s stage medians) while 31 cores idled. Width explicit —
+      // without a count AQE re-coalesces the exchange by BYTES (p42's
+      // whole quantized scan ran 1-task at sf0.1, JobTraceProbe) and
+      // the consumers' work is FLOPs, not bytes.
+      .repartition(e.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
       .staged
   }
 

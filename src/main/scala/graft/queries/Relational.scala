@@ -342,10 +342,13 @@ object Relational extends QueryModule {
 
   /** Q10-style returned-item losses per customer (top-20, total order). */
   private def q32ReturnedItems: Q = (s, d) =>
-    // NOT balanced (A/B: 0.527 plain vs 0.523 balanced at sf0.1 — a
-    // wash): the returnflag filter keeps only ~25% of rows, so the
-    // probe work a rebalance would spread is already small
-    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    // balanced: first A/B read a wash (0.527 plain vs 0.523), the
+    // re-run after the p02/probe changes reads a consistent win
+    // (0.598 plain vs 0.553 balanced, 5/6 samples lower) — the R
+    // filter keeps ~25% of rows but the surviving probe+partial-agg
+    // chain still outweighs one serial row serialization
+    Tables.balanced(s, d, "lineitem", Seq("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))

@@ -148,7 +148,17 @@ trait PipelineCore extends QueryModule {
     * aggregation-bound ops (exact dedup, corpus profile) skip it — their
     * own groupBy exchange rebalances and the extra shuffle just loses. */
   private[queries] def docsBalanced(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    // hash on the unique doc_id, not round-robin repartition(n): keyless
+    // round-robin first pays a LOCAL SORT of every input partition
+    // (sortBeforeRepartition, SPARK-23207's retry-determinism guard) —
+    // hashing a unique key is deterministic under retries for free and
+    // skips the sort. A/B (DocsBalanceProbe, min of 6 / 4 same-session):
+    // minhash sketch 0.268→0.231 s sf0.1, 0.458→0.399 s sf1; shingle+
+    // digest 0.171→0.163 / 0.358→0.316 — every sample lower. Width stays
+    // explicit so AQE cannot byte-coalesce the compute-bound map stages
+    // this spread exists to widen.
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
 
   /** Non-distinct w-shingle rows built with codegen'd `element_at` over

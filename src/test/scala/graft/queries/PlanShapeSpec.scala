@@ -340,9 +340,12 @@ class PlanShapeSpec extends SparkSpec {
     "p01_exact_dedup" -> Map("Exchange" -> 1, "HashAggregate" -> 2),
     // round-10 native MinHashSig: the sketch became a map-only
     // projection — the per-subtree explode (Generate), groupBy exchange
-    // and 12-min/collect_set ObjectHashAggregate all left the plan
+    // and 12-min/collect_set ObjectHashAggregate all left the plan.
+    // Round 17 (−1 Exchange): docsBalanced now hash-spreads on doc_id
+    // (deterministic, no sortBeforeRepartition) and the spread doubles
+    // as a downstream doc-keyed exchange under both profiles.
     "p02_minhash_neardup" -> Map("BroadcastExchange" -> 5,
-      "BroadcastHashJoin" -> 5, "Exchange" -> 9, "Generate" -> 4,
+      "BroadcastHashJoin" -> 5, "Exchange" -> 8, "Generate" -> 4,
       "HashAggregate" -> 6),
     "p04_ann_cosine_topk" -> Map("BroadcastExchange" -> 1,
       "BroadcastNestedLoopJoin" -> 1, "Exchange" -> 2, "Sort" -> 2,
@@ -403,7 +406,7 @@ class PlanShapeSpec extends SparkSpec {
       val got = graft.tools.PlanFingerprint.of(plan(q))
       assert(got == expect,
         s"$q plan shape diverges under the cluster profile:" +
-          s"\n  local    $expect\n  cluster  $got")
+          s"\n  expected $expect\n  cluster  $got")
     } finally {
       spark.conf.unset("graft.stage.materialize")
       spark.conf.unset("graft.artifacts.reuse")

@@ -10,7 +10,13 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val spark = Session.local()
-    args.tail.foreach { name =>
+    // k=v args are session confs (TimeQuery's convention) — e.g.
+    // graft.stage.materialize=none to see through checkpoint cuts
+    val (confs, names) = args.tail.partition(_.contains('='))
+    confs.foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    }
+    names.foreach { name =>
       println(s"===== $name =====")
       println(Explain.physical(SparkEntry.queries(name)(spark, sfDir)))
     }

@@ -543,8 +543,13 @@ trait PipelineDedup extends PipelineVectors {
     * pair key. */
   private[queries] def p49SemanticNearDup: Q = (s, d) => {
     val pairs = p13CosineNearDup(s, d)
-    val sets = Tables.documents(s, d).select(col("doc_id"),
-      array_distinct(tokens(col("text"))).as("tset"))
+    // balanced: the pair side broadcasts (it is LSH-bounded), so the
+    // token-set intersect verify inherits the DOCUMENTS scan's
+    // parallelism — the raw single-file scan's split count (4 tasks ×
+    // 3.9 s medians at sf1, TaskSkewAudit). Guard-disabled at wide
+    // 100 TB inputs, same as every Tables.balanced site.
+    val sets = Tables.balanced(s, d, "documents", Seq("doc_id"))
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("tset"))
     val jaccard = col("ninter").cast(DoubleType) /
       (col("na") + col("nb") - col("ninter")).cast(DoubleType)
     pairs

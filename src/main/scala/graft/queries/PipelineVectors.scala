@@ -409,16 +409,29 @@ trait PipelineVectors extends PipelineText {
     * orientation — so no dedup stage is needed. */
   private[queries] def p13CosineNearDup: Q = (s, d) => {
     val bits = annPairBits(embCount(s, d))
-    val e = Tables.embeddings(s, d)
+    def sketch(src: DataFrame): DataFrame = src
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
       .withColumn("bucket", signBucket(col("v"), bits))
-    val probes = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+    // BOTH join inputs off the balanced scan (one shared exchange):
+    // Catalyst folds the cosine + τ filter into the broadcast join
+    // itself, so the verify's parallelism is whichever side STREAMS —
+    // and the planner is free to broadcast either. Off the raw
+    // single-file scan the streamed side was the input SPLIT count
+    // (TaskSkewAudit at sf1: the whole verify on 4 tasks, 4×3.0 s
+    // medians — the q19 under-split-scan class, not skew); balancing
+    // the shared source makes the streamed side wide whichever way the
+    // build choice goes. Tables.balanced self-disables on properly-
+    // split 100 TB inputs.
+    val eb = sketch(Tables.balanced(s, d, "embeddings", Seq("vec_id")))
+    val probes = eb
+      .select(col("vec_id").as("vec_a"), col("v").as("va"),
         col("nrm").as("na"),
         explode(array(col("bucket") +:
           (1 to bits).map(i => flipBit(col("bucket"), i, bits)): _*))
           .as("bucket"))
-    e.select(col("bucket"), col("vec_id").as("vec_b"),
+    eb
+      .select(col("bucket"), col("vec_id").as("vec_b"),
         col("v").as("vb"), col("nrm").as("nb"))
       .join(probes, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
@@ -457,7 +470,15 @@ trait PipelineVectors extends PipelineText {
     val ev = e.filter(pmod(col("vec_id"), lit(29L)) === 7)
       .select(col("vec_id").as("eval_id"), col("v").as("evv"),
         col("nrm").as("enrm"))
-    val hits = e.filter(pmod(col("vec_id"), lit(29L)) =!= 7)
+    // train side balanced (change-9 class): the N·|eval| cosine screen
+    // evaluates against the broadcast eval slice on the TRAIN side's
+    // partitioning, which off the raw scan is the file's split count —
+    // the brute screen's whole cost on a handful of tasks at any small
+    // rung. Guard-disabled on properly-split 100 TB inputs.
+    val hits = Tables.balanced(s, d, "embeddings", Seq("vec_id"))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(vdot(col("v"), col("v"))))
+      .filter(pmod(col("vec_id"), lit(29L)) =!= 7)
       .crossJoin(broadcast(ev))
       .withColumn("sim", cos6(vdot(col("v"), col("evv")), col("nrm") * col("enrm")))
       .filter(col("sim") >= 0.40)
